@@ -1,24 +1,113 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.Validator
+import graft.dsl._
+import graft.sources.{Tables, TranscriptGen}
+
+/** Benchmark main (driver contract: ONE JSON line on stdout).
+  *
+  * Two measurements:
+  *  1. per-query wall-clock over SPARK_GRAFT_SF_DIR (driver's BENCH gate);
+  *  2. the authoritative BASELINE.json metric — validated turns/sec of the
+  *     full constraint suite over a generated transcript table — at TWO
+  *     parallelism levels (local[8] vs local[32] standing in for N vs 4N
+  *     executors), reporting both throughputs and scaling efficiency
+  *     = (thr_32 / thr_8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def newSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def benchSuite: Check = Check("bench", Seq(
+    NotNull("text"),
+    UniqueKey(Seq("conv_id", "turn_idx")),
+    ReferentialIntegrity("role", "role_dim", "role"),
+    ReferentialIntegrity("tool", "tool_dim", "tool"),
+    MatchesRegex("conv_id", "^conv_[0-9]{8}$"),
+    ValueBounds("turn_idx", Some(0), None),
+    DistinctCountBetween("conv_id", 1, Long.MaxValue),
+    QuantileBetween("turn_idx", 0.5, 0.0, 1e9),
+    RollingZDrift("turn_gap_s", window = 24, threshold = 3.0),
+    TurnRateDrift(bucket = "1 hour", period = 24, method = "stl",
+      seasonal = 7, residThreshold = 3.0)))
+
+  /** One full suite pass; returns validated turns. */
+  private def runSuite(spark: SparkSession, dataPath: String): Long = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val t = spark.read.parquet(dataPath)
+      .withColumn("turn_gap_s",
+        (unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+          .cast("double"))
+    val ctx = Validator.Context(Map(
+      "role_dim" -> Tables.roleDim(spark), "tool_dim" -> Tables.toolDim(spark)))
+    val r = Validator.validate(t, benchSuite, ctx)
+    // materialize everything the suite produces
+    val nViol = r.violations.count()
+    val nVerd = r.verdicts.count()
+    require(nVerd > 0 && nViol >= 0)
+    t.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "30000").toLong
+    val scalingPair = sys.env.getOrElse("SPARK_GRAFT_SCALING", "8,32")
+      .split(",").map(_.trim.toInt)
+
+    // ---- phase 1: per-query timings on the driver's sf dir ----------------
+    var spark = newSession(cpus)
+    // warm the JVM/codegen paths before measuring
+    Tables.events(spark, sfDir).count()
+    SparkEntry.queries("q03_column_stats")(spark, sfDir).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: generate the bench transcript table once ----------------
+    val dataPath = s"/tmp/graft_bench_${nConvs}"
+    if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
+      TranscriptGen.generate(spark, nConvs)
+        .write.mode("overwrite").parquet(dataPath)
+    }
+    val totalTurns = spark.read.parquet(dataPath).count()
     spark.stop()
+
+    // ---- phase 3: suite throughput at the two parallelism levels ----------
+    val scaling = scalingPair.map { n =>
+      val s = newSession(n)
+      runSuite(s, dataPath) // warm-up pass (codegen/JIT)
+      val t0 = System.nanoTime()
+      val turns = runSuite(s, dataPath)
+      val wall = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      n -> (turns / wall, wall)
+    }
+    val (loN, (loThr, loWall)) = (scaling.head._1, scaling.head._2)
+    val (hiN, (hiThr, hiWall)) = (scaling.last._1, scaling.last._2)
+    val efficiency = (hiThr / loThr) / (hiN.toDouble / loN)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"scaling_efficiency":$efficiency}""")
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.{ResumableValidation, SnapshotTable}
+import graft.compile.Validator
+import graft.dsl._
+import graft.sources.{Tables, TranscriptGen}
+
+/** spark-submit entry point:
+  *
+  *   graft.Runner validate <transcripts-parquet> <out-dir> [--resumable <ckpt-dir> <P>]
+  *   graft.Runner generate <n-convs> <out-parquet>
+  *
+  * `validate` pins the input file set (snapshot manifest), runs the default
+  * transcript suite, writes violations/verdicts parquet + a JSON summary.
+  * With --resumable it runs through the per-partition checkpoint (restart
+  * the same command to resume after a kill).
+  */
+object Runner {
+
+  def defaultSuite: Check = Check("transcripts", Seq(
+    NotNull("conv_id"), NotNull("text"),
+    UniqueKey(Seq("conv_id", "turn_idx")),
+    ReferentialIntegrity("role", "role_dim", "role"),
+    ReferentialIntegrity("tool", "tool_dim", "tool"),
+    MatchesRegex("conv_id", "^conv_[0-9]{8}$"),
+    ValueBounds("turn_idx", Some(0), None),
+    MinRows(1),
+    DistinctCountBetween("conv_id", 1, Long.MaxValue),
+    TurnRateDrift(bucket = "1 hour", period = 24, method = "stl",
+      seasonal = 7, residThreshold = 3.0)))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-runner")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toList match {
+      case "generate" :: n :: out :: Nil =>
+        TranscriptGen.generate(spark, n.toLong).write.mode("overwrite").parquet(out)
+        println(s"""{"generated": "$out", "convs": $n}""")
+
+      case "validate" :: in :: out :: rest =>
+        val ctx = Validator.Context(Map(
+          "role_dim" -> Tables.roleDim(spark),
+          "tool_dim" -> Tables.toolDim(spark)))
+        // snapshot-pin the input so a resumed run sees identical files
+        val manifest = s"$out/input_manifest.json"
+        SnapshotTable.pin(spark, in, manifest)
+        val pinned = SnapshotTable.read(spark, manifest)
+        val t0 = System.nanoTime()
+        val (violations, verdicts) = rest match {
+          case "--resumable" :: ckpt :: p :: Nil =>
+            val rv = new ResumableValidation(spark, ckpt, p.toInt)
+            val Some((vio, ver, metrics)) = rv.run(pinned, defaultSuite, ctx)
+            println(metrics.map(m =>
+              s"""{"partition":${m.partition},"rows":${m.rows},"violations":${m.violations},"wall_ms":${m.wallMs}}""")
+              .mkString("[", ",", "]"))
+            (vio, ver)
+          case _ =>
+            val r = Validator.validate(pinned, defaultSuite, ctx)
+            (r.violations, r.verdicts)
+        }
+        violations.write.mode("overwrite").parquet(s"$out/violations")
+        verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rows = pinned.count()
+        val nViol = spark.read.parquet(s"$out/violations").count()
+        val nFail = spark.read.parquet(s"$out/verdicts")
+          .where(!col("pass")).count()
+        println(s"""{"rows":$rows,"violations":$nViol,"failed_verdicts":$nFail,"wall_sec":$wall,"turns_per_sec":${rows / wall}}""")
+
+      case other =>
+        System.err.println(s"unknown args: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -4,10 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ann.Similarity
+import graft.compile.Validator
+import graft.dedup.Dedup
+import graft.dsl._
+import graft.multimodal.Multimodal
+import graft.series.{Decomposition, Drift, Windows}
 import graft.sources.Tables
+import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with an exact DuckDB oracle over the same parquet.
+  * SURVEY.md §2 (+ the training-data pipeline families), each with an exact
+  * DuckDB oracle over the same parquet where SQL can express it; the
+  * non-SQL-expressible ops (sketches, STL, LSH, EWM, multimodal) are listed
+  * in `oracleExempt` and get the driver's rows-only check.
   *
   * Column names are aliased identically on both sides (driver hash-compares
   * after sorting columns by name). Double aggregates whose value depends on
@@ -15,25 +25,40 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship: per-conversation hourly turn-rate series (T1) over the
-    * transcripts view on sf0.001 — the base series of the drift family.
+  /** Flagship: the full constraint suite over the transcripts view —
+    * verdict rows for uniqueness / RI / completeness / turn-rate drift
+    * (north-star shape) on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q10_turn_rate_bucketing")(spark, "/root/testdata/sf0.001")
+    queries("q50_validation_suite")(spark, "/root/testdata/sf0.001")
 
   // ---- shared helpers -----------------------------------------------------
 
-  /** Cross-join a 1-row scalar-aggregate frame onto df (broadcast — the agg
-    * side is one row; this is the Spark analog of pandas' scalar broadcast).
-    */
   private def withScalars(df: DataFrame, scalars: DataFrame): DataFrame =
     df.crossJoin(broadcast(scalars))
+
+  /** events with nulls injected on 'error' rows (fixture for fill/interp). */
+  private def eventsWithNulls(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("v",
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")))
+
+  private val userOrder = Seq("ts", "event_id")
+
+  /** Global hourly event-count series with constant key (decomposition fixture). */
+  private def hourlySeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket_ts"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("k", lit("all"))
+
+  private def decomposedHourly(s: SparkSession, dir: String): DataFrame =
+    Decomposition.additive(hourlySeries(s, dir), "y", 24, Seq("k"), Seq("bucket_ts"))
 
   // ---- queries ------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S2/P1-P6: canonical projection scan — project + IS NOT NULL + range +
-    // IN-list predicates, all pushed to the parquet scan.
+    // S2/P1-P6: canonical projection scan with pushed predicates
     // (reference: sql/get_di.sql:1-19, src/hive_data_loader.py:269-308)
     "q01_scan_project_filter" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -44,8 +69,7 @@ object SparkEntry {
           col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
     }),
 
-    // A1/A8: grouped multi-agg summary per entity
-    // (reference: src/hive_data_loader.py:528-533)
+    // A1/A8: grouped multi-agg summary (reference src/hive_data_loader.py:528-533)
     "q02_summary_agg" -> ((s, dir) => {
       Tables.events(s, dir).groupBy(col("user_id")).agg(
         count(lit(1)).as("n_events"),
@@ -56,7 +80,6 @@ object SparkEntry {
     }),
 
     // A2/A3/A7/A16: fused global column stats in ONE aggregation pass
-    // (reference: src/decomposition.py:374-399, src/preprocessing.py:55)
     "q03_column_stats" -> ((s, dir) => {
       Tables.events(s, dir).agg(
         count(lit(1)).as("rows"),
@@ -68,8 +91,7 @@ object SparkEntry {
         max(col("value")).as("vmax"))
     }),
 
-    // A4/A5: exact quantiles (linear interpolation) + IQR
-    // (reference: src/decomposition.py:161-162, src/geological_anomaly_detector.py:130-131)
+    // A4/A5: exact quantiles + IQR
     "q04_quantiles" -> ((s, dir) => {
       Tables.events(s, dir).agg(
         round(expr("percentile(value, 0.25)"), 6).as("q1"),
@@ -78,8 +100,7 @@ object SparkEntry {
         round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6).as("iqr"))
     }),
 
-    // A6: MAD / modified z-score outliers (robust z)
-    // (reference: src/anomaly_detection.py:253-257, src/preprocessing.py:199-203)
+    // A6: MAD / modified z-score outliers
     "q05_robust_z_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val med = e.agg(expr("percentile(value, 0.5)").as("med"))
@@ -91,8 +112,7 @@ object SparkEntry {
         .select(col("event_id"), col("value"), round(col("rz"), 4).as("rz"))
     }),
 
-    // T5 (IQR rule): residual-style IQR outliers, k=1.5
-    // (reference: src/decomposition.py:140-181 with k from caller)
+    // T5 (IQR rule): global IQR fence outliers, k=1.5
     "q06_iqr_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val q = e.agg(
@@ -106,8 +126,7 @@ object SparkEntry {
           round(col("hi"), 6).as("hi"))
     }),
 
-    // Uniqueness constraint: duplicate-key census on
-    // (user_id, event_type, hour); violations = groups with n > 1
+    // Uniqueness constraint: duplicate-key census
     "q07_uniqueness_violations" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type"),
@@ -116,17 +135,14 @@ object SparkEntry {
         .where(col("n") > 1)
     }),
 
-    // J2: referential integrity of transcripts.role against role_dim via
-    // broadcast left-anti join → violation rows
+    // J2: referential integrity via broadcast left-anti join
     "q08_referential_violations" -> ((s, dir) => {
       Tables.transcripts(s, dir)
         .join(broadcast(Tables.roleDim(s)), Seq("role"), "left_anti")
         .select(col("conv_id"), col("turn_idx"), col("role"))
     }),
 
-    // W1/W2: per-conversation trailing rolling mean/std (window=24,
-    // min_periods=24 — pandas NaN-head parity) + |z|>3 flag rows
-    // (reference: src/geological_anomaly_detector.py:249-259)
+    // W1/W2: per-conversation rolling z with min_periods parity
     "q09_rolling_z_violations" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
         .rowsBetween(-23, 0)
@@ -140,18 +156,366 @@ object SparkEntry {
           round(col("z"), 4).as("z"))
     }),
 
-    // T1: ts-bucketed turn-rate series (the north-star drift input)
-    // (reference resample: src/preprocessing.py:254-288)
+    // T1: ts-bucketed turn-rate series
     "q10_turn_rate_bucketing" -> ((s, dir) => {
       Tables.transcripts(s, dir)
         .groupBy(col("conv_id"), date_trunc("hour", col("ts")).as("bucket_ts"))
         .agg(count(lit(1)).as("n_turns"), round(avg(col("value")), 6).as("mean_value"))
+    }),
+
+    // W5: cumulative sum per user (reference rainfall total_value)
+    "q11_cumsum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(userOrder.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), round(sum(col("value")).over(w), 6).as("cum_value"))
+    }),
+
+    // W6: forward fill of injected nulls
+    "q12_ffill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(userOrder.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsWithNulls(s, dir)
+        .select(col("event_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    }),
+
+    // T3: classical additive decomposition of the hourly series (period 24,
+    // even-period 2xMA trend, phase-mean seasonal) — the pure-DataFrame
+    // decomposition path (reference src/decomposition.py:75-109)
+    "q13_classical_decomposition" -> ((s, dir) => {
+      decomposedHourly(s, dir)
+        .select(col("idx"), col("y"), round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
+    // T4: trend/seasonal strength (reference src/decomposition.py:183-227)
+    "q14_strengths" -> ((s, dir) => {
+      Decomposition.strengths(decomposedHourly(s, dir), Seq("k"))
+        .select(round(col("trend_strength"), 6).as("trend_strength"),
+          round(col("seasonal_strength"), 6).as("seasonal_strength"),
+          col("n_resid"))
+    }),
+
+    // T10: PSI between first/second half of the month (equal-frequency bins
+    // from the baseline side)
+    "q15_psi" -> ((s, dir) => {
+      val sided = Tables.events(s, dir).withColumn("k", lit("all"))
+        .withColumn("side",
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+            "baseline").otherwise("current"))
+      Drift.psi(sided, "value", "side", Seq("k"))
+        .select(round(col("psi"), 6).as("psi"))
+    }),
+
+    // T10: exact two-sample KS, error-type values vs the rest
+    "q16_ks" -> ((s, dir) => {
+      val sided = Tables.events(s, dir).withColumn("k", lit("all"))
+        .withColumn("side",
+          when(col("event_type") === "error", "current").otherwise("baseline"))
+      Drift.ks(sided, "value", "side", Seq("k"))
+        .select(round(col("ks"), 6).as("ks"))
+    }),
+
+    // O3: top-k by aggregate (TakeOrderedAndProject)
+    "q17_topk_users" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 4).as("total"))
+        .orderBy(desc("total"), col("user_id"))
+        .limit(5)
+    }),
+
+    // U1: union of per-table summaries
+    "q18_union_summaries" -> ((s, dir) => {
+      Seq("orders", "lineitem", "customer").map { t =>
+        Tables.read(s, dir, t).agg(count(lit(1)).as("n_rows"))
+          .withColumn("table_name", lit(t))
+      }.reduce(_ unionByName _).select("table_name", "n_rows")
+    }),
+
+    // F8/F9/A13: min-max normalization + level bucketing
+    "q19_minmax_levels" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      withScalars(e, stats)
+        .withColumn("score", (col("value") - col("mn")) / (col("mx") - col("mn")))
+        .select(col("event_id"), round(col("score"), 6).as("score"),
+          when(col("score") > 0.8, "high").when(col("score") > 0.6, "medium")
+            .when(col("score") > 0.3, "low").otherwise("normal").as("level"))
+    }),
+
+    // P10: 3σ winsorize — replaced values only (reference src/hive_data_loader.py:19-22)
+    "q20_winsorize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val stats = e.agg(avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+      withScalars(e, stats)
+        .where(abs(col("value") - col("mu")) > lit(3) * col("sigma"))
+        .select(col("event_id"), col("value"), round(col("mu"), 6).as("clamped"))
+    }),
+
+    // A12: ensemble 2-of-3 vote across outlier constraints
+    // (reference src/geological_anomaly_detector.py:209-213)
+    "q21_ensemble_vote" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val st = e.agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"),
+        expr("percentile(value, 0.5)").as("med"),
+        avg(col("value")).as("mu"),
+        stddev_pop(col("value")).as("sigma"))
+      val withSt = withScalars(e, st)
+      val mad = withSt.agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val flagged = withScalars(withSt, mad)
+        .withColumn("f_iqr",
+          (col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1"))) ||
+            (col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1"))))
+        .withColumn("f_rz",
+          abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5)
+        .withColumn("f_gz", abs((col("value") - col("mu")) / col("sigma")) > 3.0)
+      Drift.ensembleVote(flagged, Seq("f_iqr", "f_rz", "f_gz"), k = 2, "is_anomaly")
+        .where(col("is_anomaly"))
+        .select(col("event_id"),
+          (col("f_iqr").cast("int") + col("f_rz").cast("int") +
+            col("f_gz").cast("int")).as("votes"))
+    }),
+
+    // A15: feature importance = var_pop(col) * |corr(col, score)|, normalized
+    // (reference src/geological_anomaly_detector.py:343-386)
+    "q22_feature_importance" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("score", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = feats.flatMap(f => Seq(
+        var_pop(col(f)).as(s"var_$f"),
+        abs(corr(col(f), col("score"))).as(s"corr_$f")))
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = row.select(
+        expr("stack(4, " + feats.map(f =>
+          s"'$f', var_$f * corr_$f").mkString(", ") + ") as (feature, raw)"))
+      val w = Window.partitionBy()
+      stacked.select(col("feature"),
+        round(col("raw") / sum(col("raw")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 6)
+          .as("importance"))
+    }),
+
+    // J1: full-outer equi-join of two sparse per-(user, day) aggregates
+    "q23_full_outer_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("clicks"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("purchases"))
+      clicks.join(purchases, Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), col("day"),
+          coalesce(col("clicks"), lit(0L)).as("clicks"),
+          coalesce(col("purchases"), lit(0L)).as("purchases"))
+    }),
+
+    // W7: linear time-interpolation of injected nulls, edge-filled
+    "q24_interpolate" -> ((s, dir) => {
+      val base = eventsWithNulls(s, dir)
+        .withColumn("idx", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(userOrder.map(col): _*)))
+      Windows.interpolate(base, "v", "idx", Seq("user_id"), Seq("idx"))
+        .select(col("event_id"), round(col("v_interp"), 6).as("interp"))
+    }),
+
+    // F1-F7: scalar date/string/math function family end-to-end
+    "q25_scalar_functions" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm").as("ts_str"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("ts_next"),
+        format_string("%.2f", col("value")).as("v2"),
+        round(col("value") - 273.15, 6).as("v_celsius"),
+        abs(col("value") - 100).as("v_abs"),
+        concat_ws("_", col("event_type"), pmod(col("event_id"), lit(10))).as("code"))
+    }),
+
+    // W3: centered rolling mean (smoothing)
+    "q26_centered_smooth" -> ((s, dir) => {
+      Windows.centeredMean(Tables.events(s, dir), "value", 5,
+        Seq("user_id"), userOrder)
+        .select(col("event_id"), round(col("value_smooth"), 6).as("smooth"))
+    }),
+
+    // ---- training-data pipeline: documents/embeddings ----------------------
+
+    // Dedup (exact): duplicate pairs by content digest
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // Dedup (normalized identity): per-doc fingerprint — validates the
+    // normalization+digest used by the near-dup family on every document
+    "q31_fingerprints" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Token counting: whitespace + BPE-ish subword estimate
+    "q32_token_counts" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"))
+    }),
+
+    // Language ID (marker-token heuristic)
+    "q33_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Quality scoring
+    "q34_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("digit_ratio"), 6).as("digit_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          col("quality_score"))
+    }),
+
+    // n-gram (token) Jaccard near-dup pairs, exact inverted-index join
+    "q35_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 60),
+        "doc_id", "text", shingleK = 1, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash near-dups (hash-based; rows-only oracle)
+    "q36_simhash_neardups" -> ((s, dir) => {
+      val sims = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashNearDups(sims, "doc_id", maxHamming = 18)
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "q37_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(q, e, "q_id", "vec_id", "q_vec", "embedding", 5)
+        .select(col("q_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // Embedding near-dup pairs, brute force (exact)
+    "q38_embedding_neardups" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+      val l = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      val r = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+      l.join(r, col("a_id") < col("b_id"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .where(col("cos") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // LSH-bucketed ANN (the scale path; rows-only oracle)
+    "q39_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.annTopK(q, e, "q_id", "vec_id", "q_vec", "embedding",
+        k = 5, planes = 8, tables = 4)
+    }),
+
+    // MinHash + LSH candidate generation (hash-based; rows-only oracle)
+    "q40_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id",
+        "text", shingleK = 1, numHashes = 64)
+      Dedup.minhashLshCandidates(sigs, "doc_id", bands = 16, estJaccardMin = 0.4)
+    }),
+
+    // Multimodal plumbing: binary assets → feature extraction (stub codec)
+    "q41_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, 500)
+      Multimodal.extractFeatures(assets, dim = 16)
+        .where(col("features").isNotNull)
+        .select(col("asset_id"), size(col("features")).as("dim"))
+    }),
+
+    // W4: exponentially weighted mean (no SQL twin; rows-only oracle)
+    "q42_ewm" -> ((s, dir) => {
+      Windows.ewm(Tables.events(s, dir), "value", span = 10,
+        Seq("user_id"), userOrder)
+        .select(col("event_id"), round(col("value_ewm"), 6).as("ewm"))
+    }),
+
+    // North-star engine output: per-conversation RI verdict rows, produced
+    // by the Validator itself (oracle recomputes them in SQL)
+    "q49_verdicts_referential" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("t", Seq(ReferentialIntegrity("role", "role_dim", "role"))),
+        Validator.Context(Map("role_dim" -> Tables.roleDim(s))))
+      r.verdicts.where(col("partition_key") =!= "(global)")
+        .select(col("partition_key"), col("pass"), col("rows"),
+          col("violations"),
+          round(col("violation_rate"), 6).as("violation_rate"))
+    }),
+
+    // Flagship: full suite (uniqueness + RI + completeness + rolling-z +
+    // turn-rate drift with STL) → verdict rows (rows-only oracle: STL)
+    "q50_validation_suite" -> ((s, dir) => {
+      val check = Check("transcripts", Seq(
+        NotNull("text"),
+        UniqueKey(Seq("conv_id", "turn_idx")),
+        ReferentialIntegrity("role", "role_dim", "role"),
+        ReferentialIntegrity("tool", "tool_dim", "tool"),
+        RollingZDrift("value", window = 24, threshold = 3.0),
+        TurnRateDrift(bucket = "1 hour", period = 24, method = "stl",
+          seasonal = 7, residThreshold = 3.0)))
+      val ctx = Validator.Context(Map(
+        "role_dim" -> Tables.roleDim(s), "tool_dim" -> Tables.toolDim(s)))
+      Validator.validate(Tables.transcripts(s, dir), check, ctx).verdicts
     })
   )
+
+  /** Queries whose semantics SQL can't express (sketches/STL/LSH/EWM/
+    * multimodal stubs) — driver applies the weaker rows-only check.
+    */
+  val oracleExempt: Set[String] = Set(
+    "q36_simhash_neardups", "q39_ann_lsh", "q40_minhash_lsh",
+    "q41_multimodal_features", "q42_ewm", "q50_validation_suite")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
   private val T = Tables.transcriptsSql
+
+  /** SQL twin of TextAnalysis.normalized. */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  /** SQL twin of the classical decomposition CTE chain (period 24). */
+  private val decompSql =
+    """series AS (
+      |  SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::DOUBLE AS y
+      |  FROM events GROUP BY 1),
+      |idxd AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY bucket_ts) - 1 AS INT) AS idx, y
+      |  FROM series),
+      |tr AS (
+      |  SELECT idx, y,
+      |    CASE WHEN count(y) OVER w = 25 THEN
+      |      (sum(y) OVER w - 0.5 * (first_value(y) OVER w + last_value(y) OVER w)) / 24
+      |    END AS trend
+      |  FROM idxd
+      |  WINDOW w AS (ORDER BY idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |det AS (SELECT idx, y, trend, idx % 24 AS phase, y - trend AS d FROM tr),
+      |pm AS (SELECT phase, avg(d) AS pmean FROM det GROUP BY 1),
+      |g AS (SELECT avg(pmean) AS grand FROM pm),
+      |dc AS (
+      |  SELECT idx, y, trend, pmean - grand AS seasonal,
+      |    y - trend - (pmean - grand) AS resid
+      |  FROM det JOIN pm USING (phase), g)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project_filter" ->
@@ -218,6 +582,255 @@ object SparkEntry {
       s"""WITH $T
          |SELECT conv_id, date_trunc('hour', ts) AS bucket_ts, count(*) AS n_turns,
          |  round(avg(value), 6) AS mean_value
-         |FROM transcripts GROUP BY 1, 2""".stripMargin
+         |FROM transcripts GROUP BY 1, 2""".stripMargin,
+
+    "q11_cumsum" ->
+      """SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+        |FROM events""".stripMargin,
+
+    "q12_ffill" ->
+      """WITH base AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events)
+        |SELECT event_id, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM base""".stripMargin,
+
+    "q13_classical_decomposition" ->
+      s"""WITH $decompSql
+         |SELECT idx, y, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+         |  round(resid, 6) AS resid
+         |FROM dc""".stripMargin,
+
+    "q14_strengths" ->
+      s"""WITH $decompSql,
+         |v AS (SELECT var_pop(trend) AS vt, var_pop(seasonal) AS vs,
+         |  var_pop(resid) AS vr, count(resid) AS n_resid FROM dc)
+         |SELECT
+         |  round(CASE WHEN vr = 0 THEN 1.0 ELSE least(1.0, greatest(0.0, vt / (vt + vr))) END, 6) AS trend_strength,
+         |  round(CASE WHEN vr = 0 THEN 1.0 ELSE least(1.0, greatest(0.0, vs / (vs + vr))) END, 6) AS seasonal_strength,
+         |  n_resid
+         |FROM v""".stripMargin,
+
+    "q15_psi" ->
+      """WITH base AS (SELECT value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'baseline' ELSE 'current' END AS side
+        |  FROM events),
+        |e AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM base WHERE side = 'baseline'),
+        |binned AS (SELECT side,
+        |    (value > qs[1])::INT + (value > qs[2])::INT + (value > qs[3])::INT +
+        |    (value > qs[4])::INT + (value > qs[5])::INT + (value > qs[6])::INT +
+        |    (value > qs[7])::INT + (value > qs[8])::INT + (value > qs[9])::INT AS bin
+        |  FROM base, e),
+        |counts AS (SELECT bin,
+        |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+        |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS nc
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+        |SELECT round(sum((greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
+        |  ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4))), 6) AS psi
+        |FROM counts, tot""".stripMargin,
+
+    "q16_ks" ->
+      """WITH base AS (SELECT value,
+        |    CASE WHEN event_type = 'error' THEN 'current' ELSE 'baseline' END AS side
+        |  FROM events),
+        |c AS (SELECT
+        |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END) OVER w AS cb,
+        |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END) OVER w AS cc
+        |  FROM base
+        |  WINDOW w AS (ORDER BY value, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS tb,
+        |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS tc FROM base)
+        |SELECT round(max(abs(cb / tb - cc / tc)), 6) AS ks FROM c, t""".stripMargin,
+
+    "q17_topk_users" ->
+      """SELECT user_id, total FROM (
+        |  SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY 1)
+        |ORDER BY total DESC, user_id LIMIT 5""".stripMargin,
+
+    "q18_union_summaries" ->
+      """SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'customer', count(*) FROM customer""".stripMargin,
+
+    "q19_minmax_levels" ->
+      """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |n AS (SELECT event_id, (value - mn) / (mx - mn) AS score FROM events, s)
+        |SELECT event_id, round(score, 6) AS score,
+        |  CASE WHEN score > 0.8 THEN 'high' WHEN score > 0.6 THEN 'medium'
+        |       WHEN score > 0.3 THEN 'low' ELSE 'normal' END AS level
+        |FROM n""".stripMargin,
+
+    "q20_winsorize" ->
+      """WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma FROM events)
+        |SELECT event_id, value, round(mu, 6) AS clamped FROM events, s
+        |WHERE abs(value - mu) > 3 * sigma""".stripMargin,
+
+    "q21_ensemble_vote" ->
+      """WITH s AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+        |    median(value) AS med, avg(value) AS mu, stddev_pop(value) AS sigma FROM events),
+        |d AS (SELECT median(abs(value - med)) AS mad FROM events, s),
+        |f AS (SELECT event_id,
+        |    (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))::INT AS f_iqr,
+        |    (abs(0.6745 * (value - med) / mad) > 3.5)::INT AS f_rz,
+        |    (abs((value - mu) / sigma) > 3.0)::INT AS f_gz
+        |  FROM events, s, d)
+        |SELECT event_id, CAST(f_iqr + f_rz + f_gz AS INT) AS votes FROM f
+        |WHERE f_iqr + f_rz + f_gz >= 2""".stripMargin,
+
+    "q22_feature_importance" ->
+      """WITH li AS (SELECT *, l_extendedprice * (1 - l_discount) AS score FROM lineitem),
+        |raw AS (
+        |  SELECT 'l_quantity' AS feature, var_pop(l_quantity) * abs(corr(l_quantity, score)) AS raw FROM li
+        |  UNION ALL SELECT 'l_extendedprice', var_pop(l_extendedprice) * abs(corr(l_extendedprice, score)) FROM li
+        |  UNION ALL SELECT 'l_discount', var_pop(l_discount) * abs(corr(l_discount, score)) FROM li
+        |  UNION ALL SELECT 'l_tax', var_pop(l_tax) * abs(corr(l_tax, score)) FROM li),
+        |t AS (SELECT sum(raw) AS total FROM raw)
+        |SELECT feature, round(raw / total, 6) AS importance FROM raw, t""".stripMargin,
+
+    "q23_full_outer_join" ->
+      """WITH c AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, day, coalesce(clicks, 0) AS clicks,
+        |  coalesce(purchases, 0) AS purchases
+        |FROM c FULL OUTER JOIN p USING (user_id, day)""".stripMargin,
+
+    "q24_interpolate" ->
+      """WITH base AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
+        |idxd AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx FROM base),
+        |w AS (SELECT event_id, v, idx,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+        |  FROM idxd
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * (idx - pi)::DOUBLE / (ni - pi)
+        |    WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS interp
+        |FROM w""".stripMargin,
+
+    "q25_scalar_functions" ->
+      """SELECT event_id, floor(epoch(ts))::BIGINT AS epoch_s,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS ts_str,
+        |  ts + INTERVAL 1 DAY AS ts_next,
+        |  printf('%.2f', value) AS v2,
+        |  round(value - 273.15, 6) AS v_celsius,
+        |  abs(value - 100) AS v_abs,
+        |  event_type || '_' || (event_id % 10)::VARCHAR AS code
+        |FROM events""".stripMargin,
+
+    "q26_centered_smooth" ->
+      """SELECT event_id,
+        |  round(CASE WHEN count(value) OVER w = 5 THEN avg(value) OVER w END, 6) AS smooth
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |k AS (SELECT digest, min(doc_id) AS kept_id FROM d GROUP BY 1)
+        |SELECT kept_id, doc_id AS dup_id, digest FROM d JOIN k USING (digest)
+        |WHERE doc_id != kept_id""".stripMargin,
+
+    "q31_fingerprints" ->
+      s"""SELECT doc_id, md5($normSql) AS fp FROM documents""",
+
+    "q32_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_ws,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> CAST(ceil(length(regexp_replace(w, '[^\p{L}]', '', 'g')) / 4.0) AS INT)))
+        |    + length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    + length(regexp_replace(text, '[\p{L}0-9\s]', '', 'g')) AS INT) AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    "q33_lang_id" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+        |  len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','sich','auf'))) AS h_de,
+        |  len(list_filter(tk, t -> t IN ('el','la','los','y','es','un','una','en','que','por'))) AS h_es,
+        |  len(list_filter(tk, t -> t IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS h_fr
+        |  FROM toks),
+        |b AS (SELECT doc_id, h_en, h_de, h_es, h_fr,
+        |  greatest(h_en, h_de, h_es, h_fr) AS best FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN h_en > 0 AND h_en = best THEN 'en'
+        |       WHEN h_de > 0 AND h_de = best THEN 'de'
+        |       WHEN h_es > 0 AND h_es = best THEN 'es'
+        |       WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM b""".stripMargin,
+
+    "q34_quality" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '[\p{L}0-9\s]', '', 'g'))::DOUBLE AS punct_n,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit_n,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_n
+        |  FROM documents),
+        |g AS (SELECT doc_id, n_chars, n_tokens,
+        |    CASE WHEN n_tokens > 0 THEN length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / n_tokens END AS mean_token_len,
+        |    CASE WHEN n_chars > 0 THEN punct_n / n_chars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN digit_n / n_chars ELSE 0 END AS digit_ratio,
+        |    CASE WHEN n_tokens > 0 THEN stop_n / n_tokens ELSE 0 END AS stopword_ratio
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  round(mean_token_len, 6) AS mean_token_len,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(digit_ratio, 6) AS digit_ratio,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(greatest(0.0, least(1.0,
+        |    least(n_tokens / 64.0, 1.0) * 0.3 +
+        |    coalesce(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0), 0.0) * 0.3 +
+        |    least(stopword_ratio * 5.0, 1.0) * 0.2 +
+        |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)), 6) AS quality_score
+        |FROM g""".stripMargin,
+
+    "q35_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents WHERE doc_id < 60),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk FROM d),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+         |  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    "q37_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.q_vec::DOUBLE[], e.embedding::DOUBLE[]) AS c
+        |  FROM q, embeddings e WHERE e.vec_id != q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rn FROM s)
+        |SELECT q_id, neighbor_id, round(c, 6) AS cos FROM r WHERE rn <= 5""".stripMargin,
+
+    "q38_embedding_neardups" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    "q49_verdicts_referential" ->
+      s"""WITH $T,
+         |v AS (SELECT conv_id, count(*) AS rows,
+         |    sum(CASE WHEN role NOT IN ('user','assistant','system','tool') THEN 1 ELSE 0 END) AS viol
+         |  FROM transcripts GROUP BY 1)
+         |SELECT conv_id AS partition_key, viol = 0 AS pass, rows,
+         |  CAST(viol AS BIGINT) AS violations,
+         |  round(viol::DOUBLE / rows, 6) AS violation_rate
+         |FROM v""".stripMargin
   )
 }

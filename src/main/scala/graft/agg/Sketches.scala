@@ -105,6 +105,7 @@ case class TDigestMergeAgg(
 case class TDigestQuantile(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, q: Any): Any = {
     val td = TDigestDouble.heapify(Memory.wrap(sketch.asInstanceOf[Array[Byte]]))
     if (td.isEmpty) null else td.getQuantile(q.asInstanceOf[Double])
@@ -119,6 +120,7 @@ case class TDigestQuantile(left: Expression, right: Expression)
 case class TDigestRank(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(sketch: Any, x: Any): Any = {
     val td = TDigestDouble.heapify(Memory.wrap(sketch.asInstanceOf[Array[Byte]]))
     if (td.isEmpty) null else td.getRank(x.asInstanceOf[Double])

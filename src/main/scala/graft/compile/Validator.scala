@@ -1,0 +1,331 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dsl._
+import graft.series.{Decomposition, Drift, SeriesKernels}
+
+/** Compiles a constraint suite to Catalyst plans and evaluates it with a
+  * fixed small number of passes, independent of the number of constraints
+  * (the reference re-scans per statistic family,
+  * src/geological_anomaly_detector.py:128-145; Catalyst won't fuse separate
+  * `agg` jobs, so this planner does — SURVEY.md §4):
+  *
+  *  pass 1  one fused global aggregation (stats, quantiles/sketches, null
+  *          counts, HLL cardinalities) — collected as ONE driver row;
+  *  pass 1b one more fused aggregation iff RobustZ needs MAD (median of
+  *          |x - median|) — the only stat that depends on another stat;
+  *  pass 2  one projection with every row-level flag + windowed rolling-z
+  *          flags, exploded into violation rows (single scan);
+  *  pass 3  uniqueness group-bys (one per key tuple);
+  *  pass 4  broadcast anti-joins (one per referenced dimension);
+  *  pass 5  turn-rate drift: bucket → decompose → residual/PSI/KS verdicts.
+  *
+  * Verdicts are per conversation for row/series constraints (the north
+  * rule's per-partition pass/fail) and global for aggregate constraints.
+  */
+object Validator {
+
+  final case class Context(dims: Map[String, DataFrame] = Map.empty)
+
+  final case class Result(violations: DataFrame, verdicts: DataFrame) {
+    def violationCount: Long = violations.count()
+  }
+
+  private val violationSchema = StructType(Seq(
+    StructField("constraint", StringType),
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("column", StringType),
+    StructField("observed", StringType),
+    StructField("bound", StringType),
+    StructField("severity", StringType)))
+
+  def validate(df: DataFrame, check: Check,
+      ctx: Context = Context()): Result = {
+    val spark = df.sparkSession
+    val key = col(check.keyCol)
+    val ord = col(check.orderCol)
+
+    // ---- pass 1: fused global aggregation --------------------------------
+    val numericCols = (check.constraints.collect {
+      case c: MeanBetween => c.column
+      case c: StddevBetween => c.column
+      case c: QuantileBetween => c.column
+      case c: RobustZ => c.column
+      case c: IqrOutliers => c.column
+      case c: GlobalZ => c.column
+    }).distinct
+    val nullCols = check.constraints.collect { case c: NotNull => c.column }.distinct
+    val distinctCols = check.constraints.collect {
+      case c: DistinctCountBetween => c.column }.distinct
+    val quantileNeeds: Seq[(String, Double)] = (check.constraints.collect {
+      case c: QuantileBetween => Seq(c.column -> c.q)
+      case c: RobustZ => Seq(c.column -> 0.5)
+      case c: IqrOutliers => Seq(c.column -> 0.25, c.column -> 0.75)
+    }).flatten.distinct
+
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).as("__rows")) ++
+      nullCols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls__$c")) ++
+      numericCols.flatMap { c => Seq(
+        avg(col(c)).as(s"__mean__$c"),
+        stddev_samp(col(c)).as(s"__stds__$c"),
+        stddev_pop(col(c)).as(s"__stdp__$c")) } ++
+      distinctCols.map(c => approx_count_distinct(col(c)).as(s"__hll__$c")) ++
+      quantileNeeds.map { case (c, q) =>
+        expr(s"percentile($c, $q)").as(s"__q${q}__$c") }
+
+    val statsRow: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    def stat(name: String): Double = statsRow.getAs[Any](name) match {
+      case null => Double.NaN
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+    }
+    val totalRows = statsRow.getAs[Long]("__rows")
+
+    // ---- pass 1b: MAD for RobustZ ----------------------------------------
+    val madCols = check.constraints.collect { case c: RobustZ => c.column }.distinct
+    val mads: Map[String, Double] = if (madCols.nonEmpty) {
+      val exprs = madCols.map { c =>
+        val med = stat(s"__q0.5__$c")
+        expr(s"percentile(abs($c - $med), 0.5)").as(s"__mad__$c")
+      }
+      val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+      madCols.map(c => c -> r.getAs[Double](s"__mad__$c")).toMap
+    } else Map.empty
+
+    // ---- pass 2: row-level flags → violation rows -------------------------
+    case class RowCheck(c: Constraint, column: String, violated: Column,
+        observed: Column, bound: String)
+
+    val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
+      case c @ NotNull(columnName, _) =>
+        Some(RowCheck(c, columnName, col(columnName).isNull,
+          lit(null).cast("string"), "not null"))
+      case c @ InSet(columnName, allowed) =>
+        Some(RowCheck(c, columnName,
+          col(columnName).isNotNull && !col(columnName).isin(allowed: _*),
+          col(columnName), s"in {${allowed.mkString(",")}}"))
+      case c @ MatchesRegex(columnName, re) =>
+        Some(RowCheck(c, columnName,
+          col(columnName).isNotNull && !col(columnName).rlike(re),
+          col(columnName), s"matches $re"))
+      case c @ ValueBounds(columnName, lo, hi) =>
+        val v = col(columnName)
+        val f = (lo.map(v < _) ++ hi.map(v > _)).reduceOption(_ || _).getOrElse(lit(false))
+        Some(RowCheck(c, columnName, v.isNotNull && f, v.cast("string"),
+          s"[${lo.getOrElse(Double.NegativeInfinity)},${hi.getOrElse(Double.PositiveInfinity)}]"))
+      case c @ TextEquals(columnName, expected) =>
+        Some(RowCheck(c, columnName, !(col(columnName) <=> expected),
+          col(columnName), "closed-form text"))
+      case c @ GlobalZ(columnName, t) =>
+        val mu = stat(s"__mean__$columnName"); val sd = stat(s"__stdp__$columnName")
+        val z = (col(columnName) - mu) / sd
+        Some(RowCheck(c, columnName,
+          if (sd > 0) abs(z) > t else lit(false),
+          col(columnName).cast("string"), s"|z|<=$t"))
+      case c @ RobustZ(columnName, t, _) =>
+        val med = stat(s"__q0.5__$columnName"); val mad = mads(columnName)
+        val rz = lit(0.6745) * (col(columnName) - med) / mad
+        Some(RowCheck(c, columnName,
+          if (mad > 0) abs(rz) > t else lit(false),
+          col(columnName).cast("string"), s"|rz|<=$t"))
+      case c @ IqrOutliers(columnName, k, _) =>
+        val q1 = stat(s"__q0.25__$columnName"); val q3 = stat(s"__q0.75__$columnName")
+        val lo = q1 - k * (q3 - q1); val hi = q3 + k * (q3 - q1)
+        Some(RowCheck(c, columnName, col(columnName) < lo || col(columnName) > hi,
+          col(columnName).cast("string"), s"[$lo,$hi]"))
+      case c @ RollingZDrift(columnName, window, t) =>
+        val w = Window.partitionBy(key).orderBy(ord).rowsBetween(-(window - 1), 0)
+        val v = col(columnName)
+        val n = count(v).over(w)
+        val z = (v - avg(v).over(w)) / stddev_samp(v).over(w)
+        Some(RowCheck(c, columnName,
+          coalesce(n >= window && abs(z) > t, lit(false)),
+          v.cast("string"), s"rolling|z|<=$t@$window"))
+      case _ => None
+    }
+
+    val rowViolations: DataFrame = if (rowChecks.nonEmpty) {
+      val structs = rowChecks.map { rc =>
+        struct(
+          lit(rc.c.name).as("constraint"),
+          lit(rc.column).as("column"),
+          rc.observed.cast("string").as("observed"),
+          lit(rc.bound).as("bound"),
+          lit(rc.c.severity).as("severity"),
+          rc.violated.as("violated"))
+      }
+      df.select(key.cast("string").as("conv_id"), ord.cast("int").as("turn_idx"),
+          array(structs: _*).as("__checks"))
+        .select(col("conv_id"), col("turn_idx"),
+          explode(filter(col("__checks"), x => x.getField("violated"))).as("v"))
+        .select(col("v.constraint"), col("conv_id"), col("turn_idx"),
+          col("v.column"), col("v.observed"), col("v.bound"), col("v.severity"))
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], violationSchema)
+
+    // ---- pass 3: uniqueness ------------------------------------------------
+    val uniqueViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ UniqueKey(cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .select(lit(c.name).as("constraint"),
+            col(check.keyCol).cast("string").as("conv_id"),
+            (if (cols.contains(check.orderCol)) col(check.orderCol).cast("int")
+             else lit(-1)).as("turn_idx"),
+            lit(cols.mkString(",")).as("column"),
+            col("__n").cast("string").as("observed"),
+            lit("1 copy").as("bound"),
+            lit(c.severity).as("severity"))
+    }
+
+    // ---- pass 4: referential integrity (broadcast anti-join) ---------------
+    val refViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk) =>
+        val dim = ctx.dims.getOrElse(dimName,
+          throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
+        val base = if (nullOk) df.where(col(columnName).isNotNull) else df
+        base.join(broadcast(dim.select(col(dimCol).as(columnName)).distinct()),
+            Seq(columnName), "left_anti")
+          .select(lit(c.name).as("constraint"),
+            key.cast("string").as("conv_id"),
+            ord.cast("int").as("turn_idx"),
+            lit(columnName).as("column"),
+            col(columnName).cast("string").as("observed"),
+            lit(s"in dim $dimName.$dimCol").as("bound"),
+            lit(c.severity).as("severity"))
+    }
+
+    // ---- pass 5: turn-rate drift -------------------------------------------
+    val driftResults: Seq[(DataFrame, DataFrame)] = check.constraints.collect {
+      case c: TurnRateDrift => turnRateDrift(df, check, c)
+    }
+
+    val allViolations = (Seq(rowViolations) ++ uniqueViolations ++ refViolations ++
+      driftResults.map(_._1)).reduce(_ unionByName _)
+
+    // ---- verdicts -----------------------------------------------------------
+    import spark.implicits._
+    val perConvConstraints = rowChecks.map(rc => (rc.c.name, rc.c match {
+      case NotNull(_, maxRate) => maxRate
+      case _ => 0.0
+    })) ++
+      check.constraints.collect { case c: UniqueKey => (c.name, 0.0) } ++
+      check.constraints.collect { case c: ReferentialIntegrity => (c.name, 0.0) }
+
+    val convRows = df.groupBy(key.cast("string").as("conv_id"))
+      .agg(count(lit(1)).as("rows"))
+    val cDf = perConvConstraints.toDF("constraint", "max_rate")
+    val vCounts = allViolations.groupBy(col("conv_id"), col("constraint"))
+      .agg(count(lit(1)).as("violations"))
+    val perConvVerdicts = convRows.crossJoin(broadcast(cDf))
+      .join(vCounts, Seq("conv_id", "constraint"), "left")
+      .na.fill(0L, Seq("violations"))
+      .withColumn("violation_rate", col("violations") / col("rows"))
+      .withColumn("pass", col("violation_rate") <= col("max_rate"))
+      .select(col("conv_id").as("partition_key"), col("constraint"),
+        col("pass"), col("rows"), col("violations"), col("violation_rate"))
+
+    // global verdicts for aggregate constraints, straight from the stats row
+    val globalVerdicts: Seq[(String, Boolean, Long, Long, Double)] =
+      check.constraints.collect {
+        case c @ MinRows(n) =>
+          (c.name, totalRows >= n, totalRows, if (totalRows >= n) 0L else 1L, 0.0)
+        case c @ MeanBetween(columnName, lo, hi) =>
+          val m = stat(s"__mean__$columnName")
+          (c.name, m >= lo && m <= hi, totalRows, if (m >= lo && m <= hi) 0L else 1L, 0.0)
+        case c @ StddevBetween(columnName, lo, hi) =>
+          val s0 = stat(s"__stds__$columnName")
+          (c.name, s0 >= lo && s0 <= hi, totalRows, if (s0 >= lo && s0 <= hi) 0L else 1L, 0.0)
+        case c @ QuantileBetween(columnName, q, lo, hi, _) =>
+          val v = stat(s"__q${q}__$columnName")
+          (c.name, v >= lo && v <= hi, totalRows, if (v >= lo && v <= hi) 0L else 1L, 0.0)
+        case c @ DistinctCountBetween(columnName, lo, hi) =>
+          val v = stat(s"__hll__$columnName").toLong
+          (c.name, v >= lo && v <= hi, totalRows, if (v >= lo && v <= hi) 0L else 1L, 0.0)
+        case c @ NotNull(columnName, maxRate) =>
+          val rate = stat(s"__nulls__$columnName") / math.max(1.0, totalRows.toDouble)
+          (s"${c.name}[global]", rate <= maxRate, totalRows,
+            stat(s"__nulls__$columnName").toLong, rate)
+      }
+    val globalVerdictDf = globalVerdicts
+      .toDF("constraint", "pass", "rows", "violations", "violation_rate")
+      .withColumn("partition_key", lit("(global)"))
+      .select("partition_key", "constraint", "pass", "rows", "violations",
+        "violation_rate")
+
+    val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
+      driftResults.map(_._2)).reduce(_ unionByName _)
+
+    Result(allViolations, allVerdicts)
+  }
+
+  /** Turn-rate drift: bucket per (conv, window(ts)) → decompose → residual
+    * anomalies + per-conversation PSI/KS between first and second half.
+    */
+  private def turnRateDrift(df: DataFrame, check: Check, c: TurnRateDrift)
+      : (DataFrame, DataFrame) = {
+    val key = check.keyCol
+    val series = df
+      .groupBy(col(key), window(col(check.tsCol), c.bucket).as("w"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col(key), col("w.start").as("bucket_ts"), col("n_turns"))
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy(col(key)).orderBy(col("bucket_ts"))) - 1))
+
+    val decomposed = c.method match {
+      case "stl" =>
+        SeriesKernels.stl(series.withColumn("n_turns", col("n_turns").cast("double")),
+          key, "idx", "n_turns", c.period, c.seasonal)
+      case "classical" =>
+        Decomposition.additive(series.withColumn("n_turns", col("n_turns").cast("double")),
+          "n_turns", c.period, Seq(key), Seq("idx"))
+      case other => throw new IllegalArgumentException(s"unknown method $other")
+    }
+
+    val anomalies = Decomposition.residualAnomalies(
+      decomposed, Seq(key), c.residMethod, c.residThreshold)
+    val violations = anomalies.select(
+      lit(c.name).as("constraint"),
+      col(key).cast("string").as("conv_id"),
+      col("idx").cast("int").as("turn_idx"),
+      lit("n_turns").as("column"),
+      col("resid").cast("string").as("observed"),
+      lit(s"${c.residMethod}@${c.residThreshold}").as("bound"),
+      lit(c.severity).as("severity"))
+
+    // PSI/KS: first vs second half of each conversation's buckets
+    val wKey = Window.partitionBy(col(key))
+    val sided = series
+      .withColumn("__max_idx", max(col("idx")).over(wKey))
+      .withColumn("side", when(col("idx") * 2 <= col("__max_idx"), "baseline")
+        .otherwise("current"))
+    val psiDf = Drift.psi(sided, "n_turns", "side", Seq(key))
+    val ksDf = Drift.ks(sided, "n_turns", "side", Seq(key))
+    val residCounts = anomalies.groupBy(col(key))
+      .agg(count(lit(1)).as("resid_anomalies"))
+    val bucketCounts = series.groupBy(col(key)).agg(count(lit(1)).as("rows"))
+
+    val verdicts = bucketCounts
+      .join(psiDf, Seq(key), "left")
+      .join(ksDf, Seq(key), "left")
+      .join(residCounts, Seq(key), "left")
+      .na.fill(0L, Seq("resid_anomalies"))
+      .withColumn("pass",
+        col("resid_anomalies") === 0 &&
+          coalesce(col("psi") <= c.psiThreshold, lit(true)) &&
+          coalesce(col("ks") <= c.ksThreshold, lit(true)))
+      .select(col(key).cast("string").as("partition_key"),
+        lit(c.name).as("constraint"), col("pass"), col("rows"),
+        col("resid_anomalies").as("violations"),
+        (col("resid_anomalies") / col("rows")).as("violation_rate"))
+
+    (violations, verdicts)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.dsl
+
+/** Declarative constraint DSL — the engine analog of the reference's
+  * `table_info` registry + per-method detector configuration
+  * (src/hive_data_loader.py:180-225, src/main_analysis.py:546-547).
+  * Constraints compile to Catalyst Column expressions in
+  * [[graft.compile.Validator]]; the families below cover the north star:
+  * column stats, uniqueness, referential integrity, and distribution-drift.
+  */
+sealed trait Constraint {
+  def name: String
+  def severity: String = "medium"
+}
+
+// ---- row-level (violation rows per failing turn) --------------------------
+
+/** Completeness: column must be non-null; maxNullRate > 0 turns the verdict
+  * into a rate bound while still emitting per-row violations. (P6)
+  */
+final case class NotNull(column: String, maxNullRate: Double = 0.0)
+  extends Constraint { val name = s"not_null($column)" }
+
+/** Domain membership against a small literal set (row-level referential
+  * check when the dimension is a constant list).
+  */
+final case class InSet(column: String, allowed: Seq[String])
+  extends Constraint { val name = s"in_set($column)" }
+
+/** Regex shape check. */
+final case class MatchesRegex(column: String, regex: String)
+  extends Constraint { val name = s"matches($column)" }
+
+/** Static numeric bounds. (P10-adjacent) */
+final case class ValueBounds(column: String, lo: Option[Double], hi: Option[Double])
+  extends Constraint { val name = s"bounds($column)" }
+
+/** Per-turn text equality against a closed-form expression of
+  * (conv_id, turn_idx) — the input_hint invariant: "per-turn text equality
+  * under stable turn ordering". `expected` is a Column over the fact's own
+  * columns (e.g. the generator's textExpr closed form).
+  */
+final case class TextEquals(column: String,
+    expected: org.apache.spark.sql.Column)
+  extends Constraint { val name = s"text_equals($column)" }
+
+// ---- key-level -------------------------------------------------------------
+
+/** Uniqueness of a key tuple; violations are the extra copies. */
+final case class UniqueKey(columns: Seq[String])
+  extends Constraint { val name = s"unique(${columns.mkString(",")})" }
+
+// ---- dimension-level -------------------------------------------------------
+
+/** Referential integrity against a registered dimension table (broadcast
+  * left-anti join; J2). `dim` is a key into ValidationContext.dims.
+  */
+final case class ReferentialIntegrity(column: String, dim: String,
+    dimColumn: String, nullOk: Boolean = true)
+  extends Constraint { val name = s"ref($column->$dim)" }
+
+// ---- aggregate-level (suite verdict, no row violations) --------------------
+
+final case class MinRows(n: Long)
+  extends Constraint { val name = s"min_rows($n)"; val column = "" }
+
+final case class MeanBetween(column: String, lo: Double, hi: Double)
+  extends Constraint { val name = s"mean($column)" }
+
+final case class StddevBetween(column: String, lo: Double, hi: Double)
+  extends Constraint { val name = s"stddev($column)" }
+
+/** Quantile bound; `approx=true` rides the mergeable t-digest (the 100 TB
+  * path), false uses exact percentile (test-scale parity).
+  */
+final case class QuantileBetween(column: String, q: Double, lo: Double,
+    hi: Double, approx: Boolean = true)
+  extends Constraint { val name = s"quantile($column,$q)" }
+
+/** Cardinality bound via HLL++ (approx_count_distinct). (A1/A8 at scale) */
+final case class DistinctCountBetween(column: String, lo: Long, hi: Long)
+  extends Constraint { val name = s"distinct($column)" }
+
+// ---- statistical outlier families (global stats → row flags) ---------------
+
+/** Modified z-score (MAD-based) outliers (A6). */
+final case class RobustZ(column: String, threshold: Double = 3.5,
+    approx: Boolean = false)
+  extends Constraint { val name = s"robust_z($column)" }
+
+/** IQR fence outliers (T5 semantics, global). */
+final case class IqrOutliers(column: String, k: Double = 2.0,
+    approx: Boolean = false)
+  extends Constraint { val name = s"iqr($column)" }
+
+/** Plain global z-score outliers (reference statistical detector,
+  * src/anomaly_detection.py:219-263 — population std!).
+  */
+final case class GlobalZ(column: String, threshold: Double = 3.0)
+  extends Constraint { val name = s"global_z($column)" }
+
+// ---- series-level (per-conversation temporal drift) -------------------------
+
+/** W1/W2 rolling z-score over a per-turn measure within each conversation. */
+final case class RollingZDrift(column: String, window: Int = 24,
+    threshold: Double = 3.0)
+  extends Constraint { val name = s"rolling_z($column)" }
+
+/** The north-star drift constraint: per-conversation ts-bucketed turn-rate
+  * series, STL-style (or classical) decomposition, residual outliers (IQR
+  * k), plus PSI and exact-KS between the first and second half of each
+  * conversation's buckets. A conversation fails if residual anomalies
+  * exist or psi/ks exceed their thresholds.
+  */
+final case class TurnRateDrift(
+    bucket: String = "1 hour",
+    period: Int = 24,
+    method: String = "stl", // or "classical"
+    seasonal: Int = 7,
+    residMethod: String = "iqr",
+    residThreshold: Double = 2.0,
+    psiThreshold: Double = 0.25,
+    ksThreshold: Double = 0.5)
+  extends Constraint { val name = "turn_rate_drift"; val column = "n_turns" }
+
+/** A validation suite. */
+final case class Check(
+    name: String,
+    constraints: Seq[Constraint],
+    keyCol: String = "conv_id",
+    orderCol: String = "turn_idx",
+    tsCol: String = "ts")

@@ -1,0 +1,127 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Sketches
+
+/** Distribution-drift scoring (SURVEY.md §2.9 T10): PSI and two-sample KS
+  * between a baseline and a current slice, per series key or global.
+  *
+  * The reference scores drift per-point with rolling z / residual outliers;
+  * the north star adds PSI/KS thresholds over the same bucketed series.
+  * Exact variants below are pure DataFrame ops (windows/group-bys keyed on
+  * the series key — co-partitioned, no extra shuffles); the sketch variant
+  * rides the mergeable t-digests so a 100 TB baseline never gets rescanned.
+  */
+object Drift {
+
+  /** PSI = Σ (p_i - q_i) · ln(p_i / q_i) over equal-frequency bins derived
+    * from the baseline side. Input: one DataFrame with `sideCol` ∈
+    * {'baseline','current'}; output: one row per key with psi.
+    *
+    * Bin edges are the baseline's exact per-key quantiles (interior edges
+    * of `bins` equal-frequency buckets); binning is a lambda over the tiny
+    * edges array (codegen'd, no UDF). Distributions are epsilon-clamped
+    * (1e-4) like standard PSI practice so empty bins don't blow up.
+    */
+  def psi(df: DataFrame, valueCol: String, sideCol: String,
+      keyCols: Seq[String], bins: Int = 10, eps: Double = 1e-4): DataFrame = {
+    val key = keyCols.map(col)
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val edges = df.where(col(sideCol) === "baseline").groupBy(key: _*).agg(
+      expr(s"percentile($valueCol, array(${qs.mkString(",")}))").as("edges"))
+    val binned = df.join(edges, keyCols)
+      .withColumn("bin", expr(s"size(filter(edges, e -> $valueCol > e))"))
+    val counts = binned.groupBy((key :+ col("bin")): _*).agg(
+      sum(when(col(sideCol) === "baseline", 1).otherwise(0)).as("n_base"),
+      sum(when(col(sideCol) === "current", 1).otherwise(0)).as("n_cur"))
+    val wKey = Window.partitionBy(key: _*)
+    counts
+      .withColumn("p", greatest(col("n_base") / sum("n_base").over(wKey), lit(eps)))
+      .withColumn("q", greatest(col("n_cur") / sum("n_cur").over(wKey), lit(eps)))
+      .groupBy(key: _*)
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per key:
+    * D = max_x |F_baseline(x) - F_current(x)|, computed with one window
+    * pass over values sorted within each key (running counts of each side).
+    */
+  def ks(df: DataFrame, valueCol: String, sideCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val wKey = Window.partitionBy(key: _*)
+    val wOrd = Window.partitionBy(key: _*)
+      .orderBy(col(valueCol), col(sideCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isBase = (col(sideCol) === "baseline").cast("long")
+    val isCur = (col(sideCol) === "current").cast("long")
+    df.select((key :+ col(valueCol) :+ col(sideCol)): _*)
+      .withColumn("cdf_base", sum(isBase).over(wOrd) / sum(isBase).over(wKey))
+      .withColumn("cdf_cur", sum(isCur).over(wOrd) / sum(isCur).over(wKey))
+      .withColumn("d", abs(col("cdf_base") - col("cdf_cur")))
+      .groupBy(key: _*)
+      .agg(max(col("d")).as("ks"))
+  }
+
+  /** Sketch-based KS for the 100 TB path: one t-digest per side (mergeable,
+    * checkpointable), D approximated as max |rank_base(x) - rank_cur(x)|
+    * over a grid of `gridPoints` quantiles of the pooled sketch. Single
+    * aggregation pass over the data; the grid evaluation is driver-trivial.
+    */
+  def ksSketch(df: DataFrame, valueCol: String, sideCol: String,
+      keyCols: Seq[String], gridPoints: Int = 101): DataFrame = {
+    val key = keyCols.map(col)
+    val v = col(valueCol)
+    val sketches = df.groupBy(key: _*).agg(
+      Sketches.tdigestAgg(when(col(sideCol) === "baseline", v)).as("td_base"),
+      Sketches.tdigestAgg(when(col(sideCol) === "current", v)).as("td_cur"))
+    val ds = (0 until gridPoints).map { i =>
+      val q = i.toDouble / (gridPoints - 1)
+      val x = Sketches.tdigestQuantile(col("td_base"), q)
+      abs(Sketches.tdigestRank(col("td_base"), x) -
+        Sketches.tdigestRank(col("td_cur"), x))
+    }
+    sketches.withColumn("ks", greatest(ds: _*)).drop("td_base", "td_cur")
+  }
+
+  /** A12: ensemble majority vote across constraint flag columns —
+    * k-of-n vote (reference >= 2 of 3,
+    * src/geological_anomaly_detector.py:211-213; strict majority at
+    * src/anomaly_detection.py:313-325).
+    */
+  def ensembleVote(df: DataFrame, flagCols: Seq[String], k: Int,
+      outCol: String = "ensemble_anomaly"): DataFrame = {
+    val votes = flagCols.map(c => coalesce(col(c), lit(false)).cast("int"))
+      .reduce(_ + _)
+    df.withColumn(outCol, votes >= k)
+  }
+
+  /** A13: min-max normalized anomaly score from raw score columns, then
+    * row-mean and level bucketing (reference
+    * src/geological_anomaly_detector.py:301-338): level thresholds
+    * 0.3/0.6/0.8 → normal/low/medium/high.
+    */
+  def anomalyScore(df: DataFrame, scoreCols: Seq[String]): DataFrame = {
+    val mins = scoreCols.map(c => min(col(c)).as(s"${c}_mn"))
+    val maxs = scoreCols.map(c => max(col(c)).as(s"${c}_mx"))
+    val stats = df.agg((mins ++ maxs).head, (mins ++ maxs).tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val normed = scoreCols.map { c =>
+      val rng = col(s"${c}_mx") - col(s"${c}_mn")
+      when(rng > 0, (col(c) - col(s"${c}_mn")) / rng).otherwise(lit(0.0))
+    }
+    val meanScore = normed.map(n => coalesce(n, lit(0.0))).reduce(_ + _) /
+      lit(scoreCols.size)
+    joined
+      .withColumn("anomaly_score", meanScore)
+      .withColumn("anomaly_level",
+        when(col("anomaly_score") > 0.8, "high")
+          .when(col("anomaly_score") > 0.6, "medium")
+          .when(col("anomaly_score") > 0.3, "low")
+          .otherwise("normal"))
+      .drop(scoreCols.flatMap(c => Seq(s"${c}_mn", s"${c}_mx")): _*)
+  }
+}

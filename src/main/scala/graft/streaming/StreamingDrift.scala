@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming mode for the T1 turn-rate series (SURVEY.md §2.11:
+  * the reference is batch-only; this is the noted streaming seam, kept
+  * deliberately thin). The batch drift kernels consume the sink of this
+  * stage; stateful constraint evaluation stays batch-side where the
+  * checkpoint story lives.
+  */
+object StreamingDrift {
+
+  /** Watermarked per-conversation turn-rate aggregation over a streaming
+    * transcripts source. Append-mode compatible (watermark closes windows).
+    */
+  def turnRateStream(stream: DataFrame, bucket: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      // watermarks need TIMESTAMP (ltz); parquet sources often carry NTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), window(col("ts"), bucket).as("w"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("w.start").as("bucket_ts"), col("n_turns"))
+
+  /** Streaming rolling z on completed buckets is the batch kernel applied
+    * to the sink table — documented contract (SURVEY §2.11): T1 streams,
+    * stats/decomposition run on the materialized series.
+    */
+}

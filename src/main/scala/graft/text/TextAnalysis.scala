@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting. All pure
+  * Column expressions (whole-stage codegen'd, no UDFs) so they fuse into
+  * the scan projection — at 100 TB these run at parquet-read speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: words split further at ~4 chars per piece,
+    * digits and punctuation one piece each (a cheap, deterministic stand-in
+    * for a real tokenizer's piece count).
+    */
+  def bpeishCount(text: Column): Column = {
+    val words = tokens(text)
+    val alnumPieces = aggregate(words, lit(0),
+      (acc, w) => acc + ceil(length(regexp_replace(w, "[^\\p{L}]", "")) / lit(4.0)).cast("int"))
+    val digitCount = length(regexp_replace(text, "[^0-9]", ""))
+    val punctCount = length(regexp_replace(text, "[\\p{L}0-9\\s]", ""))
+    alnumPieces + digitCount + punctCount
+  }
+
+  /** Language marker stopwords (tiny high-frequency sets). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"))
+
+  private def markerHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(stopwords(lang): _*)))
+
+  /** N-gram-heuristic language ID: argmax of marker-token hits, 'und'
+    * (undetermined) when nothing matches. Ties break in fixed language
+    * order (en, de, es, fr — deterministic).
+    */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr")
+    val hits = langs.map(l => l -> markerHits(text, l))
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h > 0 && h === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality features: lengths, punctuation/digit/stopword ratios, mean
+    * word length — the standard cheap pre-filters for web corpora.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTok = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        when(nTok > 0, (length(regexp_replace(t, "\\s", "")).cast("double")) / nTok))
+      .withColumn("punct_ratio",
+        when(nChars > 0,
+          length(regexp_replace(t, "[\\p{L}0-9\\s]", "")).cast("double") / nChars)
+          .otherwise(0.0))
+      .withColumn("digit_ratio",
+        when(nChars > 0,
+          length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars)
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(nTok > 0, markerHits(t, "en").cast("double") / nTok).otherwise(0.0))
+  }
+
+  /** Scalar quality score in [0,1]: rewards mid-length docs with natural
+    * word lengths, some stopwords, low punctuation/digit noise.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val lenScore = least(col("n_tokens").cast("double") / 64.0, lit(1.0))
+    val wordScore = lit(1.0) -
+      least(abs(col("mean_token_len") - 5.0) / 5.0, lit(1.0))
+    val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
+    val noise = least(col("punct_ratio") * 3.0 + col("digit_ratio") * 2.0, lit(1.0))
+    f.withColumn("quality_score",
+      round(greatest(lit(0.0), least(lit(1.0),
+        lenScore * 0.3 + coalesce(wordScore, lit(0.0)) * 0.3 +
+          stopScore * 0.2 + (lit(1.0) - noise) * 0.2)), 6))
+  }
+
+  /** Normalization for fingerprinting: lowercase, strip punctuation,
+    * collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Document fingerprint: md5 of normalized text (cheap exact-after-
+    * normalization identity; cross-engine reproducible).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling (Karp–Rabin style) k-token shingle hashes: one 64-bit hash
+    * per consecutive k-token window of the normalized text. The input to
+    * minhash/jaccard dedup.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = split(normalized(text), " ")
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => xxhash64(concat_ws(" ",
+          slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Character n-gram hashes (for short/CJK-ish text where token shingles
+    * are too coarse).
+    */
+  def charNgramHashes(text: Column, n: Int): Column = {
+    val s = normalized(text)
+    val len = length(s)
+    when(len >= n,
+      transform(sequence(lit(1), len - n + 1),
+        i => xxhash64(s.substr(i, lit(n)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+}

@@ -10,9 +10,10 @@ class EntrySpec extends GraftSuite {
 
   test("every query has an oracle or is explicitly exempt") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // non-SQL-expressible ops may be exempt; keep the list explicit
-    val exempt = Set.empty[String]
-    assert((missing -- exempt).isEmpty, s"queries without oracle: $missing")
+    assert((missing -- SparkEntry.oracleExempt).isEmpty,
+      s"queries without oracle: ${missing -- SparkEntry.oracleExempt}")
+    // and nothing is both exempt and oracle-checked
+    assert((SparkEntry.oracleExempt & SparkEntry.oracleSql.keySet).isEmpty)
   }
 
   test("all queries run non-crashing on sf0.001 with stable schemas") {

@@ -1,0 +1,105 @@
+package graft.checkpoint
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+import graft.compile.{StatsState, Validator}
+import graft.dsl._
+import graft.sources.{Tables, TranscriptGen}
+
+class CheckpointSpec extends GraftSuite {
+  import spark.implicits._
+
+  lazy val transcripts = TranscriptGen.generate(spark, nConvs = 60,
+    baseTurns = 30).cache()
+  lazy val ctx = Validator.Context(Map("role_dim" -> Tables.roleDim(spark)))
+  lazy val check = Check("cp", Seq(
+    UniqueKey(Seq("conv_id", "turn_idx")),
+    ReferentialIntegrity("role", "role_dim", "role"),
+    NotNull("text"),
+    MinRows(100),
+    DistinctCountBetween("conv_id", 50, 70),
+    QuantileBetween("turn_idx", 0.5, 0.0, 10000.0)))
+
+  test("kill-after-k restart merges to single-run results") {
+    val dir = Files.createTempDirectory("graft_cp").toString
+    val r1 = new ResumableValidation(spark, dir, partitions = 4)
+    // first attempt dies after 2 partitions
+    assert(r1.run(transcripts, check, ctx, maxPartitionsThisRun = 2).isEmpty)
+    assert((0 until 4).count(r1.isDone) == 2)
+    // restart: fresh instance, same checkpoint dir — finishes the rest
+    val r2 = new ResumableValidation(spark, dir, partitions = 4)
+    val Some((violations, verdicts, metrics)) = r2.run(transcripts, check, ctx)
+    assert(metrics.size == 4 && metrics.map(_.rows).sum == transcripts.count())
+
+    // equals a single-shot run of the conversation-scoped constraints
+    val single = Validator.validate(transcripts, check.copy(constraints =
+      check.constraints.filter {
+        case _: UniqueKey | _: ReferentialIntegrity | _: NotNull => true
+        case _ => false
+      }), ctx)
+    val a = violations.orderBy("constraint", "conv_id", "turn_idx", "observed")
+      .collect().toSeq
+    val b = single.violations.orderBy("constraint", "conv_id", "turn_idx", "observed")
+      .collect().toSeq
+    assert(a == b, s"violations differ: ${a.size} vs ${b.size}")
+
+    // aggregate verdicts from merged sketch state match full-data evaluation
+    val aggV = verdicts.where(col("partition_key") === "(global)")
+      .select("constraint", "pass").as[(String, Boolean)].collect().toMap
+    assert(aggV("min_rows(100)") && aggV("distinct(conv_id)") &&
+      aggV("quantile(turn_idx,0.5)"))
+  }
+
+  test("rerun on a completed checkpoint is a no-op (idempotent resume)") {
+    val dir = Files.createTempDirectory("graft_cp2").toString
+    val r = new ResumableValidation(spark, dir, partitions = 3)
+    val first = r.run(transcripts, check, ctx)
+    assert(first.nonEmpty)
+    val again = r.run(transcripts, check, ctx)
+    assert(again.nonEmpty)
+    assert(first.get._1.count() == again.get._1.count())
+  }
+
+  test("snapshot pinning: files added after pin are invisible on read") {
+    val dir = Files.createTempDirectory("graft_snap").toString
+    transcripts.limit(100).write.parquet(s"$dir/data")
+    val manifest = s"$dir/manifest.json"
+    val pinned = SnapshotTable.pin(spark, s"$dir/data", manifest)
+    assert(pinned.nonEmpty)
+    val before = SnapshotTable.read(spark, manifest).count()
+    // late-arriving file
+    transcripts.limit(50).coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val afterDir = spark.read.parquet(s"$dir/data").count()
+    val afterPin = SnapshotTable.read(spark, manifest).count()
+    assert(afterDir == before + 50)
+    assert(afterPin == before, "pinned read must not see late files")
+  }
+
+  test("stats state merge is partition-order independent") {
+    val s1 = StatsState.compute(transcripts.where(
+      pmod(xxhash64(col("conv_id")), lit(2)) === 0), check)
+    val s2 = StatsState.compute(transcripts.where(
+      pmod(xxhash64(col("conv_id")), lit(2)) === 1), check)
+    val m12 = StatsState.merge(s1.unionByName(s2))
+    val m21 = StatsState.merge(s2.unionByName(s1))
+    val v12 = StatsState.aggVerdicts(m12, check).orderBy("constraint").collect().toSeq
+    val v21 = StatsState.aggVerdicts(m21, check).orderBy("constraint").collect().toSeq
+    // verdicts and exact accumulators identical; sketch-derived observables
+    // (quantile) agree within t-digest accuracy (union is commutative as a
+    // sketch, not bitwise)
+    v12.zip(v21).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getBoolean(1) == b.getBoolean(1)
+        && a.getLong(2) == b.getLong(2))
+      val (oa, ob) = (a.getDouble(3), b.getDouble(3))
+      assert(math.abs(oa - ob) <= 0.02 * math.max(1.0, math.abs(ob)),
+        s"${a.getString(0)}: $oa vs $ob")
+    }
+    val full = StatsState.aggVerdicts(
+      StatsState.merge(StatsState.compute(transcripts, check)), check)
+      .orderBy("constraint").collect().toSeq
+    assert(v12.map(r => (r.getString(0), r.getBoolean(1))) ==
+      full.map(r => (r.getString(0), r.getBoolean(1))))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.compile
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+import graft.dsl._
+import graft.sources.{Tables, TranscriptGen}
+
+class ValidatorSpec extends GraftSuite {
+  import spark.implicits._
+
+  lazy val transcripts = TranscriptGen.generate(spark, nConvs = 120,
+    baseTurns = 48).cache()
+  lazy val dims = Validator.Context(Map(
+    "role_dim" -> Tables.roleDim(spark),
+    "tool_dim" -> Tables.toolDim(spark)))
+
+  lazy val textCol = TranscriptGen.textExpr(col("conv_id"), col("turn_idx"))
+
+  lazy val suite = Check("transcripts", Seq(
+    NotNull("conv_id"),
+    NotNull("text"),
+    UniqueKey(Seq("conv_id", "turn_idx")),
+    ReferentialIntegrity("role", "role_dim", "role"),
+    ReferentialIntegrity("tool", "tool_dim", "tool"),
+    TextEquals("text", textCol),
+    MinRows(1000),
+    DistinctCountBetween("conv_id", 100, 150),
+    MatchesRegex("conv_id", "^conv_[0-9]{8}$"),
+    ValueBounds("turn_idx", Some(0), None),
+    TurnRateDrift(bucket = "10 minutes", period = 6, method = "stl",
+      seasonal = 7, residThreshold = 3.0)
+  ))
+
+  lazy val result = {
+    val r = Validator.validate(transcripts, suite, dims)
+    Validator.Result(r.violations.cache(), r.verdicts.cache())
+  }
+
+  test("uniqueness: finds exactly the injected duplicate keys") {
+    val expected = transcripts.groupBy("conv_id", "turn_idx").count()
+      .where(col("count") > 1).count()
+    val got = result.violations
+      .where(col("constraint").startsWith("unique(")).count()
+    assert(expected > 0, "fixture should inject duplicates")
+    assert(got == expected)
+  }
+
+  test("referential integrity: finds exactly the injected invalid roles/tools") {
+    val expRoles = transcripts.where(col("role") === "invalid_role").count()
+    val gotRoles = result.violations
+      .where(col("constraint") === "ref(role->role_dim)").count()
+    assert(expRoles > 0 && gotRoles == expRoles)
+    val expTools = transcripts
+      .where(col("tool").isNotNull && col("tool") === "tool_xx").count()
+    val gotTools = result.violations
+      .where(col("constraint") === "ref(tool->tool_dim)").count()
+    assert(expTools > 0 && gotTools == expTools)
+  }
+
+  test("per-turn text equality holds for the generator's closed form") {
+    val v = result.violations.where(col("constraint").startsWith("text_equals"))
+    assert(v.isEmpty)
+  }
+
+  test("text equality catches a corrupted turn") {
+    val corrupted = transcripts.withColumn("text",
+      when(col("conv_id") === "conv_00000003" && col("turn_idx") === 5,
+        lit("tampered")).otherwise(col("text")))
+    val r = Validator.validate(corrupted,
+      Check("t", Seq(TextEquals("text", textCol))), dims)
+    val rows = r.violations.collect()
+    assert(rows.length >= 1)
+    assert(rows.forall(x => x.getAs[String]("conv_id") == "conv_00000003" &&
+      x.getAs[Int]("turn_idx") == 5))
+  }
+
+  test("global aggregate verdicts pass on sane bounds") {
+    val g = result.verdicts.where(col("partition_key") === "(global)")
+      .select("constraint", "pass").as[(String, Boolean)].collect().toMap
+    assert(g("min_rows(1000)"))
+    assert(g("distinct(conv_id)"))
+  }
+
+  test("per-conversation verdicts: convs without violations pass, with fail") {
+    val v = result.verdicts
+      .where(col("constraint") === "ref(role->role_dim)" &&
+        col("partition_key") =!= "(global)")
+    val convsWithBad = transcripts.where(col("role") === "invalid_role")
+      .select("conv_id").distinct().as[String].collect().toSet
+    val failed = v.where(!col("pass")).select("partition_key").as[String]
+      .collect().toSet
+    assert(failed == convsWithBad)
+    // every conversation got a verdict row
+    assert(v.count() == transcripts.select("conv_id").distinct().count())
+  }
+
+  test("turn-rate drift flags burst conversations") {
+    val verdicts = result.verdicts.where(col("constraint") === "turn_rate_drift")
+    val failed = verdicts.where(!col("pass")).select("partition_key")
+      .as[String].collect().toSet
+    // burst convs: uhash(conv,19) % 20 == 0 per generator; expect some flagged
+    assert(failed.nonEmpty, "burst conversations should fail drift")
+    assert(verdicts.where(col("pass")).count() > 0, "sane convs should pass")
+  }
+
+  test("violations carry usable diagnostics") {
+    val r = result.violations.where(col("constraint") === "ref(role->role_dim)")
+      .select("observed", "bound").distinct().collect()
+    assert(r.nonEmpty && r.forall(_.getString(0) == "invalid_role"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  // 1,2 exact dups; 3 near-dup of 1 (one word changed); 4 unrelated
+  val base = "the quick brown fox jumps over the lazy dog again and again ok"
+  lazy val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (4L, "completely different content about spark shuffles and parquet files here"),
+    (5L, "The quick brown fox, jumps over the lazy dog again and again ok!"))
+    .toDF("doc_id", "text").cache()
+
+  test("exact duplicates by digest") {
+    val d = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(d.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("normalized duplicates catch case/punctuation variants") {
+    val d = Dedup.exactDuplicates(docs, "doc_id", "text", normalize = true)
+      .select("kept_id", "dup_id").as[(Long, Long)].collect().toSet
+    assert(d == Set((1L, 2L), (1L, 5L)))
+  }
+
+  test("minhash signatures: near-dups agree on most positions") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+    assert(sig.count() == 5)
+    val cand = Dedup.minhashLshCandidates(sig, "doc_id", bands = 16,
+      estJaccardMin = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)) && cand.contains((1L, 3L)))
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash est_jaccard tracks exact jaccard") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val est = Dedup.minhashLshCandidates(sig, "doc_id", bands = 16,
+      estJaccardMin = 0.0)
+      .where(col("a_id") === 1 && col("b_id") === 3)
+      .select("est_jaccard").as[Double].collect()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .where(col("a_id") === 1 && col("b_id") === 3)
+      .select("jaccard").as[Double].collect()
+    assert(est.nonEmpty && exact.nonEmpty)
+    assert(math.abs(est(0) - exact(0)) < 0.25, s"est=${est(0)} exact=${exact(0)}")
+  }
+
+  test("simhash near-dups: small hamming for near-dups, pairs found") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").cache()
+    val m = sims.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L)) // identical text → identical simhash
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <
+      java.lang.Long.bitCount(m(1L) ^ m(4L)))
+    val pairs = Dedup.simhashNearDups(sims, "doc_id", maxHamming = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact ngram jaccard matches hand computation") {
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter=2, union=4 → 0.5
+    val j = Dedup.ngramJaccardPairs(two, "doc_id", "text", shingleK = 3,
+      threshold = 0.0).select("jaccard").as[Double].collect()
+    assert(j.length == 1 && math.abs(j(0) - 0.5) < 1e-12)
+  }
+
+  test("scales: dedup families run on the documents testdata") {
+    val d = spark.read.parquet(s"$sfTiny/documents.parquet")
+    assert(Dedup.exactDuplicates(d, "doc_id", "text").count() >= 0)
+    val sig = Dedup.minhashSignatures(d, "doc_id", "text")
+    assert(sig.count() == d.count())
+    assert(Dedup.simhash(d, "doc_id", "text").count() == d.count())
+  }
+}
