@@ -42,7 +42,10 @@ object Bench {
     DistinctCountBetween("conv_id", 1, Long.MaxValue),
     QuantileBetween("turn_idx", 0.5, 0.0, 1e9),
     RollingZDrift("turn_gap_s", window = 24, threshold = 3.0),
-    TurnRateDrift(bucket = "1 hour", period = 24, method = "stl",
+    // 2-minute buckets: a ~40-turn/60s-cadence conversation spans ~20
+    // buckets, mega-threads hundreds — so the STL kernel genuinely runs
+    // (1-hour buckets would leave every series below the 2*period floor)
+    TurnRateDrift(bucket = "2 minutes", period = 6, method = "stl",
       seasonal = 7, residThreshold = 3.0)))
 
   /** One full suite pass; returns validated turns. */
@@ -92,22 +95,35 @@ object Bench {
     spark.stop()
 
     // ---- phase 3: suite throughput at the two parallelism levels ----------
-    val scaling = scalingPair.map { n =>
-      val s = newSession(n)
-      runSuite(s, dataPath) // warm-up pass (codegen/JIT)
-      val t0 = System.nanoTime()
-      val turns = runSuite(s, dataPath)
-      val wall = (System.nanoTime() - t0) / 1e9
-      s.stop()
-      n -> (turns / wall, wall)
+    // the sandbox host is shared (noisy neighbours): interleave the levels
+    // over `reps` rounds and take the MIN wall per level — min is robust to
+    // external load spikes, and interleaving cancels slow drift
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
+    var turnsRun = 0L
+    (1 to reps).foreach { _ =>
+      scalingPair.foreach { n =>
+        val s = newSession(n)
+        if (walls(n).isEmpty) runSuite(s, dataPath) // warm-up (codegen/JIT)
+        val t0 = System.nanoTime()
+        turnsRun = runSuite(s, dataPath)
+        walls += n -> ((System.nanoTime() - t0) / 1e9 :: walls(n))
+        s.stop()
+      }
     }
-    val (loN, (loThr, loWall)) = (scaling.head._1, scaling.head._2)
-    val (hiN, (hiThr, hiWall)) = (scaling.last._1, scaling.last._2)
+    val loN = scalingPair.head
+    val hiN = scalingPair.last
+    val loWall = walls(loN).min
+    val hiWall = walls(hiN).min
+    val loThr = turnsRun / loWall
+    val hiThr = turnsRun / hiWall
     val efficiency = (hiThr / loThr) / (hiN.toDouble / loN)
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"scaling_efficiency":$efficiency}""")
+    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
   }
 }

@@ -347,6 +347,15 @@ object SparkEntry {
         .select(col("event_id"), round(col("value_smooth"), 6).as("smooth"))
     }),
 
+    // T7: decomposition-based forecast — linear trend extrapolation from the
+    // last two trend points + seasonal pattern cycling
+    // (reference src/decomposition.py:313-362)
+    "q27_forecast" -> ((s, dir) => {
+      graft.series.SeriesKernels.forecast(decomposedHourly(s, dir), "k", "idx",
+        period = 24, periods = 24)
+        .select(col("step"), round(col("forecast"), 6).as("forecast"))
+    }),
+
     // ---- training-data pipeline: documents/embeddings ----------------------
 
     // Dedup (exact): duplicate pairs by content digest
@@ -428,10 +437,12 @@ object SparkEntry {
         k = 5, planes = 8, tables = 4)
     }),
 
-    // MinHash + LSH candidate generation (hash-based; rows-only oracle)
+    // MinHash + LSH candidate generation (hash-based; rows-only oracle).
+    // 3-token shingles: near-unique per doc, so banding yields few
+    // candidates (k=1 would collide every doc through the small vocab).
     "q40_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id",
-        "text", shingleK = 1, numHashes = 64)
+        "text", shingleK = 3, numHashes = 64)
       Dedup.minhashLshCandidates(sigs, "doc_id", bands = 16, estJaccardMin = 0.4)
     }),
 
@@ -732,6 +743,19 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+
+    "q27_forecast" ->
+      s"""WITH $decompSql,
+         |tl AS (SELECT trend, row_number() OVER (ORDER BY idx DESC) AS rn
+         |  FROM dc WHERE trend IS NOT NULL),
+         |tslope AS (SELECT max(CASE WHEN rn = 1 THEN trend END) AS t1,
+         |  max(CASE WHEN rn = 2 THEN trend END) AS t2 FROM tl WHERE rn <= 2),
+         |seas AS (SELECT seasonal, row_number() OVER (ORDER BY idx DESC) AS rn
+         |  FROM dc WHERE seasonal IS NOT NULL),
+         |steps AS (SELECT CAST(unnest(range(1, 25)) AS INT) AS step)
+         |SELECT step, round(t1 + (t1 - t2) * step + s.seasonal, 6) AS forecast
+         |FROM steps, tslope
+         |JOIN seas s ON s.rn = 24 - ((step - 1) % 24)""".stripMargin,
 
     "q30_dedup_exact" ->
       """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),

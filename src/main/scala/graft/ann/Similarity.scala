@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays. */
+  /** Dot product of two double arrays (composable HOF form). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null when either side has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; null when either side has zero norm. Uses the
+    * single-pass codegen'd [[CosineSimilarity]] expression (the zip_with/
+    * aggregate chain is interpreted per element — 3 passes with boxing).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Composable-functions variant (kept as the no-custom-expression
+    * fallback and as the differential oracle for the custom expression).
+    */
+  def cosineComposable(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val d = dot(ad, bd) / (norm(ad) * norm(bd))

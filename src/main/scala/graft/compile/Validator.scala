@@ -62,10 +62,13 @@ object Validator {
     val nullCols = check.constraints.collect { case c: NotNull => c.column }.distinct
     val distinctCols = check.constraints.collect {
       case c: DistinctCountBetween => c.column }.distinct
-    val quantileNeeds: Seq[(String, Double)] = (check.constraints.collect {
-      case c: QuantileBetween => Seq(c.column -> c.q)
-      case c: RobustZ => Seq(c.column -> 0.5)
-      case c: IqrOutliers => Seq(c.column -> 0.25, c.column -> 0.75)
+    // (column, q, approx): approx rides percentile_approx (one-pass QTree
+    // sketch, the 10^12-row path); exact percentile only where a test-scale
+    // parity contract requires it
+    val quantileNeeds: Seq[(String, Double, Boolean)] = (check.constraints.collect {
+      case c: QuantileBetween => Seq((c.column, c.q, c.approx))
+      case c: RobustZ => Seq((c.column, 0.5, c.approx))
+      case c: IqrOutliers => Seq((c.column, 0.25, c.approx), (c.column, 0.75, c.approx))
     }).flatten.distinct
 
     val aggExprs: Seq[Column] =
@@ -76,8 +79,10 @@ object Validator {
         stddev_samp(col(c)).as(s"__stds__$c"),
         stddev_pop(col(c)).as(s"__stdp__$c")) } ++
       distinctCols.map(c => approx_count_distinct(col(c)).as(s"__hll__$c")) ++
-      quantileNeeds.map { case (c, q) =>
-        expr(s"percentile($c, $q)").as(s"__q${q}__$c") }
+      quantileNeeds.map { case (c, q, approx) =>
+        val fn = if (approx) s"percentile_approx($c, $q, 10000)"
+          else s"percentile($c, $q)"
+        expr(fn).as(s"__q${q}__$c") }
 
     val statsRow: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
     def stat(name: String): Double = statsRow.getAs[Any](name) match {
@@ -89,14 +94,17 @@ object Validator {
     val totalRows = statsRow.getAs[Long]("__rows")
 
     // ---- pass 1b: MAD for RobustZ ----------------------------------------
-    val madCols = check.constraints.collect { case c: RobustZ => c.column }.distinct
+    val madCols = check.constraints.collect { case c: RobustZ => (c.column, c.approx) }
+      .distinct
     val mads: Map[String, Double] = if (madCols.nonEmpty) {
-      val exprs = madCols.map { c =>
+      val exprs = madCols.map { case (c, approx) =>
         val med = stat(s"__q0.5__$c")
-        expr(s"percentile(abs($c - $med), 0.5)").as(s"__mad__$c")
+        val fn = if (approx) s"percentile_approx(abs($c - $med), 0.5, 10000)"
+          else s"percentile(abs($c - $med), 0.5)"
+        expr(fn).as(s"__mad__$c")
       }
       val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-      madCols.map(c => c -> r.getAs[Double](s"__mad__$c")).toMap
+      madCols.map { case (c, _) => c -> r.getAs[Double](s"__mad__$c") }.toMap
     } else Map.empty
 
     // ---- pass 2: row-level flags → violation rows -------------------------
@@ -207,8 +215,12 @@ object Validator {
       case c: TurnRateDrift => turnRateDrift(df, check, c)
     }
 
+    // Violations feed BOTH the violation sink and the per-conversation
+    // verdict counts — persist so the (typically small) violation set is
+    // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ uniqueViolations ++ refViolations ++
       driftResults.map(_._1)).reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- verdicts -----------------------------------------------------------
     import spark.implicits._
@@ -272,12 +284,16 @@ object Validator {
   private def turnRateDrift(df: DataFrame, check: Check, c: TurnRateDrift)
       : (DataFrame, DataFrame) = {
     val key = check.keyCol
+    // the bucketed series is tiny relative to the fact table (convs x
+    // buckets) but feeds four consumers (decomposition, PSI, KS, bucket
+    // counts) — persist it so the fact table is scanned ONCE for drift
     val series = df
       .groupBy(col(key), window(col(check.tsCol), c.bucket).as("w"))
       .agg(count(lit(1)).as("n_turns"))
       .select(col(key), col("w.start").as("bucket_ts"), col("n_turns"))
       .withColumn("idx",
         (row_number().over(Window.partitionBy(col(key)).orderBy(col("bucket_ts"))) - 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val decomposed = c.method match {
       case "stl" =>
@@ -291,6 +307,7 @@ object Validator {
 
     val anomalies = Decomposition.residualAnomalies(
       decomposed, Seq(key), c.residMethod, c.residThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val violations = anomalies.select(
       lit(c.name).as("constraint"),
       col(key).cast("string").as("conv_id"),

@@ -6,6 +6,18 @@ import graft.GraftSuite
 class SimilaritySpec extends GraftSuite {
   import spark.implicits._
 
+  test("custom cosine expression == composable HOF form on the testdata") {
+    val e = spark.read.parquet(s"$sfTiny/embeddings.parquet").limit(100)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")))
+      .where(col("a_id") < col("b_id"))
+    val diff = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("fast"),
+      Similarity.cosineComposable(col("va"), col("vb")).as("slow"))
+      .where(abs(col("fast") - col("slow")) > 1e-12)
+    assert(diff.isEmpty)
+  }
+
   test("cosine matches hand computation; zero vector → null") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
