@@ -79,11 +79,14 @@ object Bench {
     Tables.events(spark, sfDir).count()
     SparkEntry.queries("q03_column_stats")(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val results =
+      if (skipQueries) Seq.empty[(String, Double)]
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // ---- phase 2: generate the bench transcript table once ----------------
     val dataPath = s"/tmp/graft_bench_${nConvs}"
