@@ -52,7 +52,7 @@ object SnapshotTable {
 }
 
 final case class PartitionMetrics(partition: Int, rows: Long, violations: Long,
-    wallMs: Long)
+    constraintsEvaluated: Int, wallMs: Long)
 
 class ResumableValidation(spark: SparkSession, checkpointDir: String,
     partitions: Int) {
@@ -87,7 +87,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       violations.unpersist()
       val wall = (System.nanoTime() - t0) / 1000000
       import spark.implicits._
-      Seq(PartitionMetrics(p, rows, nViol, wall)).toDF()
+      Seq(PartitionMetrics(p, rows, nViol, check.constraints.size, wall)).toDF()
         .write.mode("overwrite").parquet(s"${pDir(p)}/metrics")
       // atomic completion marker — written last
       Files.createDirectories(doneMarker(p).getParent)

@@ -148,19 +148,11 @@ object Validator {
         val lo = q1 - k * (q3 - q1); val hi = q3 + k * (q3 - q1)
         Some(RowCheck(c, columnName, col(columnName) < lo || col(columnName) > hi,
           col(columnName).cast("string"), s"[$lo,$hi]"))
-      case c @ RollingZDrift(columnName, window, t) =>
-        val w = Window.partitionBy(key).orderBy(ord).rowsBetween(-(window - 1), 0)
-        val v = col(columnName)
-        val n = count(v).over(w)
-        val z = (v - avg(v).over(w)) / stddev_samp(v).over(w)
-        Some(RowCheck(c, columnName,
-          coalesce(n >= window && abs(z) > t, lit(false)),
-          v.cast("string"), s"rolling|z|<=$t@$window"))
       case _ => None
     }
 
-    val rowViolations: DataFrame = if (rowChecks.nonEmpty) {
-      val structs = rowChecks.map { rc =>
+    def explodeViolations(base: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+      val structs = checks.map { rc =>
         struct(
           lit(rc.c.name).as("constraint"),
           lit(rc.column).as("column"),
@@ -169,14 +161,34 @@ object Validator {
           lit(rc.c.severity).as("severity"),
           rc.violated.as("violated"))
       }
-      df.select(key.cast("string").as("conv_id"), ord.cast("int").as("turn_idx"),
+      base.select(key.cast("string").as("conv_id"), ord.cast("int").as("turn_idx"),
           array(structs: _*).as("__checks"))
         .select(col("conv_id"), col("turn_idx"),
           explode(filter(col("__checks"), x => x.getField("violated"))).as("v"))
         .select(col("v.constraint"), col("conv_id"), col("turn_idx"),
           col("v.column"), col("v.observed"), col("v.bound"), col("v.severity"))
-    } else spark.createDataFrame(
+    }
+
+    // plain row flags: shuffle-free projection over the scan
+    val rowViolations: DataFrame = if (rowChecks.nonEmpty)
+      explodeViolations(df, rowChecks)
+    else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], violationSchema)
+
+    // windowed row flags evaluated SEPARATELY on a pruned projection: the
+    // per-conversation sort shuffles only (key, order, value) — never the
+    // text payload (at 10^12 turns the text bytes dominate shuffle IO)
+    val windowViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ RollingZDrift(columnName, window, t) =>
+        val w = Window.partitionBy(key).orderBy(ord).rowsBetween(-(window - 1), 0)
+        val v = col(columnName)
+        val pruned = df.select(key, ord, v)
+        val n = count(v).over(w)
+        val z = (v - avg(v).over(w)) / stddev_samp(v).over(w)
+        explodeViolations(pruned, Seq(RowCheck(c, columnName,
+          coalesce(n >= window && abs(z) > t, lit(false)),
+          v.cast("string"), s"rolling|z|<=$t@$window")))
+    }
 
     // ---- pass 3: uniqueness ------------------------------------------------
     val uniqueViolations: Seq[DataFrame] = check.constraints.collect {
@@ -218,7 +230,8 @@ object Validator {
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
-    val allViolations = (Seq(rowViolations) ++ uniqueViolations ++ refViolations ++
+    val allViolations = (Seq(rowViolations) ++ windowViolations ++
+      uniqueViolations ++ refViolations ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -228,6 +241,7 @@ object Validator {
       case NotNull(_, maxRate) => maxRate
       case _ => 0.0
     })) ++
+      check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
       check.constraints.collect { case c: UniqueKey => (c.name, 0.0) } ++
       check.constraints.collect { case c: ReferentialIntegrity => (c.name, 0.0) }
 
