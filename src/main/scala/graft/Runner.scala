@@ -33,10 +33,13 @@ object Runner {
       seasonal = 7, residThreshold = 3.0)))
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-runner")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+    // spark-submit injects spark.master; default to local for direct runs
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -37,10 +37,14 @@ object Drift {
     val counts = binned.groupBy((key :+ col("bin")): _*).agg(
       sum(when(col(sideCol) === "baseline", 1).otherwise(0)).as("n_base"),
       sum(when(col(sideCol) === "current", 1).otherwise(0)).as("n_cur"))
+    // empty sides (e.g. a single-bucket conversation) yield null PSI, not
+    // a divide-by-zero under ANSI mode — callers treat null as "no signal"
     val wKey = Window.partitionBy(key: _*)
+    val tBase = sum("n_base").over(wKey)
+    val tCur = sum("n_cur").over(wKey)
     counts
-      .withColumn("p", greatest(col("n_base") / sum("n_base").over(wKey), lit(eps)))
-      .withColumn("q", greatest(col("n_cur") / sum("n_cur").over(wKey), lit(eps)))
+      .withColumn("p", when(tBase > 0, greatest(col("n_base") / tBase, lit(eps))))
+      .withColumn("q", when(tCur > 0, greatest(col("n_cur") / tCur, lit(eps))))
       .groupBy(key: _*)
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
@@ -58,9 +62,11 @@ object Drift {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isBase = (col(sideCol) === "baseline").cast("long")
     val isCur = (col(sideCol) === "current").cast("long")
+    val nBase = sum(isBase).over(wKey)
+    val nCur = sum(isCur).over(wKey)
     df.select((key :+ col(valueCol) :+ col(sideCol)): _*)
-      .withColumn("cdf_base", sum(isBase).over(wOrd) / sum(isBase).over(wKey))
-      .withColumn("cdf_cur", sum(isCur).over(wOrd) / sum(isCur).over(wKey))
+      .withColumn("cdf_base", when(nBase > 0, sum(isBase).over(wOrd) / nBase))
+      .withColumn("cdf_cur", when(nCur > 0, sum(isCur).over(wOrd) / nCur))
       .withColumn("d", abs(col("cdf_base") - col("cdf_cur")))
       .groupBy(key: _*)
       .agg(max(col("d")).as("ks"))

@@ -48,6 +48,15 @@ class DriftSpec extends GraftSuite {
     assert(math.abs(approx("shifted") - exact("shifted")) < 0.08)
   }
 
+  test("one-sided input yields null PSI/KS, not an ANSI divide-by-zero") {
+    val oneSided = Seq(("k", "baseline", 1.0), ("k", "baseline", 2.0))
+      .toDF("key", "side", "x")
+    val p = Drift.psi(oneSided, "x", "side", Seq("key")).collect()(0)
+    assert(p.isNullAt(1))
+    val k = Drift.ks(oneSided, "x", "side", Seq("key")).collect()(0)
+    assert(k.isNullAt(1))
+  }
+
   test("ensemble k-of-n vote (A12)") {
     val df = Seq((true, true, false), (true, false, false), (false, false, false))
       .toDF("a", "b", "c")
