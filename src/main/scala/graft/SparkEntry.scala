@@ -473,6 +473,20 @@ object SparkEntry {
           round(col("violation_rate"), 6).as("violation_rate"))
     }),
 
+    // Report rollup: the reference's by_method / by_monitor_point report
+    // sections (src/geological_anomaly_detector.py:403-454) fused into ONE
+    // grouping-sets pass over the violation rows
+    "q51_report_rollup" -> ((s, dir) => {
+      val v = Tables.transcripts(s, dir)
+        .where(col("role") === "invalid_role" || col("tool") === "tool_xx")
+        .select(
+          when(col("role") === "invalid_role", "ref(role)")
+            .otherwise("ref(tool)").as("constraint"),
+          col("conv_id"))
+      v.rollup(col("constraint"), col("conv_id"))
+        .agg(count(lit(1)).as("n_violations"))
+    }),
+
     // Flagship: full suite (uniqueness + RI + completeness + rolling-z +
     // turn-rate drift with STL) → verdict rows (rows-only oracle: STL)
     "q50_validation_suite" -> ((s, dir) => {
@@ -846,6 +860,15 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    "q51_report_rollup" ->
+      s"""WITH $T,
+         |v AS (SELECT CASE WHEN role = 'invalid_role' THEN 'ref(role)'
+         |             ELSE 'ref(tool)' END AS "constraint", conv_id
+         |  FROM transcripts
+         |  WHERE role = 'invalid_role' OR tool = 'tool_xx')
+         |SELECT "constraint", conv_id, count(*) AS n_violations
+         |FROM v GROUP BY ROLLUP ("constraint", conv_id)""".stripMargin,
 
     "q49_verdicts_referential" ->
       s"""WITH $T,
