@@ -74,7 +74,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "120000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "250000").toLong
     // N vs 4N cores. 2->8 keeps 4x cores actually available on the shared
     // 32-core sandbox host and stays below the single-socket memory-bandwidth
     // wall — the pair that models per-executor cluster scaling (BASELINE.md)
