@@ -22,7 +22,7 @@ done
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_BENCH_CONVS=${SPARK_GRAFT_BENCH_CONVS:-400000} \
-SPARK_GRAFT_SCALING=${SPARK_GRAFT_SCALING:-8,32} \
+SPARK_GRAFT_SCALING=${SPARK_GRAFT_SCALING:-2,8} \
 SPARK_GRAFT_BENCH_REPS=${SPARK_GRAFT_BENCH_REPS:-3} \
 SPARK_GRAFT_SKIP_QUERIES=1 \
 SPARK_DRIVER_MEM=32g \
