@@ -45,6 +45,12 @@ object SparkEntry {
 
   private val userOrder = Seq("ts", "event_id")
 
+  // q39 LSH-ANN parameters, shared by the Spark plan and its SQL oracle
+  // twin so the two pipelines stay in lockstep.
+  private val annPlanes = 8
+  private val annTables = 8
+  private val annDims = 64
+
   /** Global hourly event-count series with constant key (decomposition fixture). */
   private def hourlySeries(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -402,10 +408,13 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // SimHash near-dups (hash-based; rows-only oracle)
+    // SimHash near-dups. maxHamming = 3 with 4 chunks is the banding-sound
+    // configuration (pigeonhole covers the radius exactly — Manku/Google's
+    // canonical 64-bit simhash dedup operating point); the md5-anchored
+    // reproducible signature lets DuckDB recompute hamming exactly.
     "q36_simhash_neardups" -> ((s, dir) => {
-      val sims = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.simhashNearDups(sims, "doc_id", maxHamming = 18)
+      val sims = Dedup.simhashReproducible(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashNearDups(sims, "doc_id", maxHamming = 3)
     }),
 
     // Brute-force cosine top-k (exact ANN baseline)
@@ -428,22 +437,34 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
     }),
 
-    // LSH-bucketed ANN (the scale path; rows-only oracle)
+    // LSH-bucketed ANN (the scale path). The hyperplane matrix is an
+    // md5-derived plan-time literal, so the DuckDB oracle replicates the
+    // ENTIRE pipeline (buckets → candidate join → cosine re-rank) exactly;
+    // EntrySpec separately gates recall vs the exact q37 baseline.
     "q39_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.annTopK(q, e, "q_id", "vec_id", "q_vec", "embedding",
-        k = 5, planes = 8, tables = 4)
+        k = 5, planes = annPlanes, tables = annTables, dims = annDims)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
     }),
 
-    // MinHash + LSH candidate generation (hash-based; rows-only oracle).
-    // 3-token shingles: near-unique per doc, so banding yields few
-    // candidates (k=1 would collide every doc through the small vocab).
+    // MinHash LSH candidates → exact-Jaccard verification (the production
+    // dedup pipeline shape). 32 bands × 2 rows: P(miss a true 0.7-Jaccard
+    // pair) = (1 - 0.7^2)^32 ≈ 4e-10, so the exact all-pairs SQL is a
+    // sound oracle. 3-token shingles: near-unique per doc (k=1 would
+    // collide every doc through the small vocab).
     "q40_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id",
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id",
         "text", shingleK = 3, numHashes = 64)
-      Dedup.minhashLshCandidates(sigs, "doc_id", bands = 16, estJaccardMin = 0.4)
+      val cands = Dedup.minhashLshCandidates(sigs, "doc_id", bands = 32,
+        estJaccardMin = 0.4)
+      Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleK = 3,
+        threshold = 0.7)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
     // Multimodal plumbing: binary assets → feature extraction (stub codec)
@@ -508,8 +529,7 @@ object SparkEntry {
     * multimodal stubs) — driver applies the weaker rows-only check.
     */
   val oracleExempt: Set[String] = Set(
-    "q36_simhash_neardups", "q39_ann_lsh", "q40_minhash_lsh",
-    "q41_multimodal_features", "q42_ewm", "q50_validation_suite")
+    "q41_multimodal_features", "q50_validation_suite")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -665,7 +685,7 @@ object SparkEntry {
         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END) OVER w AS cb,
         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END) OVER w AS cc
         |  FROM base
-        |  WINDOW w AS (ORDER BY value, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |  WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS tb,
         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS tc FROM base)
         |SELECT round(max(abs(cb / tb - cc / tc)), 6) AS ks FROM c, t""".stripMargin,
@@ -845,6 +865,85 @@ object SparkEntry {
          |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
          |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
          |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // SQL twin of the md5-anchored reproducible simhash: identical token
+    // hash (first 15 md5 hex chars = 60 bits), identical bit votes, then
+    // exact all-pairs hamming — catches any silently-dropped banding pair.
+    "q36_simhash_neardups" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         |bitsum AS (SELECT doc_id, b.b AS b,
+         |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(range(60)) AS b) b GROUP BY 1, 2),
+         |sim AS (SELECT doc_id,
+         |    sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+         |  FROM bitsum GROUP BY 1)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // Full SQL twin of the LSH-ANN pipeline: regenerates the identical
+    // md5-derived hyperplane matrix, rebuilds every (table, bucket) id with
+    // the same FP summation order, joins candidates, and re-ranks by exact
+    // cosine — any banding, dedup, or rejoin defect breaks the hash match.
+    "q39_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS (SELECT t, p, list(c ORDER BY i) AS cl FROM (
+         |    SELECT tt.range AS t, pp.range AS p, ii.range AS i,
+         |      (('0x' || substr(md5('plane_' || tt.range || '_' || pp.range || '_' || ii.range), 1, 15))::BIGINT
+         |        % 2000001 - 1000000) / 1000000.0 AS c
+         |    FROM range($annTables) tt, range($annPlanes) pp, range($annDims) ii)
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT vec_id, t, p,
+         |    list_sum(list_transform(range($annDims), i -> v[i+1] * cl[i+1])) AS proj
+         |  FROM e, pl),
+         |bk AS (SELECT vec_id, t,
+         |    sum(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS b
+         |  FROM pr GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM (SELECT * FROM bk WHERE vec_id < 10) q
+         |  JOIN bk c USING (t, b) WHERE c.vec_id != q.vec_id),
+         |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qe.v, ce.v) AS c
+         |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, neighbor_id) AS rn FROM s)
+         |SELECT q_id, neighbor_id, round(c, 6) AS cos, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5""".stripMargin,
+
+    // Exact all-pairs 3-token-shingle Jaccard >= 0.7 — the minhash-LSH +
+    // exact-verify pipeline must reproduce this set (miss prob ~4e-10).
+    "q40_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
+         |    FROM d WHERE len(tk) >= 3)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+         |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.7""".stripMargin,
+
+    // Finite-window adjusted EWM (cap 138 = the engine's 1e-12 truncation
+    // bound for span 10), replayed per row over the trailing value list in
+    // engine summation order (newest term first).
+    "q42_ewm" ->
+      """WITH ord AS (SELECT event_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 137 PRECEDING AND CURRENT ROW) AS l
+        |  FROM events),
+        |t AS (SELECT event_id,
+        |    list_sum(list_transform(range(len(l)),
+        |      i -> CASE WHEN l[len(l) - i] IS NOT NULL
+        |           THEN l[len(l) - i] * pow(1.0 - 2.0/11.0, i) ELSE 0.0 END)) AS num,
+        |    list_sum(list_transform(range(len(l)),
+        |      i -> CASE WHEN l[len(l) - i] IS NOT NULL
+        |           THEN pow(1.0 - 2.0/11.0, i) ELSE 0.0 END)) AS den
+        |  FROM ord)
+        |SELECT event_id, round(CASE WHEN den > 0 THEN num / den END, 6) AS ewm
+        |FROM t""".stripMargin,
 
     "q37_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),

@@ -56,46 +56,72 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * a pure function of (plane, dim) — regenerated identically anywhere.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: a pure
+    * function of (table, plane, dim) derived from md5, computed ONCE at
+    * plan time and embedded as a literal — zero per-row hashing, and any
+    * engine (including the DuckDB oracle) regenerates the identical
+    * matrix from the same md5 recipe. The table index is part of the hash
+    * input so each hash table draws an INDEPENDENT set of hyperplanes;
+    * without it, table t's plane set would overlap table t-1's and extra
+    * tables would add zero recall while multiplying the explode/join cost.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit("plane"), lit(plane), dim), lit(2000001L)).cast("double")
-      - 1000000.0) / 1000000.0
+  def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${table}_${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000001L - 1000000L) /
+      1000000.0
+  }
 
-  /** Sign-random-projection bucket id from `planes` hyperplanes. */
-  def lshBuckets(vec: Column, planes: Int): Column = {
-    val vd = transform(vec, x => x.cast("double"))
+  /** Sign-random-projection bucket id from `planes` hyperplanes of hash
+    * table `table`, for vectors of width `dims`. The projection is an
+    * explicit literal-coefficient dot product (GetArrayItem × literal,
+    * left-to-right adds) — whole-stage-codegen'd, no higher-order
+    * functions, and FP-order-reproducible by an external SQL twin.
+    */
+  def lshBuckets(vec: Column, planes: Int, table: Int, dims: Int): Column = {
     (0 until planes).map { p =>
-      val proj = aggregate(zip_with(vd,
-        sequence(lit(0), size(vd) - 1),
-        (x, i) => x * planeComponent(p, i)), lit(0.0), _ + _)
+      val proj = (0 until dims).map(i =>
+        vec.getItem(i).cast("double") * lit(planeComponent(table, p, i)))
+        .reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
   }
 
+  /** (table, bucket) pairs for one vector across `tables` independent
+    * hash tables, ready to explode.
+    */
+  private def tableBuckets(vec: Column, planes: Int, tables: Int,
+      dims: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBuckets(vec, planes, t, dims).as("b"))): _*)
+
   /** ANN top-k: join query and corpus on LSH bucket, rank by cosine within
     * candidates. Recall grows with fewer planes (bigger buckets) or by
-    * probing `tables` independent hash tables (plane sets offset by
-    * table index).
+    * probing `tables` independent hash tables.
+    *
+    * Scale shape: the band join and the candidate-dedup shuffle carry IDs
+    * only — embedding payloads never ride the ×tables-replicated explode
+    * or key a shuffle. Vectors are joined back exactly once per surviving
+    * (query, candidate) pair: the query side by broadcast (query sets are
+    * small by contract), the corpus side by one equi-join on the id.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
       qVec: String, cVec: String, k: Int, planes: Int = 12,
-      tables: Int = 4): DataFrame = {
-    val qb = queries.select(col(qId), col(qVec),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBuckets(col(qVec), planes + t).as("b"))): _*)).as("tb"))
-      .select(col(qId), col(qVec), col("tb.t").as("t"), col("tb.b").as("b"))
-    val cb = corpus.select(col(cId), col(cVec),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBuckets(col(cVec), planes + t).as("b"))): _*)).as("tb"))
-      .select(col(cId), col(cVec), col("tb.t").as("t"), col("tb.b").as("b"))
-    val cand = qb.join(cb, Seq("t", "b"))
+      tables: Int = 4, dims: Int = 64): DataFrame = {
+    val qb = queries.select(col(qId),
+      explode(tableBuckets(col(qVec), planes, tables, dims)).as("tb"))
+      .select(col(qId), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cb = corpus.select(col(cId),
+      explode(tableBuckets(col(cVec), planes, tables, dims)).as("tb"))
+      .select(col(cId), col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = qb.join(cb, Seq("t", "b"))
       .where(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), col(qVec), col(cVec))
+      .select(col(qId), col(cId))
       .distinct()
+    val cand = pairs
+      .join(broadcast(queries.select(col(qId), col(qVec))), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
       .withColumn("cos", cosine(col(qVec), col(cVec)))
       .where(col("cos").isNotNull)
     val w = Window.partitionBy(col(qId)).orderBy(desc("cos"), col(cId))
@@ -106,18 +132,25 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
     * candidates (the embedding-space analog of minhash dedup).
+    *
+    * Same payload discipline as [[annTopK]]: the ×tables explode, band
+    * join, and pair dedup are id-only; vectors rejoin once per surviving
+    * pair via two equi-joins on the id (shuffle keys are scalar ids, never
+    * float arrays).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 10, tables: Int = 4): DataFrame = {
-    val b = df.select(col(idCol), col(vecCol),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBuckets(col(vecCol), planes + t).as("b"))): _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.b").as("b"))
-    val l = b.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("t"), col("b"))
-    val r = b.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("t"), col("b"))
-    l.join(r, Seq("t", "b")).where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("va"), col("vb")).distinct()
+      threshold: Double = 0.95, planes: Int = 10, tables: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val b = df.select(col(idCol),
+      explode(tableBuckets(col(vecCol), planes, tables, dims)).as("tb"))
+      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    val l = b.select(col(idCol).as("a_id"), col("t"), col("b"))
+    val r = b.select(col(idCol).as("b_id"), col("t"), col("b"))
+    val pairs = l.join(r, Seq("t", "b")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    pairs
+      .join(df.select(col(idCol).as("a_id"), col(vecCol).as("va")), Seq("a_id"))
+      .join(df.select(col(idCol).as("b_id"), col(vecCol).as("vb")), Seq("b_id"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")

@@ -35,9 +35,15 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` permutations approximated by seeded
-    * xxhash64 re-hashes of the shingle hash. ONE explode + ONE groupBy with
-    * numHashes `min` aggregates (map-side combined, skew-free: signature
-    * state is O(numHashes) per doc regardless of doc length).
+    * xxhash64 re-hashes of the (fixed-width 64-bit) shingle hash — each
+    * position an independent strong hash, so position agreement is an
+    * unbiased Jaccard estimator. (A Kirsch–Mitzenmacher double-hash family
+    * h1 + s·h2 was measured and rejected: min-wise argmins correlate
+    * through the min-h2 shingle and est_jaccard saturates toward 1.0 —
+    * double hashing spreads Bloom probes fine but is NOT min-wise
+    * independent.) ONE explode + ONE groupBy with numHashes `min`
+    * aggregates (map-side combined, skew-free: signature state is
+    * O(numHashes) per doc regardless of doc length).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
@@ -56,55 +62,98 @@ object Dedup {
     * join within hash buckets only; dedupe of pairs found in several bands
     * via distinct on (a, b).
     */
+  /** Scale shape: the ×bands-replicated band join and the pair dedup carry
+    * ids only — the 64×8-byte signatures never ride the replicated shuffle.
+    * Signatures rejoin exactly once per surviving pair (two equi-joins on
+    * the scalar id) to compute est_jaccard.
+    */
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
       bands: Int, estJaccardMin: Double = 0.5): DataFrame = {
-    val banded = signatures.select(col(idCol).as("a_id"), col("signature"),
+    val banded = signatures.select(col(idCol).as("a_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("signature"), b * (size(col("signature")) / bands) + 1,
             size(col("signature")) / bands))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val l = banded.select(col("a_id"), col("band"), col("band_hash"),
-      col("signature").as("sig_a"))
-    val r = banded.select(col("a_id").as("b_id"), col("band"), col("band_hash"),
-      col("signature").as("sig_b"))
+    val r = banded.select(col("a_id").as("b_id"), col("band"), col("band_hash"))
+    val pairs = banded.join(r, Seq("band", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
     val matches = aggregate(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-    l.join(r, Seq("band", "band_hash"))
-      .where(col("a_id") < col("b_id"))
+    pairs
+      .join(signatures.select(col(idCol).as("a_id"), col("signature").as("sig_a")),
+        Seq("a_id"))
+      .join(signatures.select(col(idCol).as("b_id"), col("signature").as("sig_b")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (matches.cast("double") / size(col("sig_a"))).as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= estJaccardMin)
   }
 
   /** SimHash (64-bit) per document: per-bit weighted majority of token
-    * hashes. One explode + one agg of 64 conditional sums; the packed
+    * hashes. One explode + one agg of `bits` conditional sums; the packed
     * signature is assembled from the sums in a final projection.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol, xxhash64(_), bits = 64)
+
+  /** Cross-engine-reproducible SimHash: token hash = first 15 hex chars of
+    * md5 (a 60-bit value both Spark and DuckDB compute identically), so an
+    * external SQL oracle can recompute signatures — and therefore hamming
+    * distances — bit-for-bit. Bits 60–63 are structurally zero for every
+    * document (identical on both engines, no effect on hamming); the 4-bit
+    * narrowing is the price of md5-anchored reproducibility.
+    */
+  def simhashReproducible(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashWith(df, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+
+  private def simhashWith(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map(b =>
+      .withColumn("h", tokenHash(col("tok")))
+    val sums = (0 until bits).map(b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
         .as(s"b_$b"))
     val agged = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val packed = (0 until 64).map(b =>
+    val packed = (0 until bits).map(b =>
       when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
     agged.select(col(idCol), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
-    * (any pair within hamming distance 3 must agree on ≥1 chunk), verified
-    * with bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs: candidates share one of `maxHamming + 1`
+    * bit chunks of the 64-bit signature — by pigeonhole, a pair within
+    * hamming distance `maxHamming` has at least one chunk with NO
+    * differing bit, so chunk-equality banding is exhaustive at the
+    * configured radius (no silently dropped pairs). Candidates are
+    * verified with bit_count(xor) <= maxHamming.
+    *
+    * Chunk widths are ⌈64/c⌉ or ⌊64/c⌋ bits; narrower chunks (larger
+    * maxHamming) mean coarser buckets and more candidates — the standard
+    * recall/cost dial. maxHamming must stay < 64 bits / 2-bit-wide chunks:
+    * beyond ~31 the chunks degenerate to single bits and banding is
+    * pointless; callers that far out want a different operator.
     */
   def simhashNearDups(sims: DataFrame, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming=$maxHamming outside the banding-sound range [0, 31]")
+    val nChunks = maxHamming + 1
+    // distribute 64 bits over nChunks chunks: first (64 % nChunks) chunks
+    // get an extra bit
+    val widths = Array.tabulate(nChunks)(c => 64 / nChunks +
+      (if (c < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkExprs = (0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      shiftright(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
+    }
     val chunked = sims.select(col(idCol).as("a_id"), col("simhash").as("sim_a"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val r = chunked.select(col("a_id").as("b_id"), col("sim_a").as("sim_b"),
       col("chunk"), col("chunk_val"))
@@ -114,6 +163,39 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set (the second half
+    * of the production minhash→LSH→verify pipeline): recompute the TRUE
+    * shingle Jaccard for each candidate pair and keep pairs >= threshold.
+    *
+    * Scale shape: shingles are materialized only for docs that appear in
+    * at least one candidate pair (semi-join pushdown), the intersection
+    * count is an id-keyed equi-join on (doc, shingle) — never all-pairs —
+    * and candidate sets are tiny relative to the corpus by construction.
+    */
+  def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val ids = pairs.select(col("a_id").as("__vid"))
+      .union(pairs.select(col("b_id"))).distinct()
+    val sh = df.join(ids, col(idCol) === col("__vid"))
+      .select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK)))
+          .as("sh"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    pairs.select("a_id", "b_id")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
   }
 
   /** Exact n-gram Jaccard over candidate generation by inverted index:

@@ -52,14 +52,22 @@ object Drift {
   /** Exact two-sample Kolmogorov–Smirnov statistic per key:
     * D = max_x |F_baseline(x) - F_current(x)|, computed with one window
     * pass over values sorted within each key (running counts of each side).
+    *
+    * The running counts use a RANGE frame ordered by the value alone, so
+    * all tie peers (rows sharing a value, from either side) are included
+    * before the CDF gap is evaluated — the empirical CDF is only defined
+    * at distinct values. A ROWS frame ordered by (value, side) would
+    * evaluate mid-tie and report KS = 1.0 for two identical all-tied
+    * samples (true D = 0); turn-rate series are integer counts, so ties
+    * are the common case, not the corner.
     */
   def ks(df: DataFrame, valueCol: String, sideCol: String,
       keyCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)
     val wKey = Window.partitionBy(key: _*)
     val wOrd = Window.partitionBy(key: _*)
-      .orderBy(col(valueCol), col(sideCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val isBase = (col(sideCol) === "baseline").cast("long")
     val isCur = (col(sideCol) === "current").cast("long")
     val nBase = sum(isBase).over(wKey)

@@ -64,7 +64,7 @@ class SimilaritySpec extends GraftSuite {
       "q_vec", "embedding", k = 5)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ann = Similarity.annTopK(queries, corpus, "q_id", "vec_id",
-      "q_vec", "embedding", k = 5, planes = 6, tables = 4)
+      "q_vec", "embedding", k = 5, planes = 6, tables = 4, dims = 16)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
@@ -77,7 +77,7 @@ class SimilaritySpec extends GraftSuite {
         transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
     val all = base.unionByName(copies)
     val dups = Similarity.embeddingNearDups(all, "vec_id", "embedding",
-      threshold = 0.999, planes = 6, tables = 6)
+      threshold = 0.999, planes = 6, tables = 6, dims = 16)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val expected = (0 until 8).map(c => (c * 100L + 7, c * 100L + 7 + 100000L)).toSet
     val found = expected.count(dups.contains).toDouble / expected.size

@@ -48,6 +48,22 @@ class DriftSpec extends GraftSuite {
     assert(math.abs(approx("shifted") - exact("shifted")) < 0.08)
   }
 
+  test("KS on tied values: identical all-tied samples give D = 0, not 1") {
+    // Integer bucket counts tie constantly; mid-tie CDF evaluation would
+    // report D = 1.0 here. With tie peers fully included (RANGE frame),
+    // both empirical CDFs agree at every distinct value.
+    val tied = Seq.tabulate(20)(i => ("k", if (i % 2 == 0) "baseline" else "current", 7.0))
+      .toDF("key", "side", "x")
+    val d = Drift.ks(tied, "x", "side", Seq("key")).collect()(0).getDouble(1)
+    assert(math.abs(d) < 1e-12, s"ks=$d for identical tied samples")
+    // Mixed ties: b = {1,1,2}, c = {1,2,2}. F_b(1)=2/3, F_c(1)=1/3 → D=1/3.
+    val mixed = Seq(("k", "baseline", 1.0), ("k", "baseline", 1.0), ("k", "baseline", 2.0),
+      ("k", "current", 1.0), ("k", "current", 2.0), ("k", "current", 2.0))
+      .toDF("key", "side", "x")
+    val d2 = Drift.ks(mixed, "x", "side", Seq("key")).collect()(0).getDouble(1)
+    assert(math.abs(d2 - 1.0 / 3.0) < 1e-12, s"ks=$d2 for mixed ties")
+  }
+
   test("one-sided input yields null PSI/KS, not an ANSI divide-by-zero") {
     val oneSided = Seq(("k", "baseline", 1.0), ("k", "baseline", 2.0))
       .toDF("key", "side", "x")
