@@ -33,7 +33,7 @@ object Bench {
     s
   }
 
-  private def benchSuite: Check = Check("bench", Seq(
+  private[graft] def benchSuite: Check = Check("bench", Seq(
     NotNull("text"),
     UniqueKey(Seq("conv_id", "turn_idx")),
     ReferentialIntegrity("role", "role_dim", "role"),
@@ -53,7 +53,13 @@ object Bench {
     TurnRateDrift(bucket = "1 minute", period = 7, method = "stl",
       seasonal = 7, residThreshold = 3.0)))
 
-  /** One full suite pass; returns validated turns. */
+  /** One full suite pass; returns validated turns. Unpersists all cached
+    * intermediates afterwards so every pass does the FULL work — without
+    * this, a later pass in the same session silently reuses the previous
+    * pass's persisted violations/series (CacheManager matches the
+    * canonicalized plan) and the bench measures cache reads, not
+    * constraint evaluation.
+    */
   private def runSuite(spark: SparkSession, dataPath: String): Long = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -68,13 +74,19 @@ object Bench {
     val nViol = r.violations.count()
     val nVerd = r.verdicts.count()
     require(nVerd > 0 && nViol >= 0)
-    t.count()
+    val turns = t.count()
+    r.unpersistAll()
+    turns
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "250000").toLong
+    // 150k convs ≈ 8.9M turns: with every pass doing FULL work (no cache
+    // reuse between passes — see runSuite), per-turn constraint evaluation
+    // dominates both levels and the suite scales at ≥0.9 efficiency while
+    // the whole bench stays ~13 min (probe data in BASELINE.md)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
     // N vs 4N cores. 2->8 keeps 4x cores actually available on the shared
     // 32-core sandbox host and stays below the single-socket memory-bandwidth
     // wall — the pair that models per-executor cluster scaling (BASELINE.md)
@@ -88,12 +100,18 @@ object Bench {
     SparkEntry.queries("q03_column_stats")(spark, sfDir).count()
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results =
-      if (skipQueries) Seq.empty[(String, Double)]
+    // (name, Right(seconds) | Left(error)) — a broken query must surface as
+    // an error in the JSON, never as a fake timing
+    val results: Seq[(String, Either[String, Double])] =
+      if (skipQueries) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
       }
 
     // ---- phase 2: generate the bench transcript table once ----------------
@@ -101,6 +119,14 @@ object Bench {
     if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
       TranscriptGen.generate(spark, nConvs)
         .write.mode("overwrite").parquet(dataPath)
+    }
+    // small warm-up table: enough to JIT/codegen every suite path without
+    // paying a full-size pass per level
+    val warmConvs = math.max(nConvs / 10, 10000L)
+    val warmPath = s"/tmp/graft_bench_warm_${warmConvs}"
+    if (!new java.io.File(s"$warmPath/_SUCCESS").exists()) {
+      TranscriptGen.generate(spark, warmConvs)
+        .write.mode("overwrite").parquet(warmPath)
     }
     val totalTurns = spark.read.parquet(dataPath).count()
     spark.stop()
@@ -115,7 +141,7 @@ object Bench {
     (1 to reps).foreach { _ =>
       scalingPair.foreach { n =>
         val s = newSession(n)
-        if (walls(n).isEmpty) runSuite(s, dataPath) // warm-up (codegen/JIT)
+        if (walls(n).isEmpty) runSuite(s, warmPath) // warm-up (codegen/JIT)
         val t0 = System.nanoTime()
         turnsRun = runSuite(s, dataPath)
         walls += n -> ((System.nanoTime() - t0) / 1e9 :: walls(n))
@@ -132,9 +158,12 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
+    val qErrs = results.collect { case (k, Left(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
   }
 }

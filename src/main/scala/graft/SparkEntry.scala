@@ -467,12 +467,21 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // Multimodal plumbing: binary assets → feature extraction (stub codec)
+    // Multimodal plumbing: binary assets → feature extraction. The media
+    // bytes are the utf-8 encoding of documents.text, so the DuckDB twin
+    // replays the ENTIRE stub codec (rolling byte hash → per-dim mix →
+    // signed mod) over the same bytes — a byte-level oracle for the
+    // partition-batched kernel. Features are floats of v/1000003 with
+    // |v| < 2^20, so round(f·1000003) recovers the integer v exactly.
     "q41_multimodal_features" -> ((s, dir) => {
-      val assets = Multimodal.syntheticAssets(s, 500)
-      Multimodal.extractFeatures(assets, dim = 16)
-        .where(col("features").isNotNull)
-        .select(col("asset_id"), size(col("features")).as("dim"))
+      val assets = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id").as("asset_id"),
+          encode(col("text"), "utf-8").as("media"))
+      val feats = Multimodal.extractFeatures(assets, dim = 4)
+      feats.select((col("asset_id") +: (0 until 4).map(d =>
+        round(element_at(col("features"), d + 1) * 1000003.0)
+          .cast("long").as(s"r$d"))): _*)
     }),
 
     // W4: exponentially weighted mean (no SQL twin; rows-only oracle)
@@ -508,8 +517,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_violations"))
     }),
 
+    // T3 multiplicative: ratio decomposition (the reference's mock rainfall
+    // path is multiplicative, src/hive_data_loader.py:27-32)
+    "q43_mult_decomposition" -> ((s, dir) => {
+      Decomposition.multiplicative(hourlySeries(s, dir), "y", 24,
+        Seq("k"), Seq("bucket_ts"))
+        .select(col("idx"), col("y"), round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))
+    }),
+
+    // T6 ADF stationarity (reference analyze_stationarity,
+    // src/decomposition.py:111-138). Fixed lag 0 = the plain DF regression,
+    // which has a closed-form OLS t-stat the SQL oracle reproduces; the
+    // autolag-AIC path is spec-tested (StationaritySpec differential
+    // golden).
+    "q44_adf_stationarity" -> ((s, dir) => {
+      val series = hourlySeries(s, dir).withColumn("idx",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("bucket_ts"))) - 1)
+      graft.series.Stationarity.adf(series, "k", "idx", "y",
+        maxlag = 0, autolag = false)
+        .select(col("k"), round(col("adf_stat"), 6).as("adf_stat"),
+          col("used_lag"), col("nobs"),
+          round(col("crit_5pct"), 6).as("crit_5pct"), col("stationary"))
+    }),
+
     // Flagship: full suite (uniqueness + RI + completeness + rolling-z +
-    // turn-rate drift with STL) → verdict rows (rows-only oracle: STL)
+    // turn-rate drift with STL) → verdict rows (rows-only oracle: STL;
+    // q52 is the exact-checked classical twin)
     "q50_validation_suite" -> ((s, dir) => {
       val check = Check("transcripts", Seq(
         NotNull("text"),
@@ -522,14 +557,38 @@ object SparkEntry {
       val ctx = Validator.Context(Map(
         "role_dim" -> Tables.roleDim(s), "tool_dim" -> Tables.toolDim(s)))
       Validator.validate(Tables.transcripts(s, dir), check, ctx).verdicts
+    }),
+
+    // Flagship twin with the CLASSICAL decomposition drift method: every
+    // verdict row — per-conv completeness/uniqueness/RI/rolling-z, the
+    // global completeness verdict, and the per-conversation turn-rate
+    // drift verdict (2xMA decomposition → residual IQR anomalies → PSI →
+    // exact KS) — is reproduced by a full SQL oracle, so the whole
+    // validator pipeline is hash-checked end to end.
+    "q52_validation_suite_classical" -> ((s, dir) => {
+      val check = Check("transcripts", Seq(
+        NotNull("text"),
+        UniqueKey(Seq("conv_id", "turn_idx")),
+        ReferentialIntegrity("role", "role_dim", "role"),
+        ReferentialIntegrity("tool", "tool_dim", "tool"),
+        RollingZDrift("value", window = 24, threshold = 3.0),
+        TurnRateDrift(bucket = "1 hour", period = 24, method = "classical",
+          seasonal = 7, residThreshold = 3.0)))
+      val ctx = Validator.Context(Map(
+        "role_dim" -> Tables.roleDim(s), "tool_dim" -> Tables.toolDim(s)))
+      Validator.validate(Tables.transcripts(s, dir), check, ctx).verdicts
+        .select(col("partition_key"), col("constraint"), col("pass"),
+          col("rows"), col("violations"),
+          round(col("violation_rate"), 6).as("violation_rate"))
     })
   )
 
-  /** Queries whose semantics SQL can't express (sketches/STL/LSH/EWM/
-    * multimodal stubs) — driver applies the weaker rows-only check.
+  /** Queries whose semantics SQL can't express — only the STL-decomposition
+    * flagship remains (its loess kernel has no SQL twin); the classical
+    * flagship twin q52 carries the exact check for the same pipeline.
+    * Driver applies the weaker rows-only check here.
     */
-  val oracleExempt: Set[String] = Set(
-    "q41_multimodal_features", "q50_validation_suite")
+  val oracleExempt: Set[String] = Set("q50_validation_suite")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -977,6 +1036,197 @@ object SparkEntry {
          |SELECT conv_id AS partition_key, viol = 0 AS pass, rows,
          |  CAST(viol AS BIGINT) AS violations,
          |  round(viol::DOUBLE / rows, 6) AS violation_rate
-         |FROM v""".stripMargin
+         |FROM v""".stripMargin,
+
+    // Byte-level replay of the multimodal stub codec: rolling 64-bit byte
+    // hash (h = 31h + b mod 2^64) over utf-8(text), per-dim golden-ratio
+    // mix, signed truncated mod — integers, so the hash match is exact.
+    "q41_multimodal_features" ->
+      """WITH h AS (SELECT doc_id AS asset_id,
+        |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+        |      list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))::HUGEINT)),
+        |      (a, b) -> (31*a + b) % 18446744073709551616::HUGEINT) AS h0
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT asset_id,
+        |    xor(h0::UBIGINT, ((11400714819323198485::HUGEINT * 1) % 18446744073709551616::HUGEINT)::UBIGINT) AS x0,
+        |    xor(h0::UBIGINT, ((11400714819323198485::HUGEINT * 2) % 18446744073709551616::HUGEINT)::UBIGINT) AS x1,
+        |    xor(h0::UBIGINT, ((11400714819323198485::HUGEINT * 3) % 18446744073709551616::HUGEINT)::UBIGINT) AS x2,
+        |    xor(h0::UBIGINT, ((11400714819323198485::HUGEINT * 4) % 18446744073709551616::HUGEINT)::UBIGINT) AS x3
+        |  FROM h)
+        |SELECT asset_id,
+        |  CAST((CASE WHEN x0 >= 9223372036854775808::HUGEINT THEN x0::HUGEINT - 18446744073709551616::HUGEINT ELSE x0::HUGEINT END) % 1000003 AS BIGINT) AS r0,
+        |  CAST((CASE WHEN x1 >= 9223372036854775808::HUGEINT THEN x1::HUGEINT - 18446744073709551616::HUGEINT ELSE x1::HUGEINT END) % 1000003 AS BIGINT) AS r1,
+        |  CAST((CASE WHEN x2 >= 9223372036854775808::HUGEINT THEN x2::HUGEINT - 18446744073709551616::HUGEINT ELSE x2::HUGEINT END) % 1000003 AS BIGINT) AS r2,
+        |  CAST((CASE WHEN x3 >= 9223372036854775808::HUGEINT THEN x3::HUGEINT - 18446744073709551616::HUGEINT ELSE x3::HUGEINT END) % 1000003 AS BIGINT) AS r3
+        |FROM x""".stripMargin,
+
+    // Multiplicative twin of the classical decomposition chain: ratios for
+    // detrending/seasonal centring, resid = y / (trend * seasonal).
+    "q43_mult_decomposition" ->
+      """WITH series AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1),
+        |idxd AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY bucket_ts) - 1 AS INT) AS idx, y
+        |  FROM series),
+        |tr AS (
+        |  SELECT idx, y,
+        |    CASE WHEN count(y) OVER w = 25 THEN
+        |      (sum(y) OVER w - 0.5 * (first_value(y) OVER w + last_value(y) OVER w)) / 24
+        |    END AS trend
+        |  FROM idxd
+        |  WINDOW w AS (ORDER BY idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |det AS (SELECT idx, y, trend, idx % 24 AS phase, y / trend AS d FROM tr),
+        |pm AS (SELECT phase, avg(d) AS pmean FROM det GROUP BY 1),
+        |g AS (SELECT avg(pmean) AS grand FROM pm),
+        |dc AS (
+        |  SELECT idx, y, trend, pmean / grand AS seasonal,
+        |    y / (trend * (pmean / grand)) AS resid
+        |  FROM det JOIN pm USING (phase), g)
+        |SELECT idx, y, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+        |  round(resid, 6) AS resid
+        |FROM dc""".stripMargin,
+
+    // Lag-0 Dickey-Fuller: closed-form OLS t-stat of the level coefficient
+    // in dy_t = a + b*y_{t-1}, plus the MacKinnon(2010) tau_c 5% response
+    // surface — the exact arithmetic Stationarity.adfStat performs.
+    "q44_adf_stationarity" ->
+      """WITH series AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT y, row_number() OVER (ORDER BY bucket_ts) AS rn FROM series),
+        |pairs AS (SELECT cur.y - prev.y AS d, prev.y AS x
+        |  FROM ord cur JOIN ord prev ON cur.rn = prev.rn + 1),
+        |s AS (SELECT count(*)::DOUBLE AS n, regr_sxx(d, x) AS sxx,
+        |    regr_syy(d, x) AS syy, regr_sxy(d, x) AS sxy FROM pairs),
+        |t AS (SELECT n, sxy/sxx AS b,
+        |    sqrt(((syy - sxy*sxy/sxx) / (n - 2)) / sxx) AS se,
+        |    -2.86154 - 2.8903/n - 4.234/(n*n) - 40.040/(n*n*n) AS crit FROM s)
+        |SELECT 'all' AS k, round(b / se, 6) AS adf_stat, 0 AS used_lag,
+        |  CAST(n AS INT) AS nobs, round(crit, 6) AS crit_5pct,
+        |  (b / se) < crit AS stationary
+        |FROM t""".stripMargin,
+
+    // Full SQL twin of the flagship validator suite (classical drift
+    // method): per-conv verdicts for 5 constraints, the global
+    // completeness verdict, and the per-conversation drift verdict
+    // (classical 2xMA decomposition -> residual IQR anomalies -> PSI over
+    // baseline-quantile bins -> exact tie-aware KS, first vs second half).
+    "q52_validation_suite_classical" ->
+      s"""WITH $T,
+         |cr AS (SELECT conv_id, count(*) AS rows FROM transcripts GROUP BY 1),
+         |tot AS (SELECT count(*) AS n,
+         |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nulls FROM transcripts),
+         |vall AS (
+         |  SELECT conv_id, 'not_null(text)' AS c, count(*) AS v
+         |    FROM transcripts WHERE text IS NULL GROUP BY 1
+         |  UNION ALL
+         |  SELECT conv_id, 'unique(conv_id,turn_idx)' AS c, count(*) AS v FROM (
+         |    SELECT conv_id, turn_idx FROM transcripts GROUP BY 1, 2 HAVING count(*) > 1)
+         |    GROUP BY 1
+         |  UNION ALL
+         |  SELECT conv_id, 'ref(role->role_dim)' AS c, count(*) AS v
+         |    FROM transcripts
+         |    WHERE role IS NOT NULL AND role NOT IN ('user','assistant','system','tool')
+         |    GROUP BY 1
+         |  UNION ALL
+         |  SELECT conv_id, 'ref(tool->tool_dim)' AS c, count(*) AS v
+         |    FROM transcripts
+         |    WHERE tool IS NOT NULL AND tool NOT IN (
+         |      'tool_00','tool_01','tool_02','tool_03','tool_04','tool_05','tool_06','tool_07',
+         |      'tool_08','tool_09','tool_10','tool_11','tool_12','tool_13','tool_14','tool_15')
+         |    GROUP BY 1
+         |  UNION ALL
+         |  SELECT conv_id, 'rolling_z(value)' AS c, count(*) AS v FROM (
+         |    SELECT conv_id,
+         |      count(value) OVER win AS n_win,
+         |      (value - avg(value) OVER win) / stddev_samp(value) OVER win AS z
+         |    FROM transcripts
+         |    WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |    WHERE n_win >= 24 AND abs(z) > 3 GROUP BY 1),
+         |cons AS (SELECT * FROM (VALUES ('not_null(text)'), ('unique(conv_id,turn_idx)'),
+         |    ('ref(role->role_dim)'), ('ref(tool->tool_dim)'), ('rolling_z(value)')) c(c)),
+         |perconv AS (
+         |  SELECT cr.conv_id AS partition_key, cons.c AS "constraint",
+         |    coalesce(v, 0) = 0 AS pass, cr.rows,
+         |    CAST(coalesce(v, 0) AS BIGINT) AS violations,
+         |    round(coalesce(v, 0)::DOUBLE / cr.rows, 6) AS violation_rate
+         |  FROM cr CROSS JOIN cons
+         |  LEFT JOIN vall ON vall.conv_id = cr.conv_id AND vall.c = cons.c),
+         |gv AS (SELECT '(global)' AS partition_key,
+         |    'not_null(text)[global]' AS "constraint",
+         |    nulls::DOUBLE / greatest(1, n) <= 0.0 AS pass, n AS rows,
+         |    CAST(nulls AS BIGINT) AS violations,
+         |    round(nulls::DOUBLE / greatest(1, n), 6) AS violation_rate
+         |  FROM tot),
+         |series AS (SELECT conv_id, date_trunc('hour', ts) AS bucket_ts,
+         |    count(*)::DOUBLE AS y
+         |  FROM transcripts GROUP BY 1, 2),
+         |idxd AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_ts) - 1 AS INT) AS idx, y
+         |  FROM series),
+         |tr AS (SELECT conv_id, idx, y,
+         |    CASE WHEN count(y) OVER w = 25 THEN
+         |      (sum(y) OVER w - 0.5 * (first_value(y) OVER w + last_value(y) OVER w)) / 24
+         |    END AS trend
+         |  FROM idxd
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |det AS (SELECT conv_id, idx, y, trend, idx % 24 AS phase, y - trend AS d FROM tr),
+         |pm AS (SELECT conv_id, phase, avg(d) AS pmean FROM det GROUP BY 1, 2),
+         |g AS (SELECT conv_id, sum(pmean) / count(*) AS grand FROM pm GROUP BY 1),
+         |dc AS (SELECT det.conv_id, idx, y, trend, pmean - grand AS seasonal,
+         |    y - trend - (pmean - grand) AS resid
+         |  FROM det JOIN pm USING (conv_id, phase) JOIN g USING (conv_id)),
+         |rq AS (SELECT conv_id, quantile_cont(resid, 0.25) AS rq1,
+         |    quantile_cont(resid, 0.75) AS rq3
+         |  FROM dc WHERE resid IS NOT NULL GROUP BY 1),
+         |raf AS (SELECT dc.conv_id, resid,
+         |    rq1 - 3.0 * (rq3 - rq1) AS lo, rq3 + 3.0 * (rq3 - rq1) AS hi
+         |  FROM dc JOIN rq USING (conv_id)),
+         |ra AS (SELECT conv_id, count(*) AS resid_anomalies FROM raf
+         |  WHERE resid < lo - 1e-9 * greatest(abs(lo), abs(hi), 1.0)
+         |     OR resid > hi + 1e-9 * greatest(abs(lo), abs(hi), 1.0)
+         |  GROUP BY 1),
+         |sided AS (SELECT conv_id, y,
+         |    CASE WHEN idx * 2 <= max(idx) OVER (PARTITION BY conv_id)
+         |         THEN 'baseline' ELSE 'current' END AS side
+         |  FROM idxd),
+         |edges AS (SELECT conv_id,
+         |    quantile_cont(y, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+         |  FROM sided WHERE side = 'baseline' GROUP BY 1),
+         |binned AS (SELECT s.conv_id, side, len(list_filter(qs, e -> y > e)) AS bin
+         |  FROM sided s JOIN edges USING (conv_id)),
+         |pcounts AS (SELECT conv_id, bin,
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS nc
+         |  FROM binned GROUP BY 1, 2),
+         |ptot AS (SELECT conv_id, sum(nb) AS tb, sum(nc) AS tc FROM pcounts GROUP BY 1),
+         |psiv AS (SELECT conv_id,
+         |    sum(CASE WHEN tb > 0 AND tc > 0 THEN
+         |      (greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
+         |      ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4)) END) AS psi
+         |  FROM pcounts JOIN ptot USING (conv_id) GROUP BY 1),
+         |kc AS (SELECT conv_id,
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END) OVER wo AS cb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END) OVER wo AS cc,
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END) OVER wk AS tbk,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END) OVER wk AS tck
+         |  FROM sided
+         |  WINDOW wo AS (PARTITION BY conv_id ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wk AS (PARTITION BY conv_id)),
+         |ksv AS (SELECT conv_id,
+         |    max(abs(CASE WHEN tbk > 0 THEN cb::DOUBLE / tbk END -
+         |            CASE WHEN tck > 0 THEN cc::DOUBLE / tck END)) AS ks
+         |  FROM kc GROUP BY 1),
+         |bc AS (SELECT conv_id, count(*) AS rows FROM idxd GROUP BY 1),
+         |drift AS (SELECT bc.conv_id AS partition_key,
+         |    'turn_rate_drift' AS "constraint",
+         |    (coalesce(resid_anomalies, 0) = 0 AND coalesce(psi <= 0.25, true)
+         |      AND coalesce(ks <= 0.5, true)) AS pass,
+         |    bc.rows, CAST(coalesce(resid_anomalies, 0) AS BIGINT) AS violations,
+         |    round(coalesce(resid_anomalies, 0)::DOUBLE / bc.rows, 6) AS violation_rate
+         |  FROM bc LEFT JOIN psiv USING (conv_id) LEFT JOIN ksv USING (conv_id)
+         |  LEFT JOIN ra USING (conv_id))
+         |SELECT * FROM perconv UNION ALL SELECT * FROM gv
+         |UNION ALL SELECT * FROM drift""".stripMargin
   )
 }

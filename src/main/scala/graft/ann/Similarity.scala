@@ -74,27 +74,21 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id from `planes` hyperplanes of hash
-    * table `table`, for vectors of width `dims`. The projection is an
-    * explicit literal-coefficient dot product (GetArrayItem × literal,
-    * left-to-right adds) — whole-stage-codegen'd, no higher-order
-    * functions, and FP-order-reproducible by an external SQL twin.
+    * table `table`, for vectors of width `dims` (single-table convenience
+    * form of [[HyperplaneBuckets]]; identical projection arithmetic —
+    * left-to-right adds — so the external SQL twin reproduces it).
     */
-  def lshBuckets(vec: Column, planes: Int, table: Int, dims: Int): Column = {
-    (0 until planes).map { p =>
-      val proj = (0 until dims).map(i =>
-        vec.getItem(i).cast("double") * lit(planeComponent(table, p, i)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
-  }
+  def lshBuckets(vec: Column, planes: Int, table: Int, dims: Int): Column =
+    HyperplaneBuckets(vec, planes, table + 1, dims).getItem(table)
 
-  /** (table, bucket) pairs for one vector across `tables` independent
-    * hash tables, ready to explode.
+  /** Bucket ids for one vector across `tables` independent hash tables
+    * (array position = table index), ready to posexplode. ONE codegen'd
+    * loop nest ([[HyperplaneBuckets]]) — a literal-coefficient expression
+    * tree at tables×planes×dims terms took Janino minutes to compile.
     */
   private def tableBuckets(vec: Column, planes: Int, tables: Int,
       dims: Int): Column =
-    array((0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBuckets(vec, planes, t, dims).as("b"))): _*)
+    HyperplaneBuckets(vec, planes, tables, dims)
 
   /** ANN top-k: join query and corpus on LSH bucket, rank by cosine within
     * candidates. Recall grows with fewer planes (bigger buckets) or by
@@ -110,11 +104,11 @@ object Similarity {
       qVec: String, cVec: String, k: Int, planes: Int = 12,
       tables: Int = 4, dims: Int = 64): DataFrame = {
     val qb = queries.select(col(qId),
-      explode(tableBuckets(col(qVec), planes, tables, dims)).as("tb"))
-      .select(col(qId), col("tb.t").as("t"), col("tb.b").as("b"))
+      posexplode(tableBuckets(col(qVec), planes, tables, dims)))
+      .select(col(qId), col("pos").as("t"), col("col").as("b"))
     val cb = corpus.select(col(cId),
-      explode(tableBuckets(col(cVec), planes, tables, dims)).as("tb"))
-      .select(col(cId), col("tb.t").as("t"), col("tb.b").as("b"))
+      posexplode(tableBuckets(col(cVec), planes, tables, dims)))
+      .select(col(cId), col("pos").as("t"), col("col").as("b"))
     val pairs = qb.join(cb, Seq("t", "b"))
       .where(col(qId) =!= col(cId))
       .select(col(qId), col(cId))
@@ -142,8 +136,8 @@ object Similarity {
       threshold: Double = 0.95, planes: Int = 10, tables: Int = 4,
       dims: Int = 64): DataFrame = {
     val b = df.select(col(idCol),
-      explode(tableBuckets(col(vecCol), planes, tables, dims)).as("tb"))
-      .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+      posexplode(tableBuckets(col(vecCol), planes, tables, dims)))
+      .select(col(idCol), col("pos").as("t"), col("col").as("b"))
     val l = b.select(col(idCol).as("a_id"), col("t"), col("b"))
     val r = b.select(col(idCol).as("b_id"), col("t"), col("b"))
     val pairs = l.join(r, Seq("t", "b")).where(col("a_id") < col("b_id"))

@@ -3,8 +3,6 @@ package graft.checkpoint
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import scala.util.Try
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +21,10 @@ import graft.dsl.Check
   *  - The conv-id space is hash-split into `partitions` slices;
   *    conversations never straddle slices, so per-conversation constraints
   *    (uniqueness, RI, drift, rolling-z) are exact per slice.
+  *  - The input is staged ONCE into a directory-per-slice layout
+  *    (`staging/__slice=p/`), so each slice — and each RESUME — reads only
+  *    its own files via partition pruning instead of rescanning the full
+  *    table per slice (one read + one write total, vs P full scans).
   *  - Each slice writes violations/verdicts/metrics + a mergeable
   *    [[StatsState]] (counters, min/max, t-digest, HLL) then an atomic
   *    _DONE marker. Restart skips _DONE slices; aggregate verdicts come
@@ -33,20 +35,58 @@ object SnapshotTable {
   def pin(spark: SparkSession, dataDir: String, manifestPath: String): Seq[String] = {
     val files = spark.read.parquet(dataDir).inputFiles.sorted.toSeq
     val json = files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("{\"files\": [", ",", "]}")
+      .mkString(s"""{"count": ${files.size}, "files": [""", ",", "]}")
     Files.createDirectories(Paths.get(manifestPath).getParent)
     Files.write(Paths.get(manifestPath), json.getBytes(StandardCharsets.UTF_8))
     files
   }
 
+  /** Parse every JSON string literal in `json` (with escape handling) —
+    * a minimal but CORRECT reader for the manifest pin() writes: file
+    * paths survive quotes/backslashes, and nothing is silently dropped.
+    */
+  private[checkpoint] def jsonStrings(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < json.length) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < json.length && !closed) {
+          json.charAt(i) match {
+            case '\\' if i + 1 < json.length =>
+              sb.append(json.charAt(i + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case c => c // covers \" \\ \/
+              })
+              i += 2
+            case '"' => closed = true; i += 1
+            case c => sb.append(c); i += 1
+          }
+        }
+        out += sb.result()
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** Read exactly the pinned files — late-arriving files are invisible,
-    * so a resumed run sees the same rows the first attempt saw.
+    * so a resumed run sees the same rows the first attempt saw. Fails
+    * loudly if the manifest's stated count differs from the files parsed
+    * (a corrupt manifest must never silently shrink the input).
     */
   def read(spark: SparkSession, manifestPath: String): DataFrame = {
     val json = new String(Files.readAllBytes(Paths.get(manifestPath)),
       StandardCharsets.UTF_8)
-    val files = "\"(file:[^\"]+|[^\"]*\\.parquet)\"".r.findAllMatchIn(json)
-      .map(_.group(1)).toSeq.filterNot(_ == "files")
+    val strings = jsonStrings(json)
+    val files = strings.filterNot(s => s == "files" || s == "count")
+    val stated = """"count"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+    stated.foreach { n =>
+      require(files.size == n,
+        s"manifest $manifestPath pinned $n files but ${files.size} parsed — refusing to run on a partial input")
+    }
     spark.read.parquet(files: _*)
   }
 }
@@ -61,6 +101,22 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
   private def doneMarker(p: Int) = Paths.get(s"${pDir(p)}/_DONE")
   def isDone(p: Int): Boolean = Files.exists(doneMarker(p))
 
+  private def stagingDir = s"$checkpointDir/staging"
+  private def stagingDone = Paths.get(s"$stagingDir/_SUCCESS")
+
+  /** Stage the input ONCE into a directory per slice: a single read+write
+    * pass; afterwards every slice (including on resume) prunes to its own
+    * files. Idempotent — an interrupted staging write is redone (no _SUCCESS).
+    */
+  private def stage(df: DataFrame, check: Check): DataFrame = {
+    if (!Files.exists(stagingDone)) {
+      df.withColumn("__slice",
+          pmod(xxhash64(col(check.keyCol)), lit(partitions)).cast("int"))
+        .write.mode("overwrite").partitionBy("__slice").parquet(stagingDir)
+    }
+    spark.read.parquet(stagingDir)
+  }
+
   /** Run (or resume) the suite. Returns Some(violations, verdicts, metrics)
     * when all partitions are done; None if `maxPartitionsThisRun` stopped
     * the run early (kill-after-k simulation / budgeted incremental runs).
@@ -70,13 +126,14 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       withStatsState: Boolean = true,
       maxPartitionsThisRun: Int = Int.MaxValue)
       : Option[(DataFrame, DataFrame, Seq[PartitionMetrics])] = {
-    val partCol = pmod(xxhash64(col(check.keyCol)), lit(partitions))
     val todo = (0 until partitions).filterNot(isDone).take(maxPartitionsThisRun)
+    val staged = if (todo.nonEmpty) stage(df, check) else null
     todo.foreach { p =>
       val t0 = System.nanoTime()
-      val slice = df.where(partCol === p)
+      // partition pruning: only staging/__slice=p files are read
+      val slice = staged.where(col("__slice") === p).drop("__slice")
       val r = Validator.validate(slice, sliceCheck(check), ctx)
-      val violations = r.violations.cache()
+      val violations = r.violations
       violations.write.mode("overwrite").parquet(s"${pDir(p)}/violations")
       r.verdicts.write.mode("overwrite").parquet(s"${pDir(p)}/verdicts")
       if (withStatsState && StatsState.statedColumns(check).nonEmpty)
@@ -84,7 +141,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
           .parquet(s"${pDir(p)}/state")
       val rows = slice.count()
       val nViol = violations.count()
-      violations.unpersist()
+      r.unpersistAll()
       val wall = (System.nanoTime() - t0) / 1000000
       import spark.implicits._
       Seq(PartitionMetrics(p, rows, nViol, check.constraints.size, wall)).toDF()
@@ -121,9 +178,14 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     val verdicts = spark.read.parquet(done.map(p => s"${pDir(p)}/verdicts"): _*)
     val metrics = spark.read.parquet(done.map(p => s"${pDir(p)}/metrics"): _*)
       .as[PartitionMetrics].collect().toSeq.sortBy(_.partition)
-    val withAgg = if (StatsState.statedColumns(check).nonEmpty &&
-        Files.exists(Paths.get(s"${pDir(0)}/state"))) {
-      val states = spark.read.parquet(done.map(p => s"${pDir(p)}/state"): _*)
+    // EVERY done slice must carry state for the aggregate verdicts to be
+    // sound (a missing one would silently skew the merged stats)
+    val stateDirs = done.map(p => s"${pDir(p)}/state")
+    val haveState = stateDirs.count(d => Files.exists(Paths.get(d)))
+    val withAgg = if (StatsState.statedColumns(check).nonEmpty && haveState > 0) {
+      require(haveState == done.size,
+        s"only $haveState/${done.size} slices wrote StatsState — aggregate verdicts would be partial")
+      val states = spark.read.parquet(stateDirs: _*)
       val aggV = StatsState.aggVerdicts(StatsState.merge(states), check)
         .withColumn("violations", when(col("pass"), 0L).otherwise(1L))
         .withColumn("violation_rate", lit(0.0))

@@ -24,10 +24,14 @@ object StatsState {
       case c: StddevBetween => c.column
       case c: QuantileBetween => c.column
     }.distinct.map(_ -> true)
-    val categorical = check.constraints.collect {
+    val categorical = (check.constraints.collect {
       case c: DistinctCountBetween => c.column
       case c: NotNull => c.column
-    }.distinct.map(_ -> false)
+      // MinRows has no column of its own but still needs the row counter:
+      // state the key column so a MinRows-only check writes state and its
+      // global verdict survives a resumable run (n rides any state row)
+      case _: MinRows => check.keyCol
+    }).distinct.map(_ -> false)
     (numeric ++ categorical).groupBy(_._1)
       .map { case (c, vs) => c -> vs.exists(_._2) }.toSeq.sortBy(_._1)
   }

@@ -31,8 +31,15 @@ object Validator {
 
   final case class Context(dims: Map[String, DataFrame] = Map.empty)
 
-  final case class Result(violations: DataFrame, verdicts: DataFrame) {
+  /** `cached` lists every DataFrame validate() persisted (violations plus
+    * drift intermediates). Long-running callers (resumable slice loops,
+    * benchmark reps) MUST call [[Result.unpersistAll]] once the outputs are
+    * materialized, or cached blocks accumulate for the session's lifetime.
+    */
+  final case class Result(violations: DataFrame, verdicts: DataFrame,
+      cached: Seq[DataFrame] = Nil) {
     def violationCount: Long = violations.count()
+    def unpersistAll(): Unit = cached.foreach(_.unpersist())
   }
 
   private val violationSchema = StructType(Seq(
@@ -177,15 +184,20 @@ object Validator {
 
     // windowed row flags evaluated SEPARATELY on a pruned projection: the
     // per-conversation sort shuffles only (key, order, value) — never the
-    // text payload (at 10^12 turns the text bytes dominate shuffle IO)
+    // text payload (at 10^12 turns the text bytes dominate shuffle IO).
+    // The rolling window itself is the CHUNKED variant: a mega-conversation
+    // spreads over turns/chunk tasks instead of landing on one reducer
+    // (graft.series.Windows.boundedRollingStats; dense turn_idx required).
     val windowViolations: Seq[DataFrame] = check.constraints.collect {
       case c @ RollingZDrift(columnName, window, t) =>
-        val w = Window.partitionBy(key).orderBy(ord).rowsBetween(-(window - 1), 0)
         val v = col(columnName)
         val pruned = df.select(key, ord, v)
-        val n = count(v).over(w)
-        val z = (v - avg(v).over(w)) / stddev_samp(v).over(w)
-        explodeViolations(pruned, Seq(RowCheck(c, columnName,
+        val stats = graft.series.Windows.boundedRollingStats(
+          pruned, columnName, window, check.keyCol, check.orderCol)
+        val n = col(s"${columnName}_n")
+        val z = (v - col(s"${columnName}_rolling_mean")) /
+          col(s"${columnName}_rolling_std")
+        explodeViolations(stats, Seq(RowCheck(c, columnName,
           coalesce(n >= window && abs(z) > t, lit(false)),
           v.cast("string"), s"rolling|z|<=$t@$window")))
     }
@@ -223,9 +235,10 @@ object Validator {
     }
 
     // ---- pass 5: turn-rate drift -------------------------------------------
-    val driftResults: Seq[(DataFrame, DataFrame)] = check.constraints.collect {
-      case c: TurnRateDrift => turnRateDrift(df, check, c)
-    }
+    val driftResults: Seq[(DataFrame, DataFrame, Seq[DataFrame])] =
+      check.constraints.collect {
+        case c: TurnRateDrift => turnRateDrift(df, check, c)
+      }
 
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
@@ -289,14 +302,15 @@ object Validator {
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
       driftResults.map(_._2)).reduce(_ unionByName _)
 
-    Result(allViolations, allVerdicts)
+    Result(allViolations, allVerdicts,
+      cached = allViolations +: driftResults.flatMap(_._3))
   }
 
   /** Turn-rate drift: bucket per (conv, window(ts)) → decompose → residual
     * anomalies + per-conversation PSI/KS between first and second half.
     */
   private def turnRateDrift(df: DataFrame, check: Check, c: TurnRateDrift)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val key = check.keyCol
     // the bucketed series is tiny relative to the fact table (convs x
     // buckets) but feeds four consumers (decomposition, PSI, KS, bucket
@@ -357,6 +371,6 @@ object Validator {
         col("resid_anomalies").as("violations"),
         (col("resid_anomalies") / col("rows")).as("violation_rate"))
 
-    (violations, verdicts)
+    (violations, verdicts, Seq(series, anomalies))
   }
 }

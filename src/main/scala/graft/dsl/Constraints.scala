@@ -82,14 +82,18 @@ final case class DistinctCountBetween(column: String, lo: Long, hi: Long)
 
 // ---- statistical outlier families (global stats → row flags) ---------------
 
-/** Modified z-score (MAD-based) outliers (A6). */
+/** Modified z-score (MAD-based) outliers (A6). `approx` defaults to the
+  * one-pass sketch quantiles — the 10^12-row path; exact percentile is a
+  * full memory-heavy aggregation per column, opt in only for test-scale
+  * parity checks.
+  */
 final case class RobustZ(column: String, threshold: Double = 3.5,
-    approx: Boolean = false)
+    approx: Boolean = true)
   extends Constraint { val name = s"robust_z($column)" }
 
-/** IQR fence outliers (T5 semantics, global). */
+/** IQR fence outliers (T5 semantics, global). `approx` as in [[RobustZ]]. */
 final case class IqrOutliers(column: String, k: Double = 2.0,
-    approx: Boolean = false)
+    approx: Boolean = true)
   extends Constraint { val name = s"iqr($column)" }
 
 /** Plain global z-score outliers (reference statistical detector,

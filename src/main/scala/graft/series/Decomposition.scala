@@ -125,10 +125,18 @@ object Decomposition {
         val q = decomposed.where(col("resid").isNotNull).groupBy(key: _*).agg(
           expr("percentile(resid, 0.25)").as("rq1"),
           expr("percentile(resid, 0.75)").as("rq3"))
+        // fence comparisons carry a 1e-9-relative tolerance: with a
+        // degenerate IQR (constant-ish residuals) the fence EQUALS the
+        // common residual value and double-precision noise between rows
+        // (different trend-window summation groupings) would otherwise
+        // decide flags — an anomaly within 1e-9 of the fence is numerical
+        // fiction, not signal
+        val tol = lit(1e-9) *
+          greatest(abs(col("lo")), abs(col("hi")), lit(1.0))
         decomposed.join(q, keyCols)
           .withColumn("lo", col("rq1") - lit(threshold) * (col("rq3") - col("rq1")))
           .withColumn("hi", col("rq3") + lit(threshold) * (col("rq3") - col("rq1")))
-          .where(col("resid") < col("lo") || col("resid") > col("hi"))
+          .where(col("resid") < col("lo") - tol || col("resid") > col("hi") + tol)
           .drop("rq1", "rq3")
       case "zscore" =>
         val s = decomposed.where(col("resid").isNotNull).groupBy(key: _*).agg(

@@ -51,6 +51,41 @@ object Windows {
         coalesce(abs(z) > zThreshold, lit(false)))
   }
 
+  /** W1/W2 at mega-key scale: trailing rolling mean/std/count with a
+    * BOUNDED per-task row count. A plain `Window.partitionBy(key)` puts a
+    * whole conversation on one task — a 10^7-turn mega-thread becomes a
+    * single straggler. Here rows are chunked by `floor(ord / chunk)` with
+    * the previous chunk's last (window-1) rows duplicated in as a halo
+    * (one scan: the halo rides an explode, not a second read), the window
+    * runs within (key, chunk), and each row is emitted only by its home
+    * chunk — so no task ever sorts more than chunk + window - 1 rows of
+    * one key, and a mega-thread spreads over n/chunk tasks.
+    *
+    * Requires a DENSE integer order column (turn_idx = 0..n-1, the north-
+    * rule data model): halo membership is decided by ord value, which
+    * equals the row position only when the index has no gaps. With gaps a
+    * head-of-chunk window may see fewer than `window` rows and stay
+    * un-flagged (never a false positive). Identical to the plain window
+    * on dense input (WindowsSpec asserts equality).
+    */
+  def boundedRollingStats(df: DataFrame, valueCol: String, window: Int,
+      keyCol: String, ordCol: String, chunk: Int = 1 << 16): DataFrame = {
+    require(chunk >= window, s"chunk ($chunk) must be >= window ($window)")
+    val ord = col(ordCol).cast("long")
+    val haloNeeded = pmod(ord, lit(chunk.toLong)) >= (chunk - (window - 1)).toLong
+    val w = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(col(ordCol))
+      .rowsBetween(-(window - 1), 0)
+    val v = col(valueCol)
+    df.withColumn("__copy", explode(
+        when(haloNeeded, array(lit(0), lit(1))).otherwise(array(lit(0)))))
+      .withColumn("__chunk", floor(ord / chunk) + col("__copy"))
+      .withColumn(s"${valueCol}_n", count(v).over(w))
+      .withColumn(s"${valueCol}_rolling_mean", avg(v).over(w))
+      .withColumn(s"${valueCol}_rolling_std", stddev_samp(v).over(w))
+      .where(col("__copy") === 0)
+      .drop("__copy", "__chunk")
+  }
+
   /** W3: centered rolling mean (smoothing; reference src/preprocessing.py:230-234). */
   def centeredMean(df: DataFrame, valueCol: String, window: Int,
       partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {

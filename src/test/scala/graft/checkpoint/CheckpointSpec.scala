@@ -77,6 +77,56 @@ class CheckpointSpec extends GraftSuite {
     assert(afterPin == before, "pinned read must not see late files")
   }
 
+  test("slices read only their own staged files (one-scan resume layout)") {
+    val dir = Files.createTempDirectory("graft_cp3").toString
+    val r = new ResumableValidation(spark, dir, partitions = 4)
+    assert(r.run(transcripts, check, ctx, maxPartitionsThisRun = 1).isEmpty)
+    // staging happened once, directory-per-slice
+    val staged = spark.read.parquet(s"$dir/staging")
+    // input_file_name over EXECUTED rows = files actually read after
+    // partition pruning (DataFrame.inputFiles ignores filters)
+    val allFiles = staged.select(input_file_name()).distinct().count()
+    val sliceFiles = staged.where(col("__slice") === 0)
+      .select(input_file_name()).distinct().count()
+    assert(sliceFiles < allFiles,
+      s"slice scan reads $sliceFiles of $allFiles files — no pruning")
+    assert(staged.inputFiles.forall(_.contains("__slice=")))
+    // resume completes from the staged layout and matches a direct count
+    val Some((_, _, metrics)) = new ResumableValidation(spark, dir, 4)
+      .run(transcripts, check, ctx)
+    assert(metrics.map(_.rows).sum == transcripts.count())
+  }
+
+  test("MinRows-only check still gets a global verdict after resume") {
+    val dir = Files.createTempDirectory("graft_cp4").toString
+    val only = Check("minrows", Seq(MinRows(100)))
+    val r = new ResumableValidation(spark, dir, partitions = 2)
+    val Some((_, verdicts, _)) = r.run(transcripts, only, ctx)
+    val glob = verdicts.where(col("partition_key") === "(global)")
+      .select("constraint", "pass").as[(String, Boolean)].collect().toMap
+    assert(glob.get("min_rows(100)").contains(true),
+      s"global MinRows verdict missing: $glob")
+  }
+
+  test("manifest with a stated count refuses a truncated file list") {
+    val dir = Files.createTempDirectory("graft_snap2").toString
+    transcripts.limit(10).repartition(3).write.parquet(s"$dir/data")
+    val manifest = s"$dir/manifest.json"
+    SnapshotTable.pin(spark, s"$dir/data", manifest)
+    val json = new String(Files.readAllBytes(java.nio.file.Paths.get(manifest)))
+    // corrupt: drop the first file entry (paths have no escapes here) but
+    // keep the stated count
+    val firstFile = SnapshotTable.jsonStrings(json)
+      .filterNot(s => s == "files" || s == "count").head
+    val corrupted = json.replace("\"" + firstFile + "\",", "")
+    assert(corrupted != json, "corruption must remove an entry")
+    Files.write(java.nio.file.Paths.get(manifest), corrupted.getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, manifest)
+    }
+    assert(ex.getMessage.contains("refusing"))
+  }
+
   test("stats state merge is partition-order independent") {
     val s1 = StatsState.compute(transcripts.where(
       pmod(xxhash64(col("conv_id")), lit(2)) === 0), check)

@@ -103,6 +103,25 @@ class ValidatorSpec extends GraftSuite {
     assert(verdicts.where(col("pass")).count() > 0, "sane convs should pass")
   }
 
+  test("RobustZ/IqrOutliers approx defaults flag the same rows as exact " +
+      "on a well-separated fixture") {
+    // values 0..999 plus extreme outliers: approx (percentile_approx) and
+    // exact quantiles agree on which rows breach a 3.5-MAD / 2-IQR fence
+    val df = ((0 until 1000).map(i => ("c0", i, i.toDouble)) ++
+      Seq(("c0", 1000, 1e7), ("c0", 1001, -1e7)))
+      .toDF("conv_id", "turn_idx", "v")
+    val approx = Validator.validate(df,
+      Check("a", Seq(RobustZ("v"), IqrOutliers("v"))), dims)
+    val exact = Validator.validate(df,
+      Check("a", Seq(RobustZ("v", approx = false), IqrOutliers("v", approx = false))), dims)
+    def keys(r: Validator.Result) = r.violations
+      .select("constraint", "turn_idx").collect()
+      .map(x => (x.getString(0), x.getInt(1))).toSet
+    val ka = keys(approx)
+    assert(ka == keys(exact))
+    assert(ka.exists(_._2 == 1000) && ka.exists(_._2 == 1001))
+  }
+
   test("violations carry usable diagnostics") {
     val r = result.violations.where(col("constraint") === "ref(role->role_dim)")
       .select("observed", "bound").distinct().collect()

@@ -48,6 +48,48 @@ class SkewSpec extends GraftSuite {
     assert(va == vb)
   }
 
+  test("chunked rolling window bounds per-task rows for a mega-conversation " +
+      "with verdicts unchanged") {
+    import graft.series.Windows
+    // one mega conversation (megaFactor 200 ≫ the default 50) + normals;
+    // dupRate huge → dense unique turn_idx so chunked == plain exactly
+    val t = TranscriptGen.generate(spark, nConvs = 101, baseTurns = 40,
+      megaFactor = 200, dupRate = Int.MaxValue)
+      .withColumn("v", pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(1000))
+        .cast("double"))
+    val chunk = 512 // mega conv has 8000 turns → must spread over ≥15 chunks
+    val bounded = Windows.boundedRollingStats(t, "v", 24, "conv_id", "turn_idx",
+      chunk = chunk)
+    // per-(key, chunk) group never exceeds chunk + window - 1 rows
+    val grp = t.groupBy(col("conv_id"), floor(col("turn_idx").cast("long") / chunk))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(grp <= chunk, s"home-chunk group has $grp rows")
+
+    // identical to the plain unbounded window on dense input
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(-23, 0)
+    val plain = t
+      .withColumn("v_n", count(col("v")).over(w))
+      .withColumn("v_rolling_mean", avg(col("v")).over(w))
+      .withColumn("v_rolling_std", stddev_samp(col("v")).over(w))
+    val key = Seq("conv_id", "turn_idx")
+    val a = bounded.select("conv_id", "turn_idx", "v_n", "v_rolling_mean", "v_rolling_std")
+      .orderBy(key.map(col): _*).collect().toSeq
+    val b = plain.select("conv_id", "turn_idx", "v_n", "v_rolling_mean", "v_rolling_std")
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(2) == y.getLong(2), s"n differs at ${x.get(0)},${x.get(1)}")
+      Seq(3, 4).foreach { i =>
+        val (xa, ya) = (x.isNullAt(i), y.isNullAt(i))
+        assert(xa == ya, s"nullity differs at ${x.get(0)},${x.get(1)} col $i")
+        if (!xa) assert(math.abs(x.getDouble(i) - y.getDouble(i)) < 1e-9,
+          s"value differs at ${x.get(0)},${x.get(1)} col $i")
+      }
+    }
+  }
+
   test("mega-key census finds exactly the mega conversations") {
     val t = TranscriptGen.generate(spark, nConvs = 300, baseTurns = 40,
       megaFactor = 50)

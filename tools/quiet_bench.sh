@@ -21,7 +21,7 @@ while true; do
 done
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_BENCH_CONVS=${SPARK_GRAFT_BENCH_CONVS:-400000} \
+SPARK_GRAFT_BENCH_CONVS=${SPARK_GRAFT_BENCH_CONVS:-150000} \
 SPARK_GRAFT_SCALING=${SPARK_GRAFT_SCALING:-2,8} \
 SPARK_GRAFT_BENCH_REPS=${SPARK_GRAFT_BENCH_REPS:-3} \
 SPARK_GRAFT_SKIP_QUERIES=1 \
