@@ -118,7 +118,28 @@ object Validator {
     case class RowCheck(c: Constraint, column: String, violated: Column,
         observed: Column, bound: String)
 
+    // small dimensions compile REFERENTIAL INTEGRITY to an inline isin row
+    // check fused into the single row-flags projection — no anti-join
+    // stage, no per-action broadcast build. Big dims (> 1024 values) keep
+    // the broadcast anti-join (the only shape that works when the dim
+    // itself is large). The probe is one tiny plan-time job per dim.
+    val inlineDimValues: Map[String, Seq[Any]] = check.constraints.collect {
+      case ReferentialIntegrity(_, dimName, dimCol, _) =>
+        val dim = ctx.dims.getOrElse(dimName,
+          throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
+        val probe = dim.select(col(dimCol)).distinct().limit(1025).collect()
+        dimName -> (if (probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
+    }.toMap
+
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
+          if inlineDimValues(dimName) != null =>
+        val values = inlineDimValues(dimName)
+        val in = col(columnName).isin(values: _*)
+        val violated = if (nullOk) col(columnName).isNotNull && !in
+          else col(columnName).isNull || !coalesce(in, lit(false))
+        Some(RowCheck(c, columnName, violated, col(columnName),
+          s"in dim $dimName.$dimCol"))
       case c @ NotNull(columnName, _) =>
         Some(RowCheck(c, columnName, col(columnName).isNull,
           lit(null).cast("string"), "not null"))
@@ -182,6 +203,25 @@ object Validator {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], violationSchema)
 
+    // A UniqueKey on exactly (keyCol, orderCol) rides the rolling window's
+    // exchange+sort for free (peer census in the same Window stage) —
+    // one fewer full scan + shuffle. Other key tuples keep their groupBy.
+    val fusedUnique: Option[UniqueKey] = check.constraints.collectFirst {
+      case u @ UniqueKey(cols)
+          if cols == Seq(check.keyCol, check.orderCol) &&
+            check.constraints.exists(_.isInstanceOf[RollingZDrift]) => u
+    }
+
+    def uniqueRows(u: UniqueKey, src: DataFrame, nCol: Column): DataFrame =
+      src.select(lit(u.name).as("constraint"),
+        key.cast("string").as("conv_id"),
+        (if (u.columns.contains(check.orderCol)) ord.cast("int")
+         else lit(-1)).as("turn_idx"),
+        lit(u.columns.mkString(",")).as("column"),
+        nCol.cast("string").as("observed"),
+        lit("1 copy").as("bound"),
+        lit(u.severity).as("severity"))
+
     // windowed row flags evaluated SEPARATELY on a pruned projection: the
     // per-conversation sort shuffles only (key, order, value) — never the
     // text payload (at 10^12 turns the text bytes dominate shuffle IO).
@@ -193,35 +233,37 @@ object Validator {
         val v = col(columnName)
         val pruned = df.select(key, ord, v)
         val stats = graft.series.Windows.boundedRollingStats(
-          pruned, columnName, window, check.keyCol, check.orderCol)
+          pruned, columnName, window, check.keyCol, check.orderCol,
+          withOrdPeers = fusedUnique.nonEmpty)
         val n = col(s"${columnName}_n")
         val z = (v - col(s"${columnName}_rolling_mean")) /
           col(s"${columnName}_rolling_std")
-        explodeViolations(stats, Seq(RowCheck(c, columnName,
+        val rolling = explodeViolations(stats, Seq(RowCheck(c, columnName,
           coalesce(n >= window && abs(z) > t, lit(false)),
           v.cast("string"), s"rolling|z|<=$t@$window")))
+        val dups = fusedUnique.toSeq.map { u =>
+          uniqueRows(u,
+            stats.where(col("__ord_peers") > 1 && col("__ord_first")),
+            col("__ord_peers"))
+        }
+        (Seq(rolling) ++ dups).reduce(_ unionByName _)
     }
 
-    // ---- pass 3: uniqueness ------------------------------------------------
+    // ---- pass 3: uniqueness (non-fused key tuples) --------------------------
     val uniqueViolations: Seq[DataFrame] = check.constraints.collect {
-      case c @ UniqueKey(cols) =>
-        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1)
-          .select(lit(c.name).as("constraint"),
-            col(check.keyCol).cast("string").as("conv_id"),
-            (if (cols.contains(check.orderCol)) col(check.orderCol).cast("int")
-             else lit(-1)).as("turn_idx"),
-            lit(cols.mkString(",")).as("column"),
-            col("__n").cast("string").as("observed"),
-            lit("1 copy").as("bound"),
-            lit(c.severity).as("severity"))
+      case c @ UniqueKey(cols) if !fusedUnique.contains(c) =>
+        uniqueRows(c,
+          df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+            .where(col("__n") > 1),
+          col("__n"))
     }
 
-    // ---- pass 4: referential integrity (broadcast anti-join) ---------------
+    // ---- pass 4: referential integrity (broadcast anti-join; big dims
+    // only — small dims were compiled into the row-flags pass above) ------
     val refViolations: Seq[DataFrame] = check.constraints.collect {
-      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk) =>
-        val dim = ctx.dims.getOrElse(dimName,
-          throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
+          if inlineDimValues(dimName) == null =>
+        val dim = ctx.dims(dimName)
         val base = if (nullOk) df.where(col(columnName).isNotNull) else df
         base.join(broadcast(dim.select(col(dimCol).as(columnName)).distinct()),
             Seq(columnName), "left_anti")
@@ -256,7 +298,11 @@ object Validator {
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
       check.constraints.collect { case c: UniqueKey => (c.name, 0.0) } ++
-      check.constraints.collect { case c: ReferentialIntegrity => (c.name, 0.0) }
+      // inlined RIs already ride rowChecks under the same constraint name
+      check.constraints.collect {
+        case c: ReferentialIntegrity if inlineDimValues(c.dim) == null =>
+          (c.name, 0.0)
+      }
 
     val convRows = df.groupBy(key.cast("string").as("conv_id"))
       .agg(count(lit(1)).as("rows"))

@@ -69,19 +69,37 @@ object Windows {
     * on dense input (WindowsSpec asserts equality).
     */
   def boundedRollingStats(df: DataFrame, valueCol: String, window: Int,
-      keyCol: String, ordCol: String, chunk: Int = 1 << 16): DataFrame = {
+      keyCol: String, ordCol: String, chunk: Int = 1 << 16,
+      withOrdPeers: Boolean = false): DataFrame = {
     require(chunk >= window, s"chunk ($chunk) must be >= window ($window)")
     val ord = col(ordCol).cast("long")
     val haloNeeded = pmod(ord, lit(chunk.toLong)) >= (chunk - (window - 1)).toLong
     val w = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(col(ordCol))
       .rowsBetween(-(window - 1), 0)
     val v = col(valueCol)
-    df.withColumn("__copy", explode(
+    val base = df.withColumn("__copy", explode(
         when(haloNeeded, array(lit(0), lit(1))).otherwise(array(lit(0)))))
       .withColumn("__chunk", floor(ord / chunk) + col("__copy"))
       .withColumn(s"${valueCol}_n", count(v).over(w))
       .withColumn(s"${valueCol}_rolling_mean", avg(v).over(w))
       .withColumn(s"${valueCol}_rolling_std", stddev_samp(v).over(w))
+    // optional duplicate-key census riding the SAME exchange+sort (the
+    // peers/lag specs share the window's partitioning and order, so Spark
+    // plans them in the same Window stage — a UniqueKey(key, ord) check
+    // gets its groupBy for free): __ord_peers = copies of this ord value,
+    // __ord_first = this row is the tie-group representative. Halo rows
+    // occupy a disjoint ord range in their landing chunk, so peer counts
+    // see home rows only.
+    val withPeers = if (!withOrdPeers) base else {
+      val wPeers = Window.partitionBy(col(keyCol), col("__chunk"))
+        .orderBy(ord).rangeBetween(0, 0)
+      val wSeq = Window.partitionBy(col(keyCol), col("__chunk")).orderBy(col(ordCol))
+      base
+        .withColumn("__ord_peers", count(lit(1)).over(wPeers))
+        .withColumn("__ord_first",
+          coalesce(!(ord <=> lag(ord, 1).over(wSeq)), lit(true)))
+    }
+    withPeers
       .where(col("__copy") === 0)
       .drop("__copy", "__chunk")
   }

@@ -11,6 +11,11 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's async checkpoint-file checksum writer deadlocks
+      // stateful-streaming commits in local mode (all task slots park in
+      // ChecksumCheckpointFileManager.awaitResult) — integrity checksums
+      // add nothing on a local temp checkpoint, so disable for tests
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
