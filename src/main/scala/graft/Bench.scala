@@ -136,12 +136,16 @@ object Bench {
   }
 
   /** Fork a child JVM for one (level, rep) measurement; returns the timed
-    * wall. Classpath is inherited (sbt `run / fork := true` launches Bench
-    * with a real -classpath); module opens + heap mirror build.sbt so the
-    * child is configured identically to the parent.
+    * wall + process-CPU seconds, or a Left describing why the measurement
+    * is missing (non-zero exit, timeout) — a flaky child must degrade to a
+    * recorded error, never abort the main (the driver contract is ONE JSON
+    * line on stdout no matter what). Classpath is inherited (sbt
+    * `run / fork := true` launches Bench with a real -classpath); module
+    * opens + heap mirror build.sbt so the child is configured identically
+    * to the parent.
     */
-  private def forkSuite(cpus: Int, dataPath: String,
-      warmPath: String): (Double, Double) = {
+  private def forkSuite(cpus: Int, dataPath: String, warmPath: String,
+      timeoutSec: Double): Either[String, (Double, Double)] = {
     val out = java.io.File.createTempFile("graft_bench_wall_", ".txt")
     out.deleteOnExit()
     val javaBin = s"${sys.props("java.home")}/bin/java"
@@ -164,23 +168,45 @@ object Bench {
     pb.redirectOutput(ProcessBuilder.Redirect.INHERIT) // spark WARNs only
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val rc = pb.start().waitFor()
-    require(rc == 0, s"bench child (local[$cpus]) exited $rc")
-    val Array(w, c) = new String(
-      java.nio.file.Files.readAllBytes(out.toPath), "UTF-8").trim.split(",")
-    (w.toDouble, c.toDouble)
+    val p = pb.start()
+    val finished = p.waitFor(math.max(30L, timeoutSec.toLong),
+      java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      p.destroyForcibly(); p.waitFor()
+      Left(f"local[$cpus] child timed out after $timeoutSec%.0fs")
+    } else if (p.exitValue() != 0) {
+      Left(s"local[$cpus] child exited ${p.exitValue()}")
+    } else {
+      val Array(w, c) = new String(
+        java.nio.file.Files.readAllBytes(out.toPath), "UTF-8").trim.split(",")
+      Right((w.toDouble, c.toDouble))
+    }
   }
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--child")) return childMain(args.tail)
+    val t0Main = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0Main) / 1e9
+    // ONE wall budget around the WHOLE main (r2 lesson: a phase-3-only,
+    // between-rounds guard let phases 1/2/4 run unbudgeted and the driver
+    // killed the process before any JSON was printed). On expiry every
+    // remaining measurement is skipped — never started — and the JSON is
+    // emitted with whatever was measured, flagged "incomplete".
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "960").toDouble
+    val reserveSec = 15.0 // always keep enough to stringify + print
+    def remaining: Double = budgetSec - elapsed - reserveSec
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 180k convs ≈ 10.6M turns: with every pass doing FULL work in a
-    // fresh forked JVM (no cache reuse, no cross-level JVM contamination)
+    // 150k convs ≈ 8.9M turns: with every pass doing FULL work in a fresh
+    // forked JVM (no cache reuse, no cross-level JVM contamination)
     // per-turn constraint evaluation dominates both levels; measured
-    // efficiency at this size ≥0.8 with margin while the whole bench stays
-    // under ~20 min (probe data in BASELINE.md)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "180000").toLong
+    // efficiency at this size 0.809 (BASELINE.md probes) while TWO full
+    // interleaved rounds + the peak fork fit the budget — min-of-2 per
+    // level is the noise armor a shared host needs (r3 lesson: one
+    // neighbor spike to load 19 turned a single-obs local[4] wall into
+    // 278s vs 61s quiet, and a 1-obs run had no retry to absorb it)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
     // N vs 4N cores. 1->4 is the pair that models per-executor cluster
     // scaling on this shared 32-core sandbox host: probes (BASELINE.md)
     // show task-CPU inflation of +22% from 1->8 resident threads (shared
@@ -191,101 +217,198 @@ object Bench {
     // a single-box artifact, not a property of the engine's plan.
     val scalingPair = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1,4")
       .split(",").map(_.trim.toInt)
+    val loN = scalingPair.head
+    val hiN = scalingPair.last
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "3").toInt
+    // peak phase: attempted by default when budget remains; "0" disables
+    val peakEnabled = !sys.env.get("SPARK_GRAFT_PEAK").contains("0")
 
-    // ---- phase 1: per-query timings on the driver's sf dir ----------------
-    var spark = newSession(cpus)
-    // warm the JVM/codegen paths before measuring
-    Tables.events(spark, sfDir).count()
-    SparkEntry.queries("q03_column_stats")(spark, sfDir).count()
+    // ---- mutable result state: emit() can run at ANY point ----------------
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    var results: Seq[(String, Either[String, Double])] = Seq.empty
+    var totalTurns = 0L
+    var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
+    var cpus3 = Map.empty[Int, List[Double]].withDefaultValue(Nil)
+    var peakWalls: List[Double] = Nil
+    // host load sampled right before/after each fork, per level — lets a
+    // reader see exactly which observation a neighbor spike poisoned
+    var forkLoads = Map.empty[Int, List[(Double, Double)]].withDefaultValue(Nil)
 
-    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    // (name, Right(seconds) | Left(error)) — a broken query must surface as
-    // an error in the JSON, never as a fake timing
-    val results: Seq[(String, Either[String, Double])] =
-      if (skipQueries) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    def jStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+    def emit(): Unit = {
+      val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qErrs = results.collect { case (k, Left(e)) =>
+        "\"" + k + "\":" + jStr(e) }.mkString("{", ",", "}")
+      val total = results.collect { case (_, Right(v)) => v }.sum
+      val loWall = walls(loN).minOption
+      val hiWall = walls(hiN).minOption
+      def thr(w: Option[Double]): Option[Double] =
+        if (totalTurns > 0) w.map(totalTurns / _) else None
+      val loThr = thr(loWall); val hiThr = thr(hiWall)
+      val peakWall = peakWalls.minOption
+      val peakThr = thr(peakWall)
+      val efficiency = for (l <- loThr; h <- hiThr)
+        yield (h / l) / (hiN.toDouble / loN)
+      // headline = peak if measured, else the high scaling level — the
+      // metric is the same (validated turns/sec), just at fewer cores
+      val headline = peakThr.orElse(hiThr)
+      val incomplete = headline.isEmpty || efficiency.isEmpty
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      def num(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
+      val thrMap = (Seq(loN -> loThr, hiN -> hiThr) ++
+        (if (peakThr.isDefined) Seq(cpus -> peakThr) else Nil))
+        .map { case (n, t) => s""""local$n":${num(t)}""" }.mkString("{", ",", "}")
+      val wallMap = (Seq(loN -> loWall, hiN -> hiWall) ++
+        (if (peakWall.isDefined) Seq(cpus -> peakWall) else Nil))
+        .map { case (n, w) => s""""local$n":${num(w)}""" }.mkString("{", ",", "}")
+      val loadsMap = forkLoads.toSeq.sortBy(_._1).map { case (n, ls) =>
+        s""""local$n":${ls.reverse.map { case (a, b) => s"[$a,$b]" }
+          .mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
+    }
+
+    try {
+      // ---- phase 1: per-query timings on the driver's sf dir --------------
+      val spark = newSession(cpus)
+      // warm the JVM/codegen paths before measuring
+      Tables.events(spark, sfDir).count()
+      SparkEntry.queries("q03_column_stats")(spark, sfDir).count()
+
+      val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+      // phase-1 soft cap: the scaling measurement is the authoritative gate
+      // and must never be starved by slow queries — past 30% of the budget,
+      // remaining queries are recorded as skipped, not silently dropped
+      val phase1Cap = 0.30 * budgetSec
+      // (name, Right(seconds) | Left(error)) — a broken query must surface
+      // as an error in the JSON, never as a fake timing
+      results =
+        if (skipQueries) Seq.empty
+        else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          if (elapsed > phase1Cap) name -> Left("skipped(budget)")
+          else {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              name -> Right((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            }
+          }
+        }
+
+      // ---- phase 2: generate the bench transcript table once --------------
+      val dataPath = s"$scratchRoot/table_${nConvs}"
+      if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
+        TranscriptGen.generate(spark, nConvs)
+          .write.mode("overwrite").parquet(dataPath)
+      }
+      // small warm-up table: enough to JIT/codegen every suite path without
+      // paying a full-size pass per level
+      val warmConvs = math.max(nConvs / 10, 10000L)
+      val warmPath = s"$scratchRoot/table_warm_${warmConvs}"
+      if (!new java.io.File(s"$warmPath/_SUCCESS").exists()) {
+        TranscriptGen.generate(spark, warmConvs)
+          .write.mode("overwrite").parquet(warmPath)
+      }
+      totalTurns = spark.read.parquet(dataPath).count()
+      spark.stop()
+
+      // ---- phase 3: suite throughput at the two parallelism levels --------
+      // the sandbox host is shared (noisy neighbours): take the MIN wall
+      // per level — min is robust to additive load spikes. Round 1 measures
+      // each level once; extra observations are added cheapest-level-first
+      // while the budget allows (and while a level's two best walls
+      // disagree >10%), up to maxReps per level. Every fork is capped at
+      // the remaining budget and a failed/timed-out child records an error
+      // instead of aborting.
+      // Quiet-window wait: a fork launched into a neighbor load spike
+      // measures the neighbors, not the engine (r3: load 19 inflated a
+      // local[4] pass 4x in task-CPU). Sleeping costs wall but no
+      // correctness, so before each fork wait (bounded) for load to drop —
+      // but never wait past the point where the fork itself stops fitting
+      // the budget.
+      val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "5.0").toDouble
+      val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "150").toDouble
+      def waitForQuiet(forkCostEst: Double): Unit = {
+        val waitDeadline = math.min(quietWaitMax,
+          remaining - 1.35 * forkCostEst)
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        def waited = (System.nanoTime() - t0) / 1e9
+        while (loadAvg > quietLoad && waited < waitDeadline)
+          Thread.sleep(10000)
+      }
+      def tryFork(n: Int, costEst: Double, isPeak: Boolean = false): Boolean = {
+        val cap = remaining
+        if (cap <= 30) { errors += s"skipped local[$n]: budget"; false }
+        else {
+          waitForQuiet(costEst)
+          val before = loadAvg
+          val r = forkSuite(n, dataPath, warmPath, remaining)
+          forkLoads += n -> ((before, loadAvg) :: forkLoads(n))
+          r match {
+            case Right((w, c)) =>
+              if (isPeak) peakWalls ::= w
+              else { walls += n -> (w :: walls(n)); cpus3 += n -> (c :: cpus3(n)) }
+              true
+            case Left(e) => errors += e; false
+          }
+        }
+      }
+      // JVM + spark startup + warm pass, per fork (measured ~45-60s)
+      val overheadEst = 60.0
+      def estCost(n: Int): Double =
+        walls(n).minOption.map(_ + overheadEst).getOrElse(
+          // unmeasured: assume linear scaling from the other level if known,
+          // else a rough prior (~300 core-seconds of suite work)
+          walls.collectFirst { case (m, ws) if ws.nonEmpty =>
+            ws.min * m.toDouble / n + overheadEst }
+            .getOrElse(300.0 / n + overheadEst))
+      def levelStable(n: Int): Boolean = {
+        val best2 = walls(n).sorted.take(2)
+        best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
+      }
+      // round 1: one observation per level, slow level first (if the
+      // budget dies mid-phase we'd rather have the expensive leg measured)
+      scalingPair.sortBy(n => -estCost(n)).foreach(n => tryFork(n, estCost(n)))
+      // retry a level that produced nothing (child crash) once
+      scalingPair.filter(walls(_).isEmpty)
+        .foreach(n => if (remaining > 1.25 * estCost(n)) tryFork(n, estCost(n)))
+      // round 2 (and a bounded round 3 for still-unstable levels): min-of-2+
+      // per level keeps one noisy observation from either failing the gate
+      // (inflated hi wall) or dishonestly inflating efficiency (inflated lo
+      // wall). Interleaved ordering — cheapest level first — so a budget
+      // expiry mid-round still leaves balanced coverage.
+      var added = true
+      while (added) {
+        added = false
+        scalingPair.sortBy(estCost).foreach { n =>
+          if (!added && walls(n).nonEmpty && walls(n).size < maxReps &&
+              !levelStable(n) && remaining > 1.25 * estCost(n))
+            added = tryFork(n, estCost(n))
         }
       }
 
-    // ---- phase 2: generate the bench transcript table once ----------------
-    val dataPath = s"$scratchRoot/table_${nConvs}"
-    if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
-      TranscriptGen.generate(spark, nConvs)
-        .write.mode("overwrite").parquet(dataPath)
-    }
-    // small warm-up table: enough to JIT/codegen every suite path without
-    // paying a full-size pass per level
-    val warmConvs = math.max(nConvs / 10, 10000L)
-    val warmPath = s"$scratchRoot/table_warm_${warmConvs}"
-    if (!new java.io.File(s"$warmPath/_SUCCESS").exists()) {
-      TranscriptGen.generate(spark, warmConvs)
-        .write.mode("overwrite").parquet(warmPath)
-    }
-    val totalTurns = spark.read.parquet(dataPath).count()
-    spark.stop()
-
-    // ---- phase 3: suite throughput at the two parallelism levels ----------
-    // the sandbox host is shared (noisy neighbours): interleave the levels
-    // per round and take the MIN wall per level — min is robust to external
-    // load spikes, and interleaving cancels slow drift. Rounds are
-    // ADAPTIVE: run at least `reps`, then keep going (to `maxReps`) until
-    // the two best walls of EVERY level agree within 10% — a level whose
-    // fastest two observations disagree by more was hit by noise, and its
-    // min is not yet trustworthy.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt
-    // stop adding rounds past this much phase-3 wall (driver-run guard)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
-    var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
-    var cpus3 = Map.empty[Int, List[Double]].withDefaultValue(Nil)
-    def stable: Boolean = scalingPair.forall { n =>
-      val best2 = walls(n).sorted.take(2)
-      best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
-    }
-    val phase3Start = System.nanoTime()
-    def withinBudget: Boolean = (System.nanoTime() - phase3Start) / 1e9 < budgetSec
-    var round = 0
-    while ((round < reps || (round < maxReps && !stable)) &&
-        (round == 0 || withinBudget)) {
-      round += 1
-      scalingPair.foreach { n =>
-        val (w, c) = forkSuite(n, dataPath, warmPath)
-        walls += n -> (w :: walls(n))
-        cpus3 += n -> (c :: cpus3(n))
+      // ---- phase 4: single-node peak throughput (headline, local[cpus]) ---
+      // measured only if the budget allows — the scaling pair is the gate,
+      // the peak is the headline garnish. 32 threads need the whole box, so
+      // min of up to 2 attempts when there's room.
+      if (peakEnabled && totalTurns > 0) {
+        val peakEst = walls(hiN).minOption.map(_ * hiN.toDouble / cpus * 2)
+          .getOrElse(60.0) + overheadEst
+        if (remaining > 1.25 * peakEst) tryFork(cpus, peakEst, isPeak = true)
+        if (peakWalls.nonEmpty && remaining > 1.25 * peakEst)
+          tryFork(cpus, peakEst, isPeak = true)
       }
-    }
-    val loN = scalingPair.head
-    val hiN = scalingPair.last
-    val loWall = walls(loN).min
-    val hiWall = walls(hiN).min
-    val loThr = totalTurns / loWall
-    val hiThr = totalTurns / hiWall
-    val efficiency = (hiThr / loThr) / (hiN.toDouble / loN)
-
-    // ---- phase 4: single-node peak throughput (headline, local[cpus]) -----
-    // the scaling pair uses small core counts (see above); peak throughput
-    // on the full machine is measured separately so the headline stays
-    // comparable across rounds and to BASELINE.md's single-node numbers.
-    // 32 threads need the WHOLE box, so this is the most noise-exposed
-    // measurement — min of 2 attempts
-    val peakWall = math.min(forkSuite(cpus, dataPath, warmPath)._1,
-      forkSuite(cpus, dataPath, warmPath)._1)
-    val peakThr = totalTurns / peakWall
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
-
-    val qs = results.collect { case (k, Right(v)) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qErrs = results.collect { case (k, Left(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":$peakThr,"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":"$sfDir","bench_turns":$totalTurns,"throughput":{"local$loN":$loThr,"local$hiN":$hiThr,"local$cpus":$peakThr},"wall_sec":{"local$loN":$loWall,"local$hiN":$hiWall,"local$cpus":$peakWall},"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"scaling_efficiency":$efficiency,"host_load_avg":$load}""")
+    } catch { case e: Throwable =>
+      errors += s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
+    } finally emit()
   }
 }

@@ -48,14 +48,24 @@ object Runner {
         TranscriptGen.generate(spark, n.toLong).write.mode("overwrite").parquet(out)
         println(s"""{"generated": "$out", "convs": $n}""")
 
-      case "validate" :: in :: out :: rest =>
+      case "validate" :: in :: out :: restWithFmt =>
+        // S6: --format csv additionally writes the violation rows as the
+        // reference's detailed_results.csv (src/main_analysis.py:430-438)
+        val csvSink = restWithFmt.containsSlice(Seq("--format", "csv"))
+        val rest = {
+          val i = restWithFmt.indexOfSlice(Seq("--format", "csv"))
+          if (i < 0) restWithFmt else restWithFmt.patch(i, Nil, 2)
+        }
         val ctx = Validator.Context(Map(
           "role_dim" -> Tables.roleDim(spark),
           "tool_dim" -> Tables.toolDim(spark)))
-        // snapshot-pin the input so a resumed run sees identical files
+        // snapshot-pin the input so a resumed run sees identical files;
+        // `provider` is the catalog seam — swap in an Iceberg provider and
+        // the pin becomes a snapshot id instead of a file list
+        val provider: graft.sources.TableProvider = graft.sources.ParquetDirProvider
         val manifest = s"$out/input_manifest.json"
-        SnapshotTable.pin(spark, in, manifest)
-        val pinned = SnapshotTable.read(spark, manifest)
+        provider.pin(spark, in, manifest)
+        val pinned = provider.readPinned(spark, manifest)
         val t0 = System.nanoTime()
         val (violations, verdicts) = rest match {
           case "--resumable" :: ckpt :: p :: Nil =>
@@ -71,6 +81,11 @@ object Runner {
         }
         violations.write.mode("overwrite").parquet(s"$out/violations")
         verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
+        if (csvSink)
+          spark.read.parquet(s"$out/violations")
+            .coalesce(1) // one human-readable file, like the reference's csv
+            .write.mode("overwrite").option("header", "true")
+            .csv(s"$out/detailed_results.csv")
         // human-readable report sinks (reference S7/S8 analogs)
         val report = graft.report.Reports.build(
           spark.read.parquet(s"$out/verdicts"))

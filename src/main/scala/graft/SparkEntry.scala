@@ -580,7 +580,113 @@ object SparkEntry {
         .select(col("partition_key"), col("constraint"), col("pass"),
           col("rows"), col("violations"),
           round(col("violation_rate"), 6).as("violation_rate"))
-    })
+    }),
+
+    // Resumability math, oracle-checked: StatsState computed on 4 disjoint
+    // conv-hash slices then MERGED (commutative counter/min/max unions —
+    // the checkpoint-restart path, checkpoint/Checkpoint.scala) equals the
+    // direct global aggregation DuckDB computes in one pass. Counters and
+    // integer-valued double sums are exact under any merge order; the
+    // sketch blobs (t-digest/HLL) are spec-gated instead
+    // (StatsStateSpec/SketchesSpec) since approx != exact by design.
+    "q45_stats_state_merge" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val check = Check("t", Seq(
+        MeanBetween("turn_idx", 0, 1e9),
+        NotNull("text"), NotNull("tool"),
+        DistinctCountBetween("conv_id", 1, Long.MaxValue)))
+      val slices = (0 until 4).map(p => graft.compile.StatsState.compute(
+        t.where(pmod(xxhash64(col("conv_id")), lit(4)) === p), check))
+      graft.compile.StatsState.merge(slices.reduce(_ unionByName _))
+        .select(col("column").as("col_name"), col("n"), col("nulls"),
+          col("sum"), col("sumsq"), col("mn"), col("mx"))
+    }),
+
+    // Skew machinery, oracle-checked: two-stage salted counts (partial on
+    // (conv_id, salt), final on conv_id — skew/Salting.scala) equal the
+    // plain per-conversation counts.
+    "q46_salted_counts" -> ((s, dir) =>
+      graft.skew.Salting.saltedCounts(Tables.transcripts(s, dir),
+        "conv_id", "turn_idx", salts = 8)),
+
+    // Resume-merge of VIOLATIONS: the suite run independently on 4
+    // disjoint conv-hash slices (conversations never straddle slices, so
+    // per-conversation constraints are exact per slice) unions to exactly
+    // the single-run violation set — per (constraint, conv) counts checked
+    // against the global SQL recomputation.
+    "q47_sliced_violation_union" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val check = Check("t", Seq(
+        NotNull("text"),
+        UniqueKey(Seq("conv_id", "turn_idx")),
+        ReferentialIntegrity("role", "role_dim", "role")))
+      val ctx = Validator.Context(Map("role_dim" -> Tables.roleDim(s)))
+      val slices = (0 until 4).map(p => Validator.validate(
+        t.where(pmod(xxhash64(col("conv_id")), lit(4)) === p), check, ctx)
+        .violations)
+      slices.reduce(_ unionByName _)
+        .groupBy(col("constraint"), col("conv_id"))
+        .agg(count(lit(1)).as("n_violations"))
+    }),
+
+    // A1 heavy-key census (skew/Salting.megaKeys): conversations whose
+    // turn count exceeds factor x mean — decides when drift kernels take
+    // the salted/chunked path.
+    "q48_mega_keys" -> ((s, dir) =>
+      graft.skew.Salting.megaKeys(Tables.transcripts(s, dir), "conv_id",
+        factor = 1.2)
+        .select(col("conv_id"), col("n"), round(col("mean_n"), 6).as("mean_n"))),
+
+    // §2.10 EllipticEnvelope role (reference
+    // src/geological_anomaly_detector.py:195-199): squared Mahalanobis
+    // distance as a pure-Column quadratic form from a single fused moment
+    // pass; the 2-feature fit + exact-percentile threshold has a complete
+    // SQL twin (closed-form 2x2 inverse incl. the ridge term).
+    "q53_mahalanobis_outliers" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      graft.ml.Mahalanobis.fitScore(f, Seq("value", "hod"),
+        contamination = 0.05, approx = false)
+        .where(col("maha_anomaly"))
+        .select(col("event_id"), round(col("maha_dist_sq"), 2).as("dist_sq"),
+          col("maha_anomaly_label").as("label"))
+    }),
+
+    // §2.10 DBSCAN role (reference src/anomaly_detection.py:176-217, noise
+    // = anomaly): per-conversation kernel inside flatMapSortedGroups; the
+    // noise predicate (non-core with no core neighbor) is exactly
+    // SQL-expressible, so the whole labeling is hash-checked. eps 3.005 is
+    // deliberately OFF the data's 0.01 value grid so sqrt(d²) vs abs(d)
+    // 1-ulp differences cannot flip a boundary comparison.
+    "q54_dbscan_noise" -> ((s, dir) =>
+      graft.ml.Neighborhood.dbscan(Tables.transcripts(s, dir),
+        "conv_id", "turn_idx", Seq("value"), eps = 3.005, minSamples = 4)
+        .select(col("conv_id"), col("turn_idx"), col("is_noise"))),
+
+    // §2.10 IsolationForest role (reference src/anomaly_detection.py:38-83;
+    // contamination/n_estimators/seed as the reference sets them): fit on
+    // a deterministic hash-reservoir sample, score distributed. Random
+    // trees have no SQL twin → rows-only check; MlSpec carries the
+    // behavioural gates (planted outliers, determinism, score range).
+    "q55_iforest_outliers" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      graft.ml.IsolationForest.fitScore(f, Seq("value", "hod"),
+        nTrees = 100, sampleSize = 256, contamination = 0.1, seed = 42L)
+        .where(col("iforest_anomaly"))
+        .select(col("event_id"), round(col("iforest_score"), 6).as("score"),
+          col("iforest_anomaly_label").as("label"))
+    }),
+
+    // §2.10 LocalOutlierFactor role (reference src/anomaly_detection.py:
+    // 85-127, n_neighbors=20): per-conversation exact kernel; the k-NN
+    // reachability chain has no tractable SQL twin → rows-only check,
+    // MlSpec carries the grid/outlier/duplicate gates.
+    "q56_lof_scores" -> ((s, dir) =>
+      graft.ml.Neighborhood.lof(Tables.transcripts(s, dir),
+        "conv_id", "turn_idx", Seq("value"), k = 20)
+        .where(col("lof") > 1.5)
+        .select(col("conv_id"), col("turn_idx"), round(col("lof"), 4).as("lof")))
   )
 
   /** Queries whose semantics SQL can't express — only the STL-decomposition
@@ -588,7 +694,12 @@ object SparkEntry {
     * flagship twin q52 carries the exact check for the same pipeline.
     * Driver applies the weaker rows-only check here.
     */
-  val oracleExempt: Set[String] = Set("q50_validation_suite")
+  val oracleExempt: Set[String] = Set("q50_validation_suite",
+    // random isolation trees / k-NN reachability chains have no SQL twin;
+    // behavioural gates live in MlSpec (planted outliers, determinism,
+    // kernel properties) — their SQL-expressible siblings q53 (Mahalanobis)
+    // and q54 (DBSCAN noise) ARE hash-checked
+    "q55_iforest_outliers", "q56_lof_scores")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -1227,6 +1338,104 @@ object SparkEntry {
          |  FROM bc LEFT JOIN psiv USING (conv_id) LEFT JOIN ksv USING (conv_id)
          |  LEFT JOIN ra USING (conv_id))
          |SELECT * FROM perconv UNION ALL SELECT * FROM gv
-         |UNION ALL SELECT * FROM drift""".stripMargin
+         |UNION ALL SELECT * FROM drift""".stripMargin,
+
+    // merged-of-4-slices state == direct global aggregation (exact fields)
+    "q45_stats_state_merge" ->
+      s"""WITH $T
+         |SELECT 'conv_id' AS col_name, count(*) AS n,
+         |  count(*) - count(conv_id) AS nulls,
+         |  CAST(NULL AS DOUBLE) AS sum, CAST(NULL AS DOUBLE) AS sumsq,
+         |  CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx
+         |FROM transcripts
+         |UNION ALL
+         |SELECT 'text', count(*), count(*) - count(text),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM transcripts
+         |UNION ALL
+         |SELECT 'tool', count(*), count(*) - count(tool),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM transcripts
+         |UNION ALL
+         |SELECT 'turn_idx', count(*), count(*) - count(turn_idx),
+         |  sum(CAST(turn_idx AS DOUBLE)),
+         |  sum(CAST(turn_idx AS DOUBLE) * CAST(turn_idx AS DOUBLE)),
+         |  min(CAST(turn_idx AS DOUBLE)), max(CAST(turn_idx AS DOUBLE))
+         |FROM transcripts""".stripMargin,
+
+    "q46_salted_counts" ->
+      s"""WITH $T
+         |SELECT conv_id, count(*) AS n FROM transcripts GROUP BY conv_id""".stripMargin,
+
+    "q47_sliced_violation_union" ->
+      s"""WITH $T,
+         |v AS (
+         |  SELECT 'not_null(text)' AS "constraint", conv_id
+         |    FROM transcripts WHERE text IS NULL
+         |  UNION ALL
+         |  SELECT 'unique(conv_id,turn_idx)', conv_id FROM (
+         |    SELECT conv_id, turn_idx FROM transcripts
+         |    GROUP BY 1, 2 HAVING count(*) > 1)
+         |  UNION ALL
+         |  SELECT 'ref(role->role_dim)', conv_id
+         |    FROM transcripts
+         |    WHERE role IS NOT NULL
+         |      AND role NOT IN ('user','assistant','system','tool'))
+         |SELECT "constraint", conv_id, count(*) AS n_violations
+         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    "q48_mega_keys" ->
+      s"""WITH $T,
+         |c AS (SELECT conv_id, count(*) AS n FROM transcripts GROUP BY 1),
+         |m AS (SELECT avg(n) AS mean_n FROM c)
+         |SELECT conv_id, n, round(mean_n, 6) AS mean_n
+         |FROM c, m WHERE n > mean_n * 1.2""".stripMargin,
+
+    // closed-form 2-feature Mahalanobis twin: MLE moments, ridge
+    // 1e-9*max(var) on the diagonal (exactly what Mahalanobis.invert
+    // adds), 2x2 inverse, exact 95th-percentile threshold
+    "q53_mahalanobis_outliers" ->
+      """WITH f AS (
+        |  SELECT event_id, value AS a, CAST(hour(ts) AS DOUBLE) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT count(*)::DOUBLE AS n, avg(a) AS ma, avg(b) AS mb,
+        |    sum(a*a) AS saa, sum(a*b) AS sab, sum(b*b) AS sbb FROM f),
+        |c AS (SELECT ma, mb,
+        |    saa/n - ma*ma AS caa, sab/n - ma*mb AS cab, sbb/n - mb*mb AS cbb
+        |  FROM m),
+        |cr AS (SELECT ma, mb, cab, caa, cbb,
+        |    1e-9 * greatest(caa, cbb) AS ridge FROM c),
+        |inv AS (SELECT ma, mb,
+        |    (cbb+ridge) / ((caa+ridge)*(cbb+ridge) - cab*cab) AS i11,
+        |    -cab / ((caa+ridge)*(cbb+ridge) - cab*cab) AS i12,
+        |    (caa+ridge) / ((caa+ridge)*(cbb+ridge) - cab*cab) AS i22
+        |  FROM cr),
+        |scored AS (SELECT event_id,
+        |    (a-ma)*(a-ma)*i11 + 2*(a-ma)*(b-mb)*i12 + (b-mb)*(b-mb)*i22 AS d
+        |  FROM f, inv),
+        |thr AS (SELECT quantile_cont(d, 0.95) AS t FROM scored)
+        |SELECT event_id, round(d, 2) AS dist_sq, -1 AS label
+        |FROM scored, thr WHERE d > t""".stripMargin,
+
+    // DBSCAN noise predicate: noise ⟺ not core ∧ no core neighbor within
+    // eps (cluster ids need recursion, the noise/anomaly label does not)
+    "q54_dbscan_noise" ->
+      s"""WITH $T,
+         |t AS (SELECT conv_id, turn_idx, value AS v FROM transcripts),
+         |nc AS (SELECT a.conv_id, a.turn_idx, count(*) AS n
+         |  FROM t a JOIN t b ON a.conv_id = b.conv_id
+         |    AND abs(a.v - b.v) <= 3.005
+         |  GROUP BY 1, 2),
+         |core AS (SELECT conv_id, turn_idx, v FROM nc
+         |  JOIN t USING (conv_id, turn_idx) WHERE n >= 4)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (NOT EXISTS (SELECT 1 FROM core c
+         |     WHERE c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx))
+         |  AND (NOT EXISTS (SELECT 1 FROM core c
+         |     WHERE c.conv_id = a.conv_id AND abs(c.v - a.v) <= 3.005))
+         |  AS is_noise
+         |FROM t a""".stripMargin
   )
 }

@@ -104,14 +104,24 @@ object Validator {
     val madCols = check.constraints.collect { case c: RobustZ => (c.column, c.approx) }
       .distinct
     val mads: Map[String, Double] = if (madCols.nonEmpty) {
+      // Column composition, NOT string interpolation: an all-null column
+      // yields med = NaN, and "abs(c - NaN)" as SQL text parses `NaN` as a
+      // column reference → AnalysisException at plan time. lit(med) keeps
+      // NaN a literal; the aggregate then returns null and the constraint
+      // degrades to a clean no-signal verdict (mad = 0 → no flags).
       val exprs = madCols.map { case (c, approx) =>
-        val med = stat(s"__q0.5__$c")
-        val fn = if (approx) s"percentile_approx(abs($c - $med), 0.5, 10000)"
-          else s"percentile(abs($c - $med), 0.5)"
-        expr(fn).as(s"__mad__$c")
+        val dev = abs(col(c) - lit(stat(s"__q0.5__$c")))
+        val fn = if (approx) percentile_approx(dev, lit(0.5), lit(10000))
+          else percentile(dev, lit(0.5))
+        fn.as(s"__mad__$c")
       }
       val r = df.agg(exprs.head, exprs.tail: _*).collect()(0)
-      madCols.map { case (c, _) => c -> r.getAs[Double](s"__mad__$c") }.toMap
+      madCols.map { case (c, _) =>
+        c -> (r.getAs[Any](s"__mad__$c") match {
+          case null => Double.NaN
+          case d: Double => d
+        })
+      }.toMap
     } else Map.empty
 
     // ---- pass 2: row-level flags → violation rows -------------------------
@@ -123,20 +133,26 @@ object Validator {
     // stage, no per-action broadcast build. Big dims (> 1024 values) keep
     // the broadcast anti-join (the only shape that works when the dim
     // itself is large). The probe is one tiny plan-time job per dim.
-    val inlineDimValues: Map[String, Seq[Any]] = check.constraints.collect {
+    // Keyed by (dim, dimColumn): two RI constraints probing DIFFERENT
+    // columns of the same dimension must not collide on the dim name alone.
+    val inlineDimValues: Map[(String, String), Seq[Any]] = check.constraints.collect {
       case ReferentialIntegrity(_, dimName, dimCol, _) =>
         val dim = ctx.dims.getOrElse(dimName,
           throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
         val probe = dim.select(col(dimCol)).distinct().limit(1025).collect()
-        dimName -> (if (probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
+        (dimName, dimCol) ->
+          (if (probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
     }.toMap
 
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
       case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
-          if inlineDimValues(dimName) != null =>
-        val values = inlineDimValues(dimName)
+          if inlineDimValues((dimName, dimCol)) != null =>
+        val values = inlineDimValues((dimName, dimCol))
+        // coalesce in BOTH branches: a NULL in the dim's value list makes
+        // isin yield null for non-members, which `!` would swallow and the
+        // violation would silently vanish (diverging from the anti-join path)
         val in = col(columnName).isin(values: _*)
-        val violated = if (nullOk) col(columnName).isNotNull && !in
+        val violated = if (nullOk) col(columnName).isNotNull && !coalesce(in, lit(false))
           else col(columnName).isNull || !coalesce(in, lit(false))
         Some(RowCheck(c, columnName, violated, col(columnName),
           s"in dim $dimName.$dimCol"))
@@ -228,13 +244,18 @@ object Validator {
     // The rolling window itself is the CHUNKED variant: a mega-conversation
     // spreads over turns/chunk tasks instead of landing on one reducer
     // (graft.series.Windows.boundedRollingStats; dense turn_idx required).
-    val windowViolations: Seq[DataFrame] = check.constraints.collect {
-      case c @ RollingZDrift(columnName, window, t) =>
+    val windowViolations: Seq[DataFrame] = check.constraints
+      .collect { case c: RollingZDrift => c }.zipWithIndex.map { case (c, i) =>
+        val columnName = c.column; val window = c.window; val t = c.threshold
         val v = col(columnName)
         val pruned = df.select(key, ord, v)
+        // the fused UniqueKey rides exactly ONE window pass (the first):
+        // attaching it per-RollingZDrift would emit the duplicate-key
+        // violations once per drift constraint, double-counting them
+        val fuseHere = fusedUnique.filter(_ => i == 0)
         val stats = graft.series.Windows.boundedRollingStats(
           pruned, columnName, window, check.keyCol, check.orderCol,
-          withOrdPeers = fusedUnique.nonEmpty)
+          withOrdPeers = fuseHere.nonEmpty)
         val n = col(s"${columnName}_n")
         val z = (v - col(s"${columnName}_rolling_mean")) /
           col(s"${columnName}_rolling_std")
@@ -246,7 +267,7 @@ object Validator {
         val checks = Seq(RowCheck(c, columnName,
           coalesce(n >= window && abs(z) > t, lit(false)),
           v.cast("string"), s"rolling|z|<=$t@$window")) ++
-          fusedUnique.map { u =>
+          fuseHere.map { u =>
             RowCheck(u, u.columns.mkString(","),
               col("__ord_peers") > 1 && col("__ord_first"),
               col("__ord_peers"), "1 copy")
@@ -267,7 +288,7 @@ object Validator {
     // only — small dims were compiled into the row-flags pass above) ------
     val refViolations: Seq[DataFrame] = check.constraints.collect {
       case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
-          if inlineDimValues(dimName) == null =>
+          if inlineDimValues((dimName, dimCol)) == null =>
         val dim = ctx.dims(dimName)
         val base = if (nullOk) df.where(col(columnName).isNotNull) else df
         base.join(broadcast(dim.select(col(dimCol).as(columnName)).distinct()),
@@ -305,7 +326,8 @@ object Validator {
       check.constraints.collect { case c: UniqueKey => (c.name, 0.0) } ++
       // inlined RIs already ride rowChecks under the same constraint name
       check.constraints.collect {
-        case c: ReferentialIntegrity if inlineDimValues(c.dim) == null =>
+        case c: ReferentialIntegrity
+            if inlineDimValues((c.dim, c.dimColumn)) == null =>
           (c.name, 0.0)
       }
 

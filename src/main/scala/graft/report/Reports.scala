@@ -34,8 +34,11 @@ object Reports {
     val spark = verdicts.sparkSession
     import spark.implicits._
 
+    // exact count_distinct for BOTH totals: mixing approx (total) with exact
+    // (failed) can skew failedFrac past 1 and flip the recommendation
+    // thresholds. The aggregate is one driver row either way.
     val summary = verdicts.agg(
-      approx_count_distinct(col("partition_key")).as("parts"),
+      count_distinct(col("partition_key")).as("parts"),
       count_distinct(when(!col("pass"), col("partition_key"))).as("failed"),
       sum(col("violations")).as("viol"))
       .collect().head

@@ -151,9 +151,12 @@ object Stationarity {
       : AdfResult = {
     val n = y.length
     require(n >= 6, s"ADF needs at least 6 observations, got $n")
-    val nobsDiff = n - 1
-    val defaultMax = math.ceil(12.0 * math.pow(nobsDiff / 100.0, 0.25)).toInt
-    val cap = nobsDiff / 2 - 2 // ntrend=1 (const): nobs//2 - ntrend - 1
+    // statsmodels adfuller computes BOTH the default maxlag and its cap from
+    // the FULL series length n (x.shape[0]), not the differenced length n-1:
+    // maxlag = ceil(12*(n/100)^0.25), capped at n//2 - ntrend - 1 (ntrend=1
+    // for the 'c' regression). Using n-1 deviates at boundary lengths.
+    val defaultMax = math.ceil(12.0 * math.pow(n / 100.0, 0.25)).toInt
+    val cap = n / 2 - 2
     val ml = math.max(0, math.min(if (maxlag < 0) defaultMax else maxlag, cap))
     val usedLag =
       if (!autolag) ml

@@ -127,4 +127,71 @@ class ValidatorSpec extends GraftSuite {
       .select("observed", "bound").distinct().collect()
     assert(r.nonEmpty && r.forall(_.getString(0) == "invalid_role"))
   }
+
+  test("RobustZ on an all-null column yields a clean no-signal pass") {
+    // regression (VERDICT r2 item 4): median = NaN used to be string-
+    // interpolated into the MAD SQL, where `NaN` parsed as a column
+    // reference and threw AnalysisException at plan time
+    val df = Seq(("c0", 0), ("c0", 1), ("c1", 0))
+      .toDF("conv_id", "turn_idx")
+      .withColumn("allnull", lit(null).cast("double"))
+    Seq(true, false).foreach { approx =>
+      val r = Validator.validate(df,
+        Check("t", Seq(RobustZ("allnull", approx = approx))), dims)
+      assert(r.violations.count() == 0, s"approx=$approx")
+    }
+  }
+
+  test("two RI constraints on one dim with different dimColumns don't collide") {
+    // regression (ADVICE r2): inlineDimValues was keyed by dim name only,
+    // so the second constraint was checked against the first's value set
+    val dim = Seq(("x", "p"), ("y", "q")).toDF("a", "b")
+    val fact = Seq(("c1", 0, "x", "p"), ("c1", 1, "p", "x"))
+      .toDF("conv_id", "turn_idx", "col1", "col2")
+    val r = Validator.validate(fact, Check("t", Seq(
+      ReferentialIntegrity("col1", "d", "a"),
+      ReferentialIntegrity("col2", "d", "b"))),
+      Validator.Context(Map("d" -> dim)))
+    val byC = r.violations.groupBy("constraint").count()
+      .as[(String, Long)].collect().toMap
+    // col1='p' is not in dim.a {x,y}; col2='x' is not in dim.b {p,q}
+    assert(byC.get("ref(col1->d)").contains(1L), s"got $byC")
+    assert(byC.get("ref(col2->d)").contains(1L), s"got $byC")
+    val obs = r.violations.select("constraint", "observed")
+      .as[(String, String)].collect().toSet
+    assert(obs == Set(("ref(col1->d)", "p"), ("ref(col2->d)", "x")))
+  }
+
+  test("fused UniqueKey emits duplicates ONCE with multiple RollingZDrift") {
+    // regression (ADVICE r2): the fused duplicate-key check was appended
+    // per RollingZDrift constraint, double-counting violations
+    val rows = (0 until 30).map(i => ("c0", i, i.toDouble, 30.0 - i)) :+
+      ("c0", 7, 99.0, 99.0) // duplicate (c0, 7)
+    val df = rows.toDF("conv_id", "turn_idx", "v1", "v2")
+    val r = Validator.validate(df, Check("t", Seq(
+      UniqueKey(Seq("conv_id", "turn_idx")),
+      RollingZDrift("v1", window = 5, threshold = 3.0),
+      RollingZDrift("v2", window = 5, threshold = 3.0))), dims)
+    val uniq = r.violations.where(col("constraint").startsWith("unique("))
+    assert(uniq.count() == 1, s"expected 1 duplicate-key violation")
+    // and the per-conv verdict counts it once
+    val verdict = r.verdicts
+      .where(col("constraint").startsWith("unique(") &&
+        col("partition_key") === "c0").collect()(0)
+    assert(verdict.getAs[Long]("violations") == 1L)
+  }
+
+  test("inline RI with nullOk: a NULL in the dim's value list doesn't swallow violations") {
+    // regression (ADVICE r2): `isNotNull && !in` without coalesce let
+    // isin's three-valued NULL drop real violations when the dim itself
+    // contains a NULL value
+    val dim = Seq(Some("x"), None).toDF("a")
+    val fact = Seq(("c1", 0, Some("x")), ("c1", 1, Some("z")), ("c1", 2, None))
+      .toDF("conv_id", "turn_idx", "c")
+    val r = Validator.validate(fact,
+      Check("t", Seq(ReferentialIntegrity("c", "d", "a", nullOk = true))),
+      Validator.Context(Map("d" -> dim)))
+    val v = r.violations.select("observed").as[String].collect().toSeq
+    assert(v == Seq("z"), s"got $v")
+  }
 }

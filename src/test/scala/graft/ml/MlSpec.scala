@@ -1,0 +1,207 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+
+/** Detector-family contract tests (SURVEY §2.10 interface: labels in
+  * {1,−1}, scores, flags for the ensemble vote). Fixtures are
+  * deterministic closed forms — no RNG over test data.
+  */
+class MlSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** deterministic uniform-ish in [0,1) */
+  private def u(i: Int, salt: Int): Double =
+    ((i * 2654435761L + salt * 1013904223L) & 0x7fffffff) / Int.MaxValue.toDouble
+
+  // 500 inliers around (0,0) + 3 far outliers
+  private lazy val cloud = {
+    val inliers = (0 until 500).map(i =>
+      ("c0", i, 2.0 * u(i, 1) - 1.0, 2.0 * u(i, 2) - 1.0))
+    val outliers = Seq(("c0", 500, 8.0, 8.0), ("c0", 501, -9.0, 7.5),
+      ("c0", 502, 7.0, -8.5))
+    (inliers ++ outliers).toDF("conv_id", "turn_idx", "x", "y").cache()
+  }
+  private val outlierIdx = Set(500, 501, 502)
+
+  // ---- Mahalanobis / EllipticEnvelope ------------------------------------
+
+  test("invert: A * inv(A) ≈ I for a well-conditioned covariance") {
+    val a = Array(Array(4.0, 1.0, 0.5), Array(1.0, 3.0, 0.2),
+      Array(0.5, 0.2, 2.0))
+    val inv = Mahalanobis.invert(a)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val prod = (0 until 3).map(k => a(i)(k) * inv(k)(j)).sum
+      assert(math.abs(prod - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"(A·A⁻¹)($i,$j) = $prod")
+    }
+  }
+
+  test("mahalanobis distSq matches the analytic form for independent features") {
+    // x ~ {-2, 2} (var 4), y ~ {-3, 3} (var 9), cov 0 ⇒
+    // distSq = x²/4 + y²/9 at the (0,0) mean
+    val df = Seq((-2.0, -3.0), (-2.0, 3.0), (2.0, -3.0), (2.0, 3.0))
+      .toDF("x", "y")
+    val m = Mahalanobis.fit(df, Seq("x", "y"))
+    assert(m.mean.forall(v => math.abs(v) < 1e-12))
+    val scored = df.withColumn("d", m.distSq).select("x", "y", "d").collect()
+    scored.foreach { r =>
+      val expected = math.pow(r.getDouble(0), 2) / 4.0 +
+        math.pow(r.getDouble(1), 2) / 9.0
+      assert(math.abs(r.getDouble(2) - expected) < 1e-6,
+        s"(${r.getDouble(0)},${r.getDouble(1)}): ${r.getDouble(2)} vs $expected")
+    }
+  }
+
+  test("mahalanobis fitScore flags exactly the planted outliers (plain + robust)") {
+    Seq(false, true).foreach { robust =>
+      val got = Mahalanobis.fitScore(cloud, Seq("x", "y"),
+        contamination = 3.0 / 503, robust = robust)
+        .where(col("maha_anomaly")).select("turn_idx")
+        .as[Int].collect().toSet
+      assert(got == outlierIdx, s"robust=$robust got $got")
+    }
+    // sklearn label interface
+    val labels = Mahalanobis.fitScore(cloud, Seq("x", "y"))
+      .select("maha_anomaly_label").distinct().as[Int].collect().toSet
+    assert(labels.subsetOf(Set(1, -1)))
+  }
+
+  test("mahalanobis: singular covariance (constant column) doesn't throw") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (4.0, 5.0))
+      .toDF("x", "c")
+    val m = Mahalanobis.fit(df, Seq("x", "c"))
+    val d = df.withColumn("d", m.distSq).select("d").as[Double].collect()
+    assert(d.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  // ---- IsolationForest ----------------------------------------------------
+
+  test("iforest: planted outliers score highest; scores in (0,1)") {
+    val data = cloud.select("x", "y").collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1)))
+    val f = IsolationForest.fit(data, nTrees = 100, sampleSize = 256, seed = 42L)
+    val scores = data.map(f.score)
+    assert(scores.forall(s => s > 0.0 && s < 1.0))
+    val top3 = scores.zipWithIndex.sortBy(-_._1).take(3).map(_._2).toSet
+    assert(top3 == outlierIdx, s"top-3 by score = $top3")
+    // outliers clearly in the anomaly half, inlier bulk clearly below
+    assert(outlierIdx.forall(i => scores(i) > 0.6))
+    assert(scores.zipWithIndex.filterNot(x => outlierIdx(x._2))
+      .count(_._1 > 0.6) < 10)
+  }
+
+  test("iforest: same seed → identical forest; different seed → different scores") {
+    val data = (0 until 300).map(i =>
+      Array(u(i, 3) * 4, u(i, 4) * 4)).toArray
+    val s1 = IsolationForest.fit(data, 50, 128, seed = 7L)
+    val s2 = IsolationForest.fit(data, 50, 128, seed = 7L)
+    val s3 = IsolationForest.fit(data, 50, 128, seed = 8L)
+    val probe = Array(0.1, 3.9)
+    assert(s1.score(probe) == s2.score(probe))
+    assert(s1.score(probe) != s3.score(probe))
+  }
+
+  test("iforest avgPathLength: c(n) grows ~ log n, c(1) = 0") {
+    assert(IsolationForest.avgPathLength(1) == 0.0)
+    val c10 = IsolationForest.avgPathLength(10)
+    val c100 = IsolationForest.avgPathLength(100)
+    val c1000 = IsolationForest.avgPathLength(1000)
+    assert(c10 < c100 && c100 < c1000)
+    assert(math.abs((c1000 - c100) - (c100 - c10)) < 2.0) // log-ish spacing
+  }
+
+  test("iforest fitScore: DataFrame path flags the contamination tail; nulls pass through") {
+    val withNull = cloud.union(
+      Seq(("c0", 503, Double.NaN, 0.0)).toDF("conv_id", "turn_idx", "x", "y")
+        .withColumn("x", lit(null).cast("double")))
+    val scored = IsolationForest.fitScore(withNull, Seq("x", "y"),
+      contamination = 3.0 / 503, trainRows = 503)
+    val flagged = scored.where(col("iforest_anomaly")).select("turn_idx")
+      .as[Int].collect().toSet
+    assert(flagged == outlierIdx, s"got $flagged")
+    val nullRow = scored.where(col("turn_idx") === 503).collect()(0)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("iforest_score")))
+    assert(!nullRow.getAs[Boolean]("iforest_anomaly"))
+  }
+
+  // ---- LOF ----------------------------------------------------------------
+
+  test("lof kernel: isolated point ≫ 1, uniform-grid inliers ≈ 1, duplicates = 1") {
+    // 10x10 unit grid + a far point
+    val grid = (for { i <- 0 until 10; j <- 0 until 10 }
+      yield Array(i.toDouble, j.toDouble)).toArray
+    val xs = grid :+ Array(30.0, 30.0)
+    val scores = Neighborhood.lofKernel(xs, k = 5)
+    assert(scores.last > 3.0, s"outlier lof=${scores.last}")
+    // interior grid points are locally uniform
+    val interior = for { i <- 2 until 8; j <- 2 until 8 } yield scores(i * 10 + j)
+    interior.foreach(s => assert(s > 0.8 && s < 1.2, s"interior lof=$s"))
+    // all-identical points: defined, not NaN/∞
+    val dup = Neighborhood.lofKernel(Array.fill(6)(Array(1.0, 1.0)), k = 3)
+    assert(dup.forall(s => !s.isNaN && !s.isInfinite))
+  }
+
+  test("lof DataFrame: per-conversation groups, outlier flagged, oversize group → null") {
+    val g1 = (0 until 60).map(i => ("a", i, u(i, 5) * 2, u(i, 6) * 2))
+    val g1out = Seq(("a", 60, 25.0, 25.0))
+    val g2 = (0 until 40).map(i => ("b", i, 5 + u(i, 7), 5 + u(i, 8)))
+    val df = (g1 ++ g1out ++ g2).toDF("conv_id", "turn_idx", "x", "y")
+    val got = Neighborhood.lof(df, "conv_id", "turn_idx", Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == 101)
+    assert(got(("a", 60)).get > 3.0)
+    assert(got(("b", 20)).get < 1.5)
+    // oversize group → nulls, no blowup
+    val big = (0 until 50).map(i => ("z", i, u(i, 9), u(i, 10)))
+      .toDF("conv_id", "turn_idx", "x", "y")
+    val nulls = Neighborhood.lof(big, "conv_id", "turn_idx", Seq("x", "y"),
+      k = 5, maxGroup = 10).where(col("lof").isNotNull).count()
+    assert(nulls == 0)
+  }
+
+  // ---- DBSCAN -------------------------------------------------------------
+
+  test("dbscan kernel: two clusters + noise, chain connectivity, border points") {
+    // cluster A: 8 points spaced 0.3 (chained within eps 0.5)
+    val a = (0 until 8).map(i => Array(i * 0.3, 0.0))
+    // cluster B: 8 points around (10, 10)
+    val b = (0 until 8).map(i => Array(10.0 + (i % 4) * 0.3, 10.0 + (i / 4) * 0.3))
+    // noise: 2 isolated points
+    val noise = Seq(Array(5.0, 5.0), Array(-5.0, 5.0))
+    val labels = Neighborhood.dbscanKernel((a ++ b ++ noise).toArray,
+      eps = 0.5, minSamples = 3)
+    val la = labels.slice(0, 8).toSet
+    val lb = labels.slice(8, 16).toSet
+    assert(la.size == 1 && !la.contains(-1), s"cluster A labels $la")
+    assert(lb.size == 1 && !lb.contains(-1), s"cluster B labels $lb")
+    assert(la != lb)
+    assert(labels.slice(16, 18).forall(_ == -1))
+  }
+
+  test("dbscan: noise ⟺ non-core with no core neighbor (oracle-checkable form)") {
+    val xs = ((0 until 30).map(i => Array(u(i, 11) * 2)) ++
+      Seq(Array(50.0), Array(80.0))).toArray
+    val eps = 0.4
+    val minS = 4
+    val labels = Neighborhood.dbscanKernel(xs, eps, minS)
+    def d(i: Int, j: Int) = math.abs(xs(i)(0) - xs(j)(0))
+    val core = xs.indices.map(i => xs.indices.count(j => d(i, j) <= eps) >= minS)
+    xs.indices.foreach { i =>
+      val expectNoise = !core(i) && !xs.indices.exists(j => core(j) && d(i, j) <= eps)
+      assert((labels(i) == -1) == expectNoise, s"point $i: label=${labels(i)}")
+    }
+  }
+
+  test("dbscan DataFrame: per-conversation labels, sklearn-style −1 noise") {
+    val dense = (0 until 20).map(i => ("c", i, i * 0.1))
+    val lone = Seq(("c", 20, 99.0))
+    val df = (dense ++ lone).toDF("conv_id", "turn_idx", "v")
+    val got = Neighborhood.dbscan(df, "conv_id", "turn_idx", Seq("v"),
+      eps = 0.15, minSamples = 3)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(got(20) == -1)
+    assert((0 until 20).forall(i => got(i) == 0))
+  }
+}

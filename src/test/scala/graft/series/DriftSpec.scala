@@ -48,6 +48,47 @@ class DriftSpec extends GraftSuite {
     assert(math.abs(approx("shifted") - exact("shifted")) < 0.08)
   }
 
+  test("sketch KS tracks exact KS across distribution shapes (|Δ| ≤ ε)") {
+    // differential gate for the 100 TB path: one deterministic two-sample
+    // fixture per shape family — uniform vs small shift, uniform vs large
+    // shift, bimodal vs unimodal, heavy-tail vs body-only, discrete/tied
+    // counts — each key's t-digest KS must stay within ε of the exact
+    // windowed KS. ε = 0.05 abs (t-digest rank error is ~O(1/compression)
+    // at the center, larger near 0/1; the drift thresholds in play are
+    // 0.3-0.5, an order of magnitude above ε).
+    def u(i: Int, salt: Int): Double =
+      (((i * 2654435761L + salt * 97L) & 0x7fffffff) / Int.MaxValue.toDouble)
+    val rows = Seq.newBuilder[(String, String, Double)]
+    for (i <- 0 until 3000) {
+      val b = u(i, 1)
+      rows += (("small_shift", "baseline", b))
+      rows += (("small_shift", "current", u(i, 2) + 0.08))
+      rows += (("large_shift", "baseline", b))
+      rows += (("large_shift", "current", u(i, 3) + 0.9))
+      // bimodal current: half the mass pushed to a second mode at +2
+      rows += (("bimodal", "baseline", b))
+      rows += (("bimodal", "current", if (i % 2 == 0) u(i, 4) else u(i, 4) + 2.0))
+      // heavy tail: every 20th point is 10-50x the body
+      rows += (("heavy_tail", "baseline", b))
+      rows += (("heavy_tail", "current",
+        if (i % 20 == 0) 10.0 + 40.0 * u(i, 5) else u(i, 6)))
+      // discrete integer counts (turn-rate shape): Poisson-ish ties
+      rows += (("discrete", "baseline", math.floor(6 * u(i, 7))))
+      rows += (("discrete", "current", math.floor(6 * math.pow(u(i, 8), 0.7))))
+    }
+    val df = rows.result().toDF("key", "side", "x")
+    val exact = Drift.ks(df, "x", "side", Seq("key"))
+      .as[(String, Double)].collect().toMap
+    val approx = Drift.ksSketch(df, "x", "side", Seq("key"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(approx(k) - d) <= 0.05,
+        s"$k: sketch=${approx(k)} exact=$d")
+    }
+    // sanity: the fixtures actually span the range
+    assert(exact("small_shift") < 0.2 && exact("large_shift") > 0.8)
+  }
+
   test("KS on tied values: identical all-tied samples give D = 0, not 1") {
     // Integer bucket counts tie constantly; mid-tie CDF evaluation would
     // report D = 1.0 here. With tie peers fully included (RANGE frame),
