@@ -206,7 +206,20 @@ object Bench {
     // level is the noise armor a shared host needs (r3 lesson: one
     // neighbor spike to load 19 turned a single-obs local[4] wall into
     // 278s vs 61s quiet, and a 1-obs run had no retry to absorb it)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
+    val nConvsMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "150000").toLong
+    // Host speed swings ~3x run to run EVEN AT LOW LOAD (r3: an identical
+    // local[1] pass burned 615 proc-CPU-sec in one run vs 261 in another,
+    // loads 1-4 both times — hypervisor/bandwidth throttling invisible to
+    // loadavg). A slow window makes the full-size lo leg blow the budget.
+    // Countermeasure: a cheap calibration fork on the warm table measures
+    // the CURRENT host speed and the table shrinks proportionally (floor
+    // below). This stays honest for the gate because CPU inflation raises
+    // the compute-to-fixed-overhead ratio — the efficiency a smaller table
+    // loses is recovered by the very slowness that forced the shrink.
+    val nConvsMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS_MIN", "90000").toLong
+    // reference calibration wall (sec): warm-table (nConvsMax/10) timed
+    // suite pass at local[hi] on a quiet host; measured, see BASELINE.md
+    val calRef = sys.env.getOrElse("SPARK_GRAFT_CAL_REF_SEC", "11.0").toDouble
     // N vs 4N cores. 1->4 is the pair that models per-executor cluster
     // scaling on this shared 32-core sandbox host: probes (BASELINE.md)
     // show task-CPU inflation of +22% from 1->8 resident threads (shared
@@ -230,6 +243,8 @@ object Bench {
     var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var cpus3 = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var peakWalls: List[Double] = Nil
+    var speedFactor = 1.0
+    var calWall = Double.NaN
     // host load sampled right before/after each fork, per level — lets a
     // reader see exactly which observation a neighbor spike poisoned
     var forkLoads = Map.empty[Int, List[(Double, Double)]].withDefaultValue(Nil)
@@ -272,7 +287,7 @@ object Bench {
         s""""local$n":${ls.reverse.map { case (a, b) => s"[$a,$b]" }
           .mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
+      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
     }
 
     try {
@@ -304,19 +319,36 @@ object Bench {
           }
         }
 
-      // ---- phase 2: generate the bench transcript table once --------------
-      val dataPath = s"$scratchRoot/table_${nConvs}"
-      if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
-        TranscriptGen.generate(spark, nConvs)
-          .write.mode("overwrite").parquet(dataPath)
-      }
+      // ---- phase 2: warm table, calibration, then the main table ----------
       // small warm-up table: enough to JIT/codegen every suite path without
-      // paying a full-size pass per level
-      val warmConvs = math.max(nConvs / 10, 10000L)
+      // paying a full-size pass per level; ALSO the calibration workload
+      val warmConvs = math.max(nConvsMax / 10, 10000L)
       val warmPath = s"$scratchRoot/table_warm_${warmConvs}"
       if (!new java.io.File(s"$warmPath/_SUCCESS").exists()) {
         TranscriptGen.generate(spark, warmConvs)
           .write.mode("overwrite").parquet(warmPath)
+      }
+      // calibration fork: timed warm-table pass at the hi level in a
+      // pristine JVM → how slow is the host RIGHT NOW vs the quiet-window
+      // reference? (fork cost ~45s; it doubles as a full JIT dress
+      // rehearsal for the fork machinery)
+      speedFactor = forkSuite(hiN, warmPath, warmPath,
+          math.min(math.max(60, remaining), 240)) match {
+        case Right((w, _)) => calWall = w; math.max(1.0, w / calRef)
+        case Left(e) => errors += s"calibration: $e"; 1.0
+      }
+      // shrink only on a STRONG slow signal: a transient blip during the
+      // ~30s calibration window must not shrink the table for a quiet run
+      // (a small table on a FAST host is the one combination that can
+      // genuinely miss the 0.8 gate — fixed per-job wall un-amortized)
+      val nConvs =
+        if (speedFactor < 1.6) nConvsMax
+        else math.max(nConvsMin, math.min(nConvsMax,
+          (nConvsMax / speedFactor).toLong / 10000 * 10000))
+      val dataPath = s"$scratchRoot/table_${nConvs}"
+      if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
+        TranscriptGen.generate(spark, nConvs)
+          .write.mode("overwrite").parquet(dataPath)
       }
       totalTurns = spark.read.parquet(dataPath).count()
       spark.stop()
@@ -366,18 +398,26 @@ object Bench {
       val overheadEst = 60.0
       def estCost(n: Int): Double =
         walls(n).minOption.map(_ + overheadEst).getOrElse(
-          // unmeasured: assume linear scaling from the other level if known,
-          // else a rough prior (~300 core-seconds of suite work)
+          // unmeasured: assume linear scaling from the other level if
+          // known, else project from the calibration pass (warm table =
+          // nConvs·speedFactor/… of the main one, measured at hiN cores)
           walls.collectFirst { case (m, ws) if ws.nonEmpty =>
             ws.min * m.toDouble / n + overheadEst }
-            .getOrElse(300.0 / n + overheadEst))
+            .getOrElse {
+              val mainAtHi =
+                if (calWall.isNaN) 300.0 / hiN * speedFactor
+                else calWall * nConvs.toDouble / warmConvs
+              mainAtHi * hiN.toDouble / n + overheadEst
+            })
       def levelStable(n: Int): Boolean = {
         val best2 = walls(n).sorted.take(2)
         best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
       }
-      // round 1: one observation per level, slow level first (if the
-      // budget dies mid-phase we'd rather have the expensive leg measured)
-      scalingPair.sortBy(n => -estCost(n)).foreach(n => tryFork(n, estCost(n)))
+      // round 1: one observation per level, CHEAP level first — if the host
+      // is in a slow window, the expensive lo leg then gets the largest
+      // possible remaining-budget cap instead of starving everything after
+      // it (r3: a 564s local[1] pass run first left local[4] only 234s)
+      scalingPair.sortBy(n => estCost(n)).foreach(n => tryFork(n, estCost(n)))
       // retry a level that produced nothing (child crash) once
       scalingPair.filter(walls(_).isEmpty)
         .foreach(n => if (remaining > 1.25 * estCost(n)) tryFork(n, estCost(n)))

@@ -686,7 +686,22 @@ object SparkEntry {
       graft.ml.Neighborhood.lof(Tables.transcripts(s, dir),
         "conv_id", "turn_idx", Seq("value"), k = 20)
         .where(col("lof") > 1.5)
-        .select(col("conv_id"), col("turn_idx"), round(col("lof"), 4).as("lof")))
+        .select(col("conv_id"), col("turn_idx"), round(col("lof"), 4).as("lof"))),
+
+    // §2.10 OneClassSVM role (reference src/anomaly_detection.py:129-174,
+    // nu=0.1 rbf): RFF-approximated RBF one-class SVM, fit on the
+    // deterministic sample, scored as a pure-Column cosine expansion.
+    // SGD weights have no SQL twin → rows-only; MlSpec gates the RFF
+    // kernel approximation and the ν-property.
+    "q57_ocsvm_outliers" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      graft.ml.OneClassSvm.fitScore(f, Seq("value", "hod"), nu = 0.1)
+        .where(col("ocsvm_anomaly"))
+        .select(col("event_id"),
+          round(col("ocsvm_decision"), 6).as("decision"),
+          col("ocsvm_anomaly_label").as("label"))
+    })
   )
 
   /** Queries whose semantics SQL can't express — only the STL-decomposition
@@ -695,11 +710,11 @@ object SparkEntry {
     * Driver applies the weaker rows-only check here.
     */
   val oracleExempt: Set[String] = Set("q50_validation_suite",
-    // random isolation trees / k-NN reachability chains have no SQL twin;
-    // behavioural gates live in MlSpec (planted outliers, determinism,
-    // kernel properties) — their SQL-expressible siblings q53 (Mahalanobis)
-    // and q54 (DBSCAN noise) ARE hash-checked
-    "q55_iforest_outliers", "q56_lof_scores")
+    // random isolation trees / k-NN reachability chains / SGD-trained SVM
+    // weights have no SQL twin; behavioural gates live in MlSpec (planted
+    // outliers, determinism, RFF kernel bound) — their SQL-expressible
+    // siblings q53 (Mahalanobis) and q54 (DBSCAN noise) ARE hash-checked
+    "q55_iforest_outliers", "q56_lof_scores", "q57_ocsvm_outliers")
 
   // ---- DuckDB oracles -----------------------------------------------------
 

@@ -124,6 +124,35 @@ object Reports {
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** S9 figure sink, dependency-free: a horizontal bar chart as inline SVG
+    * (the engine-side analog of the reference's matplotlib PNGs,
+    * `src/main_analysis.py:305-412` — rendered from the already-bounded
+    * report aggregates, so no driver-side data beyond the report model).
+    */
+  private[report] def svgBars(title: String,
+      bars: Seq[(String, Double)], unit: String = ""): String = {
+    if (bars.isEmpty) return ""
+    val w = 640
+    val barH = 22
+    val gap = 6
+    val labelW = 240
+    val maxV = math.max(bars.map(_._2).max, 1e-12)
+    val h = bars.size * (barH + gap) + 40
+    val rects = bars.zipWithIndex.map { case ((label, v), i) =>
+      val y = 30 + i * (barH + gap)
+      val bw = math.max(1.0, (w - labelW - 90) * v / maxV)
+      f"""<text x="${labelW - 8}" y="${y + 15}" text-anchor="end" font-size="12">${esc(label)}</text>""" +
+        f"""<rect x="$labelW" y="$y" width="$bw%.1f" height="$barH" fill="#4878a8"/>""" +
+        f"""<text x="${labelW + bw + 6}%.1f" y="${y + 15}" font-size="12">${esc(fmtNum(v))}$unit</text>"""
+    }.mkString
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h" width="$w" height="$h" role="img">""" +
+      s"""<text x="0" y="16" font-size="14" font-weight="bold">${esc(title)}</text>$rects</svg>"""
+  }
+
+  private def fmtNum(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else f"$v%.4f"
+
   /** HTML rendering (reference's HTML sink shape,
     * `src/main_analysis.py:445-519`: embedded style + one table per
     * section).
@@ -144,6 +173,12 @@ object Reports {
       else table(Seq("partition", "constraint", "rows", "violations", "rate"),
         r.worstPartitions.map(p => Seq(p.partitionKey, p.constraint,
           p.rows.toString, p.violations.toString, fmtRate(p.violationRate))))
+    // S9 figures: violations + worst-rate bars from the bounded aggregates
+    val figViolations = svgBars("Violations by constraint",
+      r.byConstraint.map(c => c.constraint -> c.violations.toDouble))
+    val figRates = svgBars("Worst failing partitions (violation rate)",
+      r.worstPartitions.map(p =>
+        s"${p.partitionKey} · ${p.constraint}" -> p.violationRate))
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>
@@ -161,8 +196,10 @@ object Reports {
        |</ul>
        |<h2>By constraint</h2>
        |$byC
+       |$figViolations
        |<h2>Worst failing partitions</h2>
        |$worst
+       |$figRates
        |<h2>Recommendations</h2>
        |<ul>${r.recommendations.map(x => s"<li>${esc(x)}</li>").mkString}</ul>
        |</body></html>

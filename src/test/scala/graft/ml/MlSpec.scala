@@ -125,6 +125,51 @@ class MlSpec extends GraftSuite {
     assert(!nullRow.getAs[Boolean]("iforest_anomaly"))
   }
 
+  // ---- OneClassSVM (RFF) --------------------------------------------------
+
+  test("ocsvm: RFF features approximate the RBF kernel (Rahimi–Recht bound)") {
+    val g = 0.5
+    val m = OneClassSvm.fit(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)), // data only seeds gamma; pass explicit
+      nFeatures = 4096, gamma = g, epochs = 1, seed = 3L)
+    def k(x: Array[Double], y: Array[Double]): Double = {
+      val d2 = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+      math.exp(-g * d2)
+    }
+    val pairs = Seq(
+      (Array(0.0, 0.0), Array(0.0, 0.0)),
+      (Array(0.0, 0.0), Array(1.0, 0.0)),
+      (Array(0.5, -1.0), Array(-0.5, 1.0)),
+      (Array(2.0, 2.0), Array(-2.0, -2.0)))
+    pairs.foreach { case (x, y) =>
+      val approx = m.phi(x).zip(m.phi(y)).map { case (a, b) => a * b }.sum
+      assert(math.abs(approx - k(x, y)) < 0.05,
+        s"φ(x)·φ(y)=$approx vs k=${k(x, y)}")
+    }
+  }
+
+  test("ocsvm: planted outliers get negative decisions, bulk non-negative-ish; ν bounds flags") {
+    val scored = OneClassSvm.fitScore(cloud, Seq("x", "y"), nu = 0.1,
+      trainRows = 503)
+    val rows = scored.select("turn_idx", "ocsvm_decision", "ocsvm_anomaly")
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    outlierIdx.foreach { i =>
+      assert(rows(i)._1 < 0 && rows(i)._2, s"outlier $i decision=${rows(i)._1}")
+    }
+    val flaggedFrac = rows.values.count(_._2).toDouble / rows.size
+    // ν=0.1 bounds the training outlier fraction ≈ 10%; allow SGD slack
+    assert(flaggedFrac > 0.01 && flaggedFrac < 0.35, s"flagged $flaggedFrac")
+    val labels = scored.select("ocsvm_anomaly_label").distinct()
+      .as[Int].collect().toSet
+    assert(labels.subsetOf(Set(1, -1)))
+  }
+
+  test("ocsvm: same seed reproduces identical decisions") {
+    def run() = OneClassSvm.fitScore(cloud, Seq("x", "y"), seed = 11L)
+      .agg(sum(abs(col("ocsvm_decision")))).collect()(0).getDouble(0)
+    assert(run() == run())
+  }
+
   // ---- LOF ----------------------------------------------------------------
 
   test("lof kernel: isolated point ≫ 1, uniform-grid inliers ≈ 1, duplicates = 1") {

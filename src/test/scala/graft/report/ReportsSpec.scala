@@ -42,6 +42,18 @@ class ReportsSpec extends GraftSuite {
     assert(html.contains("<td>conv_1</td>"))
   }
 
+  test("html embeds SVG figures (S9 role): one bar per constraint + worst partitions") {
+    val html = Reports.html(Reports.build(verdicts))
+    assert(html.contains("<svg"))
+    // 2 constraint bars + 2 worst-partition bars
+    assert(html.split("<rect").length - 1 == 4)
+    assert(html.contains("Violations by constraint"))
+    val svg = Reports.svgBars("t<&t", Seq("a<b" -> 3.0, "c" -> 1.5))
+    assert(!svg.contains("t<&t") && svg.contains("t&lt;&amp;t"))
+    assert(svg.contains("a&lt;b"))
+    assert(Reports.svgBars("empty", Nil) == "")
+  }
+
   test("html escapes markup in constraint names and recommendations") {
     val bad = Seq(("p<script>", "c<&>", false, 1L, 1L, 1.0))
       .toDF("partition_key", "constraint", "pass", "rows", "violations",
