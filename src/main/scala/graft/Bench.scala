@@ -119,6 +119,17 @@ object Bench {
     */
   private def childMain(args: Array[String]): Unit = {
     val Array(cpus, dataPath, warmPath, outFile) = args
+    // belt-and-braces orphan guard: if the parent bench JVM disappears
+    // (driver SIGKILL — shutdown hooks don't run), exit instead of burning
+    // cores into someone else's measurement window
+    ProcessHandle.current().parent().ifPresent { parent =>
+      val watchdog = new Thread(() => {
+        while (parent.isAlive) Thread.sleep(15000)
+        Runtime.getRuntime.halt(143)
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+    }
     val s = newSession(cpus.toInt)
     runSuite(s, warmPath) // warm-up (codegen/JIT)
     def procCpu = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -144,8 +155,23 @@ object Bench {
     * opens + heap mirror build.sbt so the child is configured identically
     * to the parent.
     */
-  private def forkSuite(cpus: Int, dataPath: String, warmPath: String,
-      timeoutSec: Double): Either[String, (Double, Double)] = {
+  /** Children launched and not yet reaped — killed from a JVM shutdown
+    * hook so a driver-side SIGTERM on the parent can't orphan a 32-thread
+    * bench child into the next measurement window.
+    */
+  private val liveChildren =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Process]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      liveChildren.forEach(p => p.destroyForcibly())
+    }))
+  }
+
+  /** Launch a child without waiting — the caller pairs starts so BOTH
+    * scaling legs run in the SAME host window (see phase 3).
+    */
+  private def startChild(cpus: Int, dataPath: String, warmPath: String)
+      : (Process, java.io.File) = {
     val out = java.io.File.createTempFile("graft_bench_wall_", ".txt")
     out.deleteOnExit()
     val javaBin = s"${sys.props("java.home")}/bin/java"
@@ -158,9 +184,18 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar")
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    // Cluster-faithful child sizing: a real N-core executor gets N x the
+    // per-core memory and a JVM that SEES N processors (GC/JIT thread
+    // pools sized to N). A fixed 8g/32-visible-CPU child gave the
+    // local[1] leg 8g/core plus 20-thread GC bursts while the local[4]
+    // leg got 2g/core — skewing the scaling ratio with GC asymmetry
+    // (measured: local[4] burned +36% proc-CPU for identical work).
+    val perCore = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM_PER_CORE_GB", "4").toInt
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM",
+      s"${math.min(perCore * cpus, 24)}g")
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      s"-Xmx$heap", s"-XX:ActiveProcessorCount=$cpus",
+      "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "--child", cpus.toString, dataPath, warmPath,
       out.getAbsolutePath)).toArray
@@ -169,8 +204,15 @@ object Bench {
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
+    liveChildren.add(p)
+    (p, out)
+  }
+
+  private def finishChild(cpus: Int, p: Process, out: java.io.File,
+      timeoutSec: Double): Either[String, (Double, Double)] = {
     val finished = p.waitFor(math.max(30L, timeoutSec.toLong),
       java.util.concurrent.TimeUnit.SECONDS)
+    liveChildren.remove(p)
     if (!finished) {
       p.destroyForcibly(); p.waitFor()
       Left(f"local[$cpus] child timed out after $timeoutSec%.0fs")
@@ -181,6 +223,12 @@ object Bench {
         java.nio.file.Files.readAllBytes(out.toPath), "UTF-8").trim.split(",")
       Right((w.toDouble, c.toDouble))
     }
+  }
+
+  private def forkSuite(cpus: Int, dataPath: String, warmPath: String,
+      timeoutSec: Double): Either[String, (Double, Double)] = {
+    val (p, out) = startChild(cpus, dataPath, warmPath)
+    finishChild(cpus, p, out, timeoutSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -243,6 +291,8 @@ object Bench {
     var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var cpus3 = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var peakWalls: List[Double] = Nil
+    // (loWall, hiWall) per concurrent round, newest first
+    var rounds: List[(Option[Double], Option[Double])] = Nil
     var speedFactor = 1.0
     var calWall = Double.NaN
     // host load sampled right before/after each fork, per level — lets a
@@ -268,8 +318,17 @@ object Bench {
       val loThr = thr(loWall); val hiThr = thr(hiWall)
       val peakWall = peakWalls.minOption
       val peakThr = thr(peakWall)
-      val efficiency = for (l <- loThr; h <- hiThr)
-        yield (h / l) / (hiN.toDouble / loN)
+      // per-round efficiency: both walls from the SAME concurrent round
+      // (same host window), so host-wide speed swings cancel; the median
+      // across rounds absorbs spikes that overlapped one leg asymmetrically
+      val roundEffs = rounds.reverse.collect {
+        case (Some(lo), Some(hi)) => (lo / hi) / (hiN.toDouble / loN)
+      }
+      val efficiency: Option[Double] = roundEffs.sorted match {
+        case Nil => None
+        case s if s.size % 2 == 1 => Some(s(s.size / 2))
+        case s => Some((s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+      }
       // headline = peak if measured, else the high scaling level — the
       // metric is the same (validated turns/sec), just at fewer cores
       val headline = peakThr.orElse(hiThr)
@@ -287,7 +346,7 @@ object Bench {
         s""""local$n":${ls.reverse.map { case (a, b) => s"[$a,$b]" }
           .mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
+      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
     }
 
     try {
@@ -354,21 +413,28 @@ object Bench {
       spark.stop()
 
       // ---- phase 3: suite throughput at the two parallelism levels --------
-      // the sandbox host is shared (noisy neighbours): take the MIN wall
-      // per level — min is robust to additive load spikes. Round 1 measures
-      // each level once; extra observations are added cheapest-level-first
-      // while the budget allows (and while a level's two best walls
-      // disagree >10%), up to maxReps per level. Every fork is capped at
-      // the remaining budget and a failed/timed-out child records an error
-      // instead of aborting.
+      // BOTH legs of a round run CONCURRENTLY (separate pristine JVMs,
+      // loN + hiN = 5 threads on a 32-core box — negligible mutual
+      // contention): the r3 sequential design kept landing its legs in
+      // DIFFERENT host-speed windows (this host's effective speed swings
+      // 1x↔4x on a minutes timescale, invisible to loadavg) which turned
+      // the wall ratio into noise. With concurrent legs a host-wide
+      // slowdown inflates both walls together and cancels in the
+      // efficiency ratio; per-round efficiency is the same-window
+      // estimator, and the median across rounds guards against spikes
+      // that overlap one leg asymmetrically. Rounds repeat (to maxReps)
+      // while the budget allows and the per-level walls are unstable.
       // Quiet-window wait: a fork launched into a neighbor load spike
       // measures the neighbors, not the engine (r3: load 19 inflated a
       // local[4] pass 4x in task-CPU). Sleeping costs wall but no
       // correctness, so before each fork wait (bounded) for load to drop —
       // but never wait past the point where the fork itself stops fitting
       // the budget.
-      val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "5.0").toDouble
-      val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "150").toDouble
+      // with concurrent legs the RATIO tolerates host-wide noise, so quiet
+      // waits are cheap insurance, not a requirement — keep them short
+      // (r3: a 150s pre-round wait cost a whole second round)
+      val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "8.0").toDouble
+      val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "60").toDouble
       def waitForQuiet(forkCostEst: Double): Unit = {
         val waitDeadline = math.min(quietWaitMax,
           remaining - 1.35 * forkCostEst)
@@ -394,6 +460,23 @@ object Bench {
           }
         }
       }
+      /** One concurrent round: start both legs, wait hi then lo. */
+      def runRound(): Unit = {
+        val before = loadAvg
+        val (pLo, fLo) = startChild(loN, dataPath, warmPath)
+        val (pHi, fHi) = startChild(hiN, dataPath, warmPath)
+        val rHi = finishChild(hiN, pHi, fHi, remaining)
+        val rLo = finishChild(loN, pLo, fLo, remaining)
+        val after = loadAvg
+        forkLoads += loN -> ((before, after) :: forkLoads(loN))
+        forkLoads += hiN -> ((before, after) :: forkLoads(hiN))
+        Seq(loN -> rLo, hiN -> rHi).foreach {
+          case (n, Right((w, c))) =>
+            walls += n -> (w :: walls(n)); cpus3 += n -> (c :: cpus3(n))
+          case (_, Left(e)) => errors += e
+        }
+        rounds = (rLo.toOption.map(_._1), rHi.toOption.map(_._1)) :: rounds
+      }
       // JVM + spark startup + warm pass, per fork (measured ~45-60s)
       val overheadEst = 60.0
       def estCost(n: Int): Double =
@@ -413,27 +496,18 @@ object Bench {
         val best2 = walls(n).sorted.take(2)
         best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
       }
-      // round 1: one observation per level, CHEAP level first — if the host
-      // is in a slow window, the expensive lo leg then gets the largest
-      // possible remaining-budget cap instead of starving everything after
-      // it (r3: a 564s local[1] pass run first left local[4] only 234s)
-      scalingPair.sortBy(n => estCost(n)).foreach(n => tryFork(n, estCost(n)))
-      // retry a level that produced nothing (child crash) once
-      scalingPair.filter(walls(_).isEmpty)
-        .foreach(n => if (remaining > 1.25 * estCost(n)) tryFork(n, estCost(n)))
-      // round 2 (and a bounded round 3 for still-unstable levels): min-of-2+
-      // per level keeps one noisy observation from either failing the gate
-      // (inflated hi wall) or dishonestly inflating efficiency (inflated lo
-      // wall). Interleaved ordering — cheapest level first — so a budget
-      // expiry mid-round still leaves balanced coverage.
-      var added = true
-      while (added) {
-        added = false
-        scalingPair.sortBy(estCost).foreach { n =>
-          if (!added && walls(n).nonEmpty && walls(n).size < maxReps &&
-              !levelStable(n) && remaining > 1.25 * estCost(n))
-            added = tryFork(n, estCost(n))
-        }
+      // round 1 always runs (its children are capped at the remaining
+      // budget); further rounds — up to maxReps — run while the budget
+      // fits a full round and either fewer than 2 complete rounds exist
+      // or a level's two best walls still disagree > 10%.
+      waitForQuiet(estCost(loN))
+      runRound()
+      def completeRounds = rounds.count(r => r._1.isDefined && r._2.isDefined)
+      while (rounds.size < maxReps &&
+          remaining > 1.25 * estCost(loN) &&
+          (completeRounds < 2 || !scalingPair.forall(levelStable))) {
+        waitForQuiet(estCost(loN))
+        runRound()
       }
 
       // ---- phase 4: single-node peak throughput (headline, local[cpus]) ---
@@ -444,7 +518,11 @@ object Bench {
         val peakEst = walls(hiN).minOption.map(_ * hiN.toDouble / cpus * 2)
           .getOrElse(60.0) + overheadEst
         if (remaining > 1.25 * peakEst) tryFork(cpus, peakEst, isPeak = true)
-        if (peakWalls.nonEmpty && remaining > 1.25 * peakEst)
+        // optional second attempt: only into a quiet window (a 32-thread
+        // fork launched into a load spike measures the spike, and min()
+        // never benefits from a knowingly-poisoned observation)
+        if (peakWalls.nonEmpty && remaining > 1.25 * peakEst &&
+            loadAvg <= quietLoad)
           tryFork(cpus, peakEst, isPeak = true)
       }
     } catch { case e: Throwable =>
