@@ -549,10 +549,13 @@ object Bench {
       // ratio DOWN — see emit() — so more rounds can only sharpen max)
       def bestEff = rounds.collect { case (Some(l), Some(h)) =>
         (l / h) / (hiN.toDouble / loN) }.maxOption.getOrElse(0.0)
+      // 0.82 = gate + margin: once a round has cleared it, further rounds
+      // can only confirm — better to leave the budget to the per-query
+      // timings and the peak fork than to re-prove a cleared gate
       while (rounds.size < maxReps &&
           remaining > 1.25 * estCost(loN) &&
           (completeRounds < 2 || !scalingPair.forall(levelStable) ||
-            bestEff < 0.85)) {
+            bestEff < 0.82)) {
         waitForQuiet(estCost(loN))
         runRound(2.5 * estCost(loN))
       }
