@@ -322,9 +322,13 @@ object Bench {
       .split(",").map(_.trim.toInt)
     val loN = scalingPair.head
     val hiN = scalingPair.last
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt
+    // planned scaling rounds — ALL run when the budget allows (see the
+    // round plan in phase 3); 3 × ~250s rounds + calibration + the query
+    // phase fills the 960s default budget on a clean host
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "3").toInt
     // peak phase: attempted by default when budget remains; "0" disables
     val peakEnabled = !sys.env.get("SPARK_GRAFT_PEAK").contains("0")
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
     // ---- mutable result state: emit() can run at ANY point ----------------
     val errors = scala.collection.mutable.ListBuffer.empty[String]
@@ -333,8 +337,23 @@ object Bench {
     var walls = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var cpus3 = Map.empty[Int, List[Double]].withDefaultValue(Nil)
     var peakWalls: List[Double] = Nil
+    // peak fork that hit its timeout: the cap is a LOWER BOUND on the wall
+    // — recorded instead of discarded (r3 burned 232s for zero data)
+    var peakPartialSec: Option[Double] = None
     // (loWall, hiWall) per concurrent round, newest first
     var rounds: List[(Option[Double], Option[Double])] = Nil
+    /** Full per-round audit record: table size, both legs' wall + proc-CPU,
+      * and whether the round was rejected from the headline (and why).
+      */
+    case class RoundRec(nConvs: Long, turns: Long,
+        lo: Option[(Double, Double)], hi: Option[(Double, Double)],
+        rejectReason: Option[String]) {
+      def eff: Option[Double] = for {
+        (lw, _) <- lo; (hw, _) <- hi
+      } yield (lw / hw) / (hiN.toDouble / loN)
+      def accepted: Boolean = eff.isDefined && rejectReason.isEmpty
+    }
+    var roundRecs: List[RoundRec] = Nil // newest first
     var speedFactor = 1.0
     var calWall = Double.NaN
     // host load sampled right before/after each fork, per level — lets a
@@ -355,23 +374,40 @@ object Bench {
       val total = results.collect { case (_, Right(v)) => v }.sum
       val loWall = walls(loN).minOption
       val hiWall = walls(hiN).minOption
-      def thr(w: Option[Double]): Option[Double] =
-        if (totalTurns > 0) w.map(totalTurns / _) else None
-      val loThr = thr(loWall); val hiThr = thr(hiWall)
+      val recsOldestFirst = roundRecs.reverse
+      // rounds may run different-size tables (per-round budget sizing), so
+      // throughput is computed per round from THAT round's turn count
+      def levelThr(leg: RoundRec => Option[(Double, Double)]): Option[Double] =
+        recsOldestFirst.flatMap(r => leg(r).map(l => r.turns / l._1)).maxOption
+      val loThr = levelThr(_.lo); val hiThr = levelThr(_.hi)
       val peakWall = peakWalls.minOption
-      val peakThr = thr(peakWall)
+      val peakThr =
+        if (totalTurns > 0) peakWall.map(totalTurns / _) else None
       // per-round efficiency: both walls from the SAME concurrent round
       // (same host window), so host-wide speed swings cancel in the ratio.
       // Contamination across rounds is empirically DOWNWARD: host
       // brown-outs stall the many-thread leg disproportionately (probe
       // data: +8% proc-CPU at local[4] vs local[1] in a quiet window,
-      // +44-66% in bad windows), so the max across rounds selects the
-      // least-contaminated estimate — every round's walls, proc-CPU and
-      // loads are in the JSON for the reader to audit.
-      val roundEffs = rounds.reverse.collect {
-        case (Some(lo), Some(hi)) => (lo / hi) / (hiN.toDouble / loN)
-      }
-      val efficiency: Option[Double] = roundEffs.maxOption
+      // +44-66% in bad windows). BUT a slowdown that lands on only ONE
+      // leg's tail (after the short leg finished) biases the ratio in
+      // either direction — so rounds whose legs burned asymmetric
+      // proc-CPU for identical work are REJECTED outright
+      // (rounds_rejected below), the max runs over the CPU-symMETRIC
+      // rounds only, and if no round is clean the headline falls back to
+      // the median across complete rounds rather than a cherry-picked
+      // max. Every round's walls, proc-CPU and loads are in the JSON for
+      // the reader to audit.
+      val roundEffs = recsOldestFirst.flatMap(_.eff)
+      val acceptedEffs = recsOldestFirst.filter(_.accepted).flatMap(_.eff)
+      def median(xs: Seq[Double]): Option[Double] =
+        if (xs.isEmpty) None
+        else {
+          val s = xs.sorted
+          Some(if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2)
+        }
+      val efficiency: Option[Double] =
+        acceptedEffs.maxOption.orElse(median(roundEffs))
       // headline = best measured throughput: normally the local[cpus]
       // peak, but a peak observation SLOWER than the 4-core leg is
       // self-evidently contaminated (32 cores cannot be slower than 4)
@@ -391,7 +427,19 @@ object Bench {
         s""""local$n":${ls.reverse.map { case (a, b) => s"[$a,$b]" }
           .mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"scaling_efficiency":${num(efficiency)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
+      def numV(o: Option[Double]): String = num(o)
+      val roundsDetail = recsOldestFirst.map { r =>
+        s"""{"n_convs":${r.nConvs},"turns":${r.turns},"lo_wall":${numV(r.lo.map(_._1))},"lo_cpu":${numV(r.lo.map(_._2))},"hi_wall":${numV(r.hi.map(_._1))},"hi_cpu":${numV(r.hi.map(_._2))},"eff":${numV(r.eff)},"accepted":${r.accepted},"reject_reason":${r.rejectReason.map(jStr).getOrElse("null")}}"""
+      }.mkString("[", ",", "]")
+      val roundsRejected = recsOldestFirst.zipWithIndex.collect {
+        case (r, i) if r.rejectReason.isDefined =>
+          jStr(s"round ${i + 1}: ${r.rejectReason.get}")
+      }.mkString("[", ",", "]")
+      val effBasis =
+        if (acceptedEffs.nonEmpty) "max_over_cpu_symmetric_rounds"
+        else if (roundEffs.nonEmpty) "median_over_complete_rounds_fallback"
+        else "none"
+      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"rounds_detail":$roundsDetail,"rounds_rejected":$roundsRejected,"efficiency_basis":${jStr(effBasis)},"scaling_efficiency":${num(efficiency)},"peak_partial_wall_sec":${num(peakPartialSec)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
     }
 
     try {
@@ -410,6 +458,7 @@ object Bench {
         TranscriptGen.generate(spark, warmConvs)
           .write.mode("overwrite").parquet(warmPath)
       }
+      val warmTurns = spark.read.parquet(warmPath).count()
       // calibration fork: timed warm-table pass at the hi level in a
       // pristine JVM → how slow is the host RIGHT NOW vs the quiet-window
       // reference? (fork cost ~45s; it doubles as a full JIT dress
@@ -431,11 +480,42 @@ object Bench {
         else math.max(nConvsMin, math.min(nConvsMax,
           (nConvsMax / speedFactor).toLong / 10000 * 10000))
       val dataPath = s"$scratchRoot/table_${nConvs}"
-      if (!new java.io.File(s"$dataPath/_SUCCESS").exists()) {
+      val tGen0 = System.nanoTime()
+      val mainPreexisting = new java.io.File(s"$dataPath/_SUCCESS").exists()
+      if (!mainPreexisting) {
         TranscriptGen.generate(spark, nConvs)
           .write.mode("overwrite").parquet(dataPath)
       }
       totalTurns = spark.read.parquet(dataPath).count()
+      // generation wall at nConvs — prices the mid-run regeneration a
+      // budget-pressed later round may need (scaled by conv count)
+      var genWallMain =
+        if (mainPreexisting) 30.0 * speedFactor
+        else (System.nanoTime() - tGen0) / 1e9
+      val turnsByPath = scala.collection.mutable.Map(
+        dataPath -> totalTurns, warmPath -> warmTurns)
+      /** Generate (if absent) + count a bench table of `nc` convs, via a
+        * SHORT-LIVED session that is stopped before returning — phase 3
+        * calls this between rounds, and an idle parent session measurably
+        * contaminates concurrent children (+27% hi-leg proc-CPU, r3 data).
+        * Must only be called while no other session is live (getOrCreate
+        * would adopt it).
+        */
+      def ensureTable(nc: Long): (String, Long) = {
+        val path = s"$scratchRoot/table_${nc}"
+        val have = new java.io.File(s"$path/_SUCCESS").exists()
+        if (!have || !turnsByPath.contains(path)) {
+          val s = newSession(cpus)
+          val t0 = System.nanoTime()
+          if (!have)
+            TranscriptGen.generate(s, nc).write.mode("overwrite").parquet(path)
+          turnsByPath(path) = s.read.parquet(path).count()
+          s.stop()
+          if (!have) genWallMain =
+            (System.nanoTime() - t0) / 1e9 * (nConvs.toDouble / nc)
+        }
+        (path, turnsByPath(path))
+      }
       // STOP the parent session for the measurement phases: an "idle"
       // local[32] session in the sbt JVM measurably contaminates the
       // children (bench rounds showed +27% hi-leg proc-CPU and eff 0.72-
@@ -486,28 +566,79 @@ object Bench {
         else {
           waitForQuiet(costEst)
           val before = loadAvg
-          val r = forkSuite(n, dataPath, warmPath, remaining)
+          val r = forkSuite(n, dataPath, warmPath, cap)
           forkLoads += n -> ((before, loadAvg) :: forkLoads(n))
           r match {
             case Right((w, c)) =>
               if (isPeak) peakWalls ::= w
               else { walls += n -> (w :: walls(n)); cpus3 += n -> (c :: cpus3(n)) }
               true
-            case Left(e) => errors += e; false
+            case Left(e) =>
+              errors += e
+              // a timed-out peak is still information: the cap is a hard
+              // LOWER bound on the wall — record it instead of nothing
+              if (isPeak && e.contains("timed out")) peakPartialSec = Some(cap)
+              false
           }
         }
       }
-      /** One concurrent round: start both legs, wait hi then lo. Children
-        * are capped at 2.5x the expected round cost (not the whole
-        * remaining budget): a round caught in a host brown-out gets cut
-        * early so the budget survives for a retry in a better window.
+
+      // ---- per-round cost model: lo-leg seconds PER TURN ------------------
+      // Rounds may run different-size tables (budget sizing below), so the
+      // model is a rate, not a wall. Evidence order: a completed lo leg is
+      // exact; a completed hi leg projects lo ≈ hi·(hiN/loN) (an UPPER
+      // bound — efficiency ≤ 1); the calibration pass projects the same
+      // way from the warm table; a lo-leg timeout gives a hard floor.
+      var loRateObs: Option[Double] = None // min over completed lo legs
+      var loRateFloor: Option[Double] = None // max over lo-leg timeout caps
+      def loSecPerTurn: Double = loRateObs.getOrElse {
+        val hiProj = roundRecs
+          .flatMap(r => r.hi.map(h => h._1 / r.turns * (hiN.toDouble / loN)))
+          .minOption
+        val calProj =
+          if (calWall.isNaN || warmTurns == 0) None
+          else Some(calWall / warmTurns * (hiN.toDouble / loN))
+        val proj = hiProj.orElse(calProj).getOrElse(2.4e-5 * speedFactor)
+        math.max(proj, loRateFloor.getOrElse(0.0))
+      }
+      // JVM + spark startup + warm pass, per fork (measured ~45-60s)
+      val overheadEst = 60.0
+      def roundCost(turns: Long): Double = loSecPerTurn * turns + overheadEst
+
+      // ---- round state: the table a round runs on can shrink ---------------
+      var curConvs = nConvs
+      var curPath = dataPath
+      var curTurns = totalTurns
+      // budget held back for the per-query phase (it degrades gracefully —
+      // skipped queries are recorded — but starving it entirely loses the
+      // driver's per-query artifact); sacrificed at 40% by a round that
+      // needs the room, never by the peak fork
+      val queryReserve = if (skipQueries) 0.0
+        else sys.env.getOrElse("SPARK_GRAFT_QUERY_RESERVE_SEC", "170").toDouble
+      // legs doing IDENTICAL work burn symmetric proc-CPU in a clean
+      // window (r3 probes: 1.00-1.08x); past this ratio one leg's window
+      // was contaminated and the round's ratio is untrustworthy in an
+      // UNKNOWN direction (a spike in the lo-leg tail biases UP — the
+      // optional-stopping trap), so the round is rejected from the
+      // headline max. r3's poisoned round measured 2.05x.
+      val asymMax = sys.env.getOrElse("SPARK_GRAFT_CPU_ASYM_MAX", "1.35").toDouble
+      // smallest table a round may shrink to: below this the fixed
+      // per-job wall stops amortizing even on a slow host and the
+      // efficiency measurement answers a different question
+      val minRoundConvs =
+        sys.env.getOrElse("SPARK_GRAFT_MIN_ROUND_CONVS", "50000").toLong
+
+      /** One concurrent round on the CURRENT table: start both legs
+        * together, reap hi then lo, record walls/CPUs, apply the
+        * CPU-asymmetry acceptance check, update the cost model.
         */
       def runRound(roundCapSec: Double): Unit = {
+        val capUsed = math.min(remaining, roundCapSec)
         val before = loadAvg
-        val (pLo, fLo) = startChild(loN, dataPath, warmPath)
-        val (pHi, fHi) = startChild(hiN, dataPath, warmPath)
-        val rHi = finishChild(hiN, pHi, fHi, math.min(remaining, roundCapSec))
-        val rLo = finishChild(loN, pLo, fLo, math.min(remaining, roundCapSec))
+        val (pLo, fLo) = startChild(loN, curPath, warmPath)
+        val (pHi, fHi) = startChild(hiN, curPath, warmPath)
+        val rHi = finishChild(hiN, pHi, fHi, capUsed)
+        val rLo = finishChild(loN, pLo, fLo, capUsed)
         val after = loadAvg
         forkLoads += loN -> ((before, after) :: forkLoads(loN))
         forkLoads += hiN -> ((before, after) :: forkLoads(hiN))
@@ -517,47 +648,75 @@ object Bench {
           case (_, Left(e)) => errors += e
         }
         rounds = (rLo.toOption.map(_._1), rHi.toOption.map(_._1)) :: rounds
+        rLo match {
+          case Right((w, _)) => loRateObs =
+            Some(math.min(loRateObs.getOrElse(Double.MaxValue), w / curTurns))
+          case Left(e) if e.contains("timed out") => loRateFloor =
+            Some(math.max(loRateFloor.getOrElse(0.0), capUsed / curTurns))
+          case _ =>
+        }
+        val reject = (rLo, rHi) match {
+          case (Right((_, lc)), Right((_, hc))) =>
+            val asym = math.max(lc, hc) / math.max(1e-9, math.min(lc, hc))
+            if (asym > asymMax)
+              Some(f"proc-CPU asymmetry $asym%.2fx > ${asymMax}x " +
+                f"(lo $lc%.0fs vs hi $hc%.0fs for identical work -- " +
+                "one leg's host window was contaminated)")
+            else None
+          case (l, h) =>
+            val why = Seq(l.left.toOption, h.left.toOption).flatten.mkString("; ")
+            Some(s"incomplete: $why")
+        }
+        roundRecs = RoundRec(curConvs, curTurns,
+          rLo.toOption, rHi.toOption, reject) :: roundRecs
       }
-      // JVM + spark startup + warm pass, per fork (measured ~45-60s)
-      val overheadEst = 60.0
-      def estCost(n: Int): Double =
-        walls(n).minOption.map(_ + overheadEst).getOrElse(
-          // unmeasured: assume linear scaling from the other level if
-          // known, else project from the calibration pass (warm table =
-          // nConvs·speedFactor/… of the main one, measured at hiN cores)
-          walls.collectFirst { case (m, ws) if ws.nonEmpty =>
-            ws.min * m.toDouble / n + overheadEst }
-            .getOrElse {
-              val mainAtHi =
-                if (calWall.isNaN) 300.0 / hiN * speedFactor
-                else calWall * nConvs.toDouble / warmConvs
-              mainAtHi * hiN.toDouble / n + overheadEst
-            })
-      def levelStable(n: Int): Boolean = {
-        val best2 = walls(n).sorted.take(2)
-        best2.size == 2 && (best2(1) - best2(0)) / best2(0) < 0.10
+
+      /** Fit the NEXT round into the remaining budget: keep the current
+        * table when it fits; otherwise regenerate a proportionally smaller
+        * one (efficiency is an intra-round ratio, and the slow host that
+        * forces a shrink inflates per-turn compute, keeping the
+        * compute-to-fixed-overhead ratio honest — BASELINE.md). Returns
+        * false when no useful round fits at all.
+        */
+      def sizeNextRound(): Boolean = {
+        val avail = remaining - queryReserve
+        if (avail > 1.25 * roundCost(curTurns)) true
+        else {
+          val genEst = 0.6 * genWallMain + 20.0
+          val targetWall = avail / 1.25 - overheadEst - genEst
+          val targetTurns = (targetWall / loSecPerTurn).toLong
+          val newConvs = math.min(curConvs - 10000,
+            (curConvs * (targetTurns.toDouble / curTurns)).toLong / 10000 * 10000)
+          if (targetWall < 45 || newConvs < minRoundConvs) false
+          else {
+            val (p, t) = ensureTable(newConvs)
+            curConvs = newConvs; curPath = p; curTurns = t
+            true
+          }
+        }
       }
-      // round 1 always runs (its children are capped at the remaining
-      // budget); further rounds — up to maxReps — run while the budget
-      // fits a full round and either fewer than 2 complete rounds exist
-      // or a level's two best walls still disagree > 10%.
-      waitForQuiet(estCost(loN))
-      runRound(2.5 * estCost(loN))
-      def completeRounds = rounds.count(r => r._1.isDefined && r._2.isDefined)
-      // keep measuring while budget allows and the best same-window
-      // estimate still looks contaminated (brown-outs only ever bias the
-      // ratio DOWN — see emit() — so more rounds can only sharpen max)
-      def bestEff = rounds.collect { case (Some(l), Some(h)) =>
-        (l / h) / (hiN.toDouble / loN) }.maxOption.getOrElse(0.0)
-      // 0.82 = gate + margin: once a round has cleared it, further rounds
-      // can only confirm — better to leave the budget to the per-query
-      // timings and the peak fork than to re-prove a cleared gate
-      while (rounds.size < maxReps &&
-          remaining > 1.25 * estCost(loN) &&
-          (completeRounds < 2 || !scalingPair.forall(levelStable) ||
-            bestEff < 0.82)) {
-        waitForQuiet(estCost(loN))
-        runRound(2.5 * estCost(loN))
+
+      // ---- the round plan --------------------------------------------------
+      // maxReps rounds are PLANNED and all of them run if the budget
+      // allows — no early stop on first gate clearance (stopping the
+      // moment one round clears is optional stopping: it preferentially
+      // keeps upward-contaminated rounds). Up to 2 EXTRA rounds are
+      // granted only while no CPU-symmetric round exists yet. Round 1
+      // gets the hardest cap: cut a brown-out round early enough that the
+      // budget still fits a smaller retry AND the query phase (r3's
+      // single 478s round left room for neither).
+      val round1Cap = math.min(2.5 * roundCost(curTurns),
+        math.max(150.0, (budgetSec - queryReserve - 60.0) / 2))
+      waitForQuiet(roundCost(curTurns))
+      runRound(round1Cap)
+      def acceptedCount = roundRecs.count(_.accepted)
+      while ((roundRecs.size < maxReps ||
+            (acceptedCount == 0 && roundRecs.size < maxReps + 2)) &&
+          sizeNextRound()) {
+        val cap = math.min(2.5 * roundCost(curTurns),
+          math.max(60.0, remaining - 0.6 * queryReserve))
+        waitForQuiet(roundCost(curTurns))
+        runRound(cap)
       }
 
       // ---- phase 4: single-node peak throughput (headline, local[cpus]) ---
@@ -570,7 +729,6 @@ object Bench {
       // the budget runs out). Every query gets an entry; ones the
       // leftover budget can't fit are recorded as skipped, never
       // silently dropped.
-      val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
       if (!skipQueries && remaining > 45) {
         val spark1 = newSession(cpus) // fresh session; the phase-2 one was
         // stopped so it couldn't contaminate the scaling rounds
@@ -596,10 +754,27 @@ object Bench {
       }
 
       // ---- phase 4 (LAST): single-node peak throughput (local[cpus]) ------
+      // gated on the host speed RIGHT NOW, not on estimates from the round
+      // phase minutes ago: r3's peak fork was admitted against a stale
+      // 128s estimate, burned the last 232s, and timed out. The ~1s
+      // bandwidth probe re-prices the attempt for the current window, and
+      // a timed-out attempt records its cap as a partial lower bound
+      // (peak_partial_wall_sec) instead of vanishing.
       if (peakEnabled && totalTurns > 0) {
-        val peakEst = walls(hiN).minOption.map(_ * hiN.toDouble / cpus * 2)
+        // hi-leg walls from shrunken rounds are normalized to the
+        // full-size table the peak runs on
+        val hiFullWall = roundRecs
+          .flatMap(r => r.hi.map(_._1 * (totalTurns.toDouble / r.turns)))
+          .minOption
+        val peakBase = hiFullWall.map(_ * hiN.toDouble / cpus * 2)
           .getOrElse(60.0) + overheadEst
+        val bwNow = memBandwidthProbe(4)
+        val speedNow = math.min(4.0, math.max(1.0, bwRef / math.max(bwNow, 1.0)))
+        val peakEst = peakBase * speedNow
         if (remaining > 1.25 * peakEst) tryFork(cpus, peakEst, isPeak = true)
+        else if (peakEst > 0)
+          errors += f"peak skipped: est ${peakEst}%.0fs (speed-now " +
+            f"$speedNow%.2fx) does not fit remaining ${remaining}%.0fs"
         // optional second attempt: only into a quiet window (a 32-thread
         // fork launched into a load spike measures the spike, and min()
         // never benefits from a knowingly-poisoned observation)

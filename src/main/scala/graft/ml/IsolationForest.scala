@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * Spark-first shape (fit-on-sample, score-at-scale — the standard way to
   * run a sample-trained detector over 10^12 rows):
   *  - the training sample is a DETERMINISTIC uniform reservoir: the
-  *    `sampleSize * nTrees`-smallest rows by xxhash64 of the feature tuple
-  *    (TakeOrdered — one pass, no shuffle of the full data, same sample on
-  *    every rerun/resume; no RNG over the data);
+  *    `trainRows`-smallest rows by xxhash64 of the feature tuple (default
+  *    8192; TakeOrdered — one pass, no shuffle of the full data, same
+  *    sample on every rerun/resume; no RNG over the data). Every tree
+  *    then draws its ψ-row subsample from this ONE shared pool — unlike
+  *    sklearn, where each tree subsamples the full data independently; at
+  *    the defaults (8192 ≫ ψ=256) the lost sample diversity is
+  *    negligible, but raise `trainRows` if `nTrees * sampleSize`
+  *    approaches it;
   *  - trees are fitted at the driver from a seeded xorshift PRNG (the
   *    isolation-tree build over ≤256-row subsamples is microseconds) and
   *    broadcast as flat int/double arrays;

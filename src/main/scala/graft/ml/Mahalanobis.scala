@@ -98,9 +98,13 @@ object Mahalanobis {
         when(col(flagCol), -1).otherwise(1)) // sklearn {1,-1} interface
   }
 
-  /** Gauss-Jordan inverse with partial pivoting; ridge-regularizes a
-    * singular covariance (constant/collinear columns) instead of throwing —
-    * the detector then ignores the degenerate directions.
+  /** Gauss-Jordan inverse with partial pivoting; a degenerate pivot
+    * (constant/collinear direction — after elimination its pivot collapses
+    * to ~the ridge floor) is pseudo-ignored Moore-Penrose-style: its row
+    * and column are zeroed in BOTH the working matrix and the inverse, so
+    * that direction contributes 0 to the distance instead of a ~1/ridge
+    * amplification (or Infinity when every column is constant and the
+    * ridge is subnormal).
     */
   private[ml] def invert(a0: Array[Array[Double]]): Array[Array[Double]] = {
     val d = a0.length
@@ -108,28 +112,38 @@ object Mahalanobis {
     // ridge floor relative to the largest variance
     val ridge = 1e-9 * math.max(1e-300, (0 until d).map(i => a(i)(i)).max)
     (0 until d).foreach(i => a(i)(i) += ridge)
+    // a direction whose post-elimination pivot is within an order of the
+    // ridge floor carries ~no variance signal — treat as degenerate
+    val degenerateTol = math.max(1e-300, 10.0 * ridge)
     val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     for (c <- 0 until d) {
       val p = (c until d).maxBy(r => math.abs(a(r)(c)))
-      if (math.abs(a(p)(c)) < 1e-300)
-        a(c)(c) = ridge // fully degenerate direction: pseudo-ignore
-      else {
+      if (math.abs(a(p)(c)) < degenerateTol) {
+        // degenerate direction: zero its row+column everywhere (pseudo-
+        // inverse "ignore"), never divide by the floor
+        var t = 0
+        while (t < d) {
+          a(c)(t) = 0.0; a(t)(c) = 0.0
+          inv(c)(t) = 0.0; inv(t)(c) = 0.0
+          t += 1
+        }
+      } else {
         val t = a(c); a(c) = a(p); a(p) = t
         val ti = inv(c); inv(c) = inv(p); inv(p) = ti
-      }
-      val piv = a(c)(c)
-      var j = 0
-      while (j < d) { a(c)(j) /= piv; inv(c)(j) /= piv; j += 1 }
-      var r = 0
-      while (r < d) {
-        if (r != c && a(r)(c) != 0.0) {
-          val f = a(r)(c)
-          var k = 0
-          while (k < d) {
-            a(r)(k) -= f * a(c)(k); inv(r)(k) -= f * inv(c)(k); k += 1
+        val piv = a(c)(c)
+        var j = 0
+        while (j < d) { a(c)(j) /= piv; inv(c)(j) /= piv; j += 1 }
+        var r = 0
+        while (r < d) {
+          if (r != c && a(r)(c) != 0.0) {
+            val f = a(r)(c)
+            var k = 0
+            while (k < d) {
+              a(r)(k) -= f * a(c)(k); inv(r)(k) -= f * inv(c)(k); k += 1
+            }
           }
+          r += 1
         }
-        r += 1
       }
     }
     inv

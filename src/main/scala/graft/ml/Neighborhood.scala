@@ -20,14 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Neighborhood {
 
+  /** Rows with any null/NaN-decoding feature carry a None vector (the
+    * kernels emit a null score for them, like IsolationForest's null
+    * pass-through) — decoding them as a bare Seq[Double] would crash the
+    * whole job on the first null ("Null value appeared in non-nullable
+    * field").
+    */
   private def packed(df: DataFrame, keyCol: String, ordCol: String,
       featureCols: Seq[String]) = {
     val spark = df.sparkSession
     import spark.implicits._
+    val allSet = featureCols.map(c => col(c).isNotNull).reduce(_ && _)
     df.select(col(keyCol).cast("string").as("key"),
         col(ordCol).cast("int").as("ord"),
-        array(featureCols.map(c => col(c).cast("double")): _*).as("x"))
-      .as[(String, Int, Seq[Double])]
+        when(allSet, array(featureCols.map(c => col(c).cast("double")): _*))
+          .as("x"))
+      .as[(String, Int, Option[Seq[Double]])]
   }
 
   private def dist(a: Array[Double], b: Array[Double]): Double = {
@@ -51,48 +59,75 @@ object Neighborhood {
       .groupByKey(_._1)
       .flatMapSortedGroups(col("ord")) { (key, rows) =>
         val buf = rows.toArray
-        if (buf.length > maxGroup || buf.length < 3)
+        val valid = buf.iterator.zipWithIndex
+          .collect { case ((_, _, Some(x)), i) => (i, x.toArray) }.toArray
+        if (valid.length > maxGroup || valid.length < 3)
           buf.iterator.map(r => (key, r._2, Option.empty[Double]))
         else {
-          val xs = buf.map(_._3.toArray)
-          val scores = lofKernel(xs, math.min(k, buf.length - 1))
-          buf.iterator.zip(scores.iterator).map { case (r, s) =>
-            (key, r._2, Option(s))
+          val scores =
+            lofKernel(valid.map(_._2), math.min(k, valid.length - 1))
+          val byPos = valid.iterator.map(_._1).zip(scores.iterator).toMap
+          buf.iterator.zipWithIndex.map { case (r, i) =>
+            (key, r._2, byPos.get(i))
           }
         }
       }
       .toDF(keyCol, ordCol, "lof")
   }
 
-  /** Exact LOF over one in-memory group (the reference's sklearn
-    * semantics: k-distance neighborhoods WITH ties, reachability
-    * distances, lrd, LOF).
+  /** Exact LOF over one in-memory group (Breunig semantics: k-distance
+    * neighborhoods WITH ties, reachability distances, lrd, LOF).
+    *
+    * Memory shape: no n×n matrix — each point's distance row is computed
+    * into a reused O(n) buffer and only the neighbor list (ids +
+    * distances, k plus ties) is retained, so a 20k-row group holds
+    * ~O(n·k) doubles resident instead of the 3.2 GB n² matrix the
+    * matrix form costs at `maxGroup`. Time stays O(n²·d) — the reason
+    * groups are bounded at all. (Degenerate caveat: a group that is
+    * mostly exact duplicates has tie-neighborhoods of size ~n and the
+    * neighbor lists grow toward O(n²) again — the maxGroup bound is the
+    * backstop there too.)
     */
   private[ml] def lofKernel(xs: Array[Array[Double]], k: Int): Array[Double] = {
     val n = xs.length
-    val d = Array.tabulate(n, n)((i, j) => dist(xs(i), xs(j)))
-    // k-distance and neighborhood (all points within k-distance, ties incl.)
     val kdist = new Array[Double](n)
-    val neigh = new Array[Array[Int]](n)
+    val neighIds = new Array[Array[Int]](n)
+    val neighDist = new Array[Array[Double]](n)
+    val row = new Array[Double](n) // reused distance buffer
+    val scratch = new Array[Double](n) // reused selection buffer
     var i = 0
     while (i < n) {
-      val others = (0 until n).filter(_ != i).toArray
-      val sorted = others.sortBy(d(i))
-      kdist(i) = d(i)(sorted(k - 1))
-      neigh(i) = others.filter(j => d(i)(j) <= kdist(i))
+      var j = 0
+      while (j < n) { row(j) = dist(xs(i), xs(j)); j += 1 }
+      var m = 0
+      j = 0
+      while (j < n) { if (j != i) { scratch(m) = row(j); m += 1 }; j += 1 }
+      kdist(i) = kthSmallest(scratch, m, k)
+      val ids = new scala.collection.mutable.ArrayBuilder.ofInt
+      val ds = new scala.collection.mutable.ArrayBuilder.ofDouble
+      j = 0
+      while (j < n) {
+        if (j != i && row(j) <= kdist(i)) { ids += j; ds += row(j) }
+        j += 1
+      }
+      neighIds(i) = ids.result()
+      neighDist(i) = ds.result()
       i += 1
     }
     val lrd = new Array[Double](n)
     i = 0
     while (i < n) {
       var s = 0.0
-      neigh(i).foreach(j => s += math.max(kdist(j), d(i)(j)))
+      val ds = neighDist(i)
+      val ids = neighIds(i)
+      var t = 0
+      while (t < ids.length) { s += math.max(kdist(ids(t)), ds(t)); t += 1 }
       lrd(i) = if (s <= 0) Double.PositiveInfinity
-        else neigh(i).length / s
+        else ids.length / s
       i += 1
     }
     Array.tabulate(n) { p =>
-      val ns = neigh(p)
+      val ns = neighIds(p)
       if (lrd(p).isInfinite) 1.0 // duplicate-dense point: as dense as peers
       else {
         var s = 0.0
@@ -102,6 +137,38 @@ object Neighborhood {
         (s / ns.length) / lrd(p)
       }
     }
+  }
+
+  /** k-th smallest of a(0 until m), in-place iterative quickselect with a
+    * median-of-three pivot (deterministic — no RNG). Mutates `a`.
+    */
+  private[ml] def kthSmallest(a: Array[Double], m: Int, k: Int): Double = {
+    require(k >= 1 && k <= m, s"k=$k outside 1..$m")
+    var lo = 0
+    var hi = m - 1
+    val target = k - 1
+    while (lo < hi) {
+      // median-of-three pivot, moved to a(lo)
+      val mid = lo + (hi - lo) / 2
+      if (a(mid) < a(lo)) { val t = a(mid); a(mid) = a(lo); a(lo) = t }
+      if (a(hi) < a(lo)) { val t = a(hi); a(hi) = a(lo); a(lo) = t }
+      if (a(hi) < a(mid)) { val t = a(hi); a(hi) = a(mid); a(mid) = t }
+      val pivot = a(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < pivot) i += 1
+        while (a(j) > pivot) j -= 1
+        if (i <= j) {
+          val t = a(i); a(i) = a(j); a(j) = t
+          i += 1; j -= 1
+        }
+      }
+      if (target <= j) hi = j
+      else if (target >= i) lo = i
+      else return a(target)
+    }
+    a(target)
   }
 
   /** DBSCAN per group → (key, ord, cluster, is_noise). Cluster ids are
@@ -117,12 +184,16 @@ object Neighborhood {
       .groupByKey(_._1)
       .flatMapSortedGroups(col("ord")) { (key, rows) =>
         val buf = rows.toArray
-        if (buf.length > maxGroup)
+        val valid = buf.iterator.zipWithIndex
+          .collect { case ((_, _, Some(x)), i) => (i, x.toArray) }.toArray
+        if (valid.length > maxGroup)
           buf.iterator.map(r => (key, r._2, Option.empty[Int], Option.empty[Boolean]))
         else {
-          val labels = dbscanKernel(buf.map(_._3.toArray), eps, minSamples)
-          buf.iterator.zip(labels.iterator).map { case (r, l) =>
-            (key, r._2, Option(l), Option(l == -1))
+          val labels = dbscanKernel(valid.map(_._2), eps, minSamples)
+          val byPos = valid.iterator.map(_._1).zip(labels.iterator).toMap
+          buf.iterator.zipWithIndex.map { case (r, i) =>
+            val l = byPos.get(i)
+            (key, r._2, l, l.map(_ == -1))
           }
         }
       }

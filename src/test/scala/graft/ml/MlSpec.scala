@@ -75,6 +75,32 @@ class MlSpec extends GraftSuite {
     assert(d.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("mahalanobis: degenerate directions are IGNORED, not ridge-amplified") {
+    // constant column: distSq must equal the 1-d (x-μ)²/var_pop(x) form —
+    // the constant direction contributes 0 (Moore-Penrose ignore), not
+    // ~1/ridge
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (4.0, 5.0))
+      .toDF("x", "c")
+    val m = Mahalanobis.fit(df, Seq("x", "c"))
+    val got = df.withColumn("d", m.distSq)
+      .select("x", "d").as[(Double, Double)].collect().toMap
+    // mean 2.5, var_pop 1.25
+    Seq(1.0 -> 1.8, 2.0 -> 0.2, 3.0 -> 0.2, 4.0 -> 1.8).foreach {
+      case (x, expected) =>
+        assert(math.abs(got(x) - expected) < 1e-6, s"x=$x d=${got(x)}")
+    }
+    // ALL columns constant (ridge floor subnormal): finite zero distances
+    val allConst = Seq((5.0, 7.0), (5.0, 7.0), (5.0, 7.0)).toDF("a", "b")
+    val m2 = Mahalanobis.fit(allConst, Seq("a", "b"))
+    val d2 = allConst.withColumn("d", m2.distSq).select("d").as[Double].collect()
+    assert(d2.forall(v => v == 0.0), d2.mkString(","))
+    // collinear pair: the redundant direction is dropped, distances finite
+    val collinear = (1 to 8).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    val m3 = Mahalanobis.fit(collinear, Seq("x", "y"))
+    val d3 = collinear.withColumn("d", m3.distSq).select("d").as[Double].collect()
+    assert(d3.forall(v => !v.isNaN && !v.isInfinite && v < 1e6), d3.mkString(","))
+  }
+
   // ---- IsolationForest ----------------------------------------------------
 
   test("iforest: planted outliers score highest; scores in (0,1)") {
@@ -185,6 +211,59 @@ class MlSpec extends GraftSuite {
     // all-identical points: defined, not NaN/∞
     val dup = Neighborhood.lofKernel(Array.fill(6)(Array(1.0, 1.0)), k = 3)
     assert(dup.forall(s => !s.isNaN && !s.isInfinite))
+  }
+
+  test("lof kthSmallest: matches full sort on adversarial layouts") {
+    val cases = Seq(
+      Array(3.0, 1.0, 2.0),
+      Array(5.0, 5.0, 5.0, 5.0),
+      Array(9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0),
+      Array.tabulate(101)(i => ((i * 37) % 101).toDouble),
+      Array.tabulate(64)(i => (i % 4).toDouble)) // heavy ties
+    cases.foreach { a =>
+      val sorted = a.clone().sorted
+      (1 to a.length).foreach { k =>
+        val got = Neighborhood.kthSmallest(a.clone(), a.length, k)
+        assert(got == sorted(k - 1), s"k=$k on ${a.take(8).mkString(",")}…")
+      }
+    }
+  }
+
+  test("lof kernel: 20k-row group runs in O(n·k) memory (no n² matrix)") {
+    // 3-cluster deterministic cloud + 5 far outliers. The pre-r4 kernel
+    // allocated an n×n distance matrix (20000² doubles = 3.2 GB) here;
+    // the streaming kernel keeps one O(n) row buffer + O(k) neighbor
+    // lists and completes comfortably inside the test heap.
+    val n = 20000
+    val xs = Array.tabulate(n) { i =>
+      if (i >= n - 5) Array(500.0 + i, 500.0 - i)
+      else {
+        val c = i % 3
+        Array(c * 30.0 + 4 * u(i, 21) - 2, c * 10.0 + 4 * u(i, 22) - 2)
+      }
+    }
+    val scores = Neighborhood.lofKernel(xs, k = 20)
+    assert(scores.length == n)
+    assert(scores.forall(s => !s.isNaN))
+    val top5 = scores.zipWithIndex.sortBy(-_._1).take(5).map(_._2).toSet
+    assert(top5 == (n - 5 until n).toSet, s"top-5 = $top5")
+  }
+
+  test("lof/dbscan: null feature rows get null scores, not a crash") {
+    val good = (0 until 30).map(i => ("c", i, Option(u(i, 13) * 2), Option(u(i, 14) * 2)))
+    val bad = Seq(("c", 30, Option.empty[Double], Option(1.0)),
+      ("c", 31, Option(1.0), Option.empty[Double]))
+    val df = (good ++ bad).toDF("conv_id", "turn_idx", "x", "y")
+    val lofGot = Neighborhood.lof(df, "conv_id", "turn_idx", Seq("x", "y"), k = 5)
+      .collect().map(r => r.getInt(1) -> !r.isNullAt(2)).toMap
+    assert(lofGot.size == 32)
+    assert(!lofGot(30) && !lofGot(31))
+    assert((0 until 30).forall(lofGot(_)))
+    val dbGot = Neighborhood.dbscan(df, "conv_id", "turn_idx", Seq("x", "y"),
+      eps = 3.0, minSamples = 3)
+      .collect().map(r => r.getInt(1) -> !r.isNullAt(2)).toMap
+    assert(dbGot.size == 32 && !dbGot(30) && !dbGot(31))
+    assert((0 until 30).forall(dbGot(_)))
   }
 
   test("lof DataFrame: per-conversation groups, outlier flagged, oversize group → null") {
