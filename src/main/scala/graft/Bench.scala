@@ -326,8 +326,15 @@ object Bench {
     // round plan in phase 3); 3 × ~250s rounds + calibration + the query
     // phase fills the 960s default budget on a clean host
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "3").toInt
-    // peak phase: attempted by default when budget remains; "0" disables
-    val peakEnabled = !sys.env.get("SPARK_GRAFT_PEAK").contains("0")
+    // peak phase (local[cpus] single-fork throughput): OPT-IN via
+    // SPARK_GRAFT_PEAK=1. Two consecutive full runs (r3, r4) saw the
+    // 32-thread fork run >4x slower than the concurrent 4-thread leg and
+    // time out after ~230s — on this shared host 32 threads never get 32
+    // cores (r1 data: outside load 12-19 during every 32-thread window),
+    // so the fork measures the neighbours and starves the third planned
+    // scaling round. The headline falls back to the hi-leg throughput,
+    // which is measured under the same protocol as the gate itself.
+    val peakEnabled = sys.env.get("SPARK_GRAFT_PEAK").contains("1")
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
     // ---- mutable result state: emit() can run at ANY point ----------------
@@ -532,9 +539,10 @@ object Bench {
       // the wall ratio into noise. With concurrent legs a host-wide
       // slowdown inflates both walls together and cancels in the
       // efficiency ratio; per-round efficiency is the same-window
-      // estimator, and the median across rounds guards against spikes
-      // that overlap one leg asymmetrically. Rounds repeat (to maxReps)
-      // while the budget allows and the per-level walls are unstable.
+      // estimator. Spikes that land on only ONE leg's tail are caught by
+      // the per-round proc-CPU asymmetry check (see runRound) — such
+      // rounds are rejected from the headline. All maxReps planned
+      // rounds run while the budget allows.
       // Quiet-window wait: a fork launched into a neighbor load spike
       // measures the neighbors, not the engine (r3: load 19 inflated a
       // local[4] pass 4x in task-CPU). Sleeping costs wall but no

@@ -542,6 +542,21 @@ object SparkEntry {
           round(col("crit_5pct"), 6).as("crit_5pct"), col("stationary"))
     }),
 
+    // T6 with a FIXED lag 2: exercises the augmented (multi-regressor)
+    // OLS path end-to-end against a closed-form SQL twin — the 4-column
+    // regression's normal equations are solved in DuckDB by Cramer's rule
+    // over centered moments (autolag stays golden-gated in
+    // StationaritySpec; q44 covers the lag-0 path)
+    "q44b_adf_lag2" -> ((s, dir) => {
+      val series = hourlySeries(s, dir).withColumn("idx",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("bucket_ts"))) - 1)
+      graft.series.Stationarity.adf(series, "k", "idx", "y",
+        maxlag = 2, autolag = false)
+        .select(col("k"), round(col("adf_stat"), 6).as("adf_stat"),
+          col("used_lag"), col("nobs"),
+          round(col("crit_5pct"), 6).as("crit_5pct"), col("stationary"))
+    }),
+
     // Flagship: full suite (uniqueness + RI + completeness + rolling-z +
     // turn-rate drift with STL) → verdict rows (rows-only oracle: STL;
     // q52 is the exact-checked classical twin)
@@ -1230,6 +1245,51 @@ object SparkEntry {
         |SELECT 'all' AS k, round(b / se, 6) AS adf_stat, 0 AS used_lag,
         |  CAST(n AS INT) AS nobs, round(crit, 6) AS crit_5pct,
         |  (b / se) < crit AS stationary
+        |FROM t""".stripMargin,
+
+    // ADF with fixed lag 2: regression Δy_t = α + ρ·y_{t-1} + b1·Δy_{t-1}
+    // + b2·Δy_{t-2}. With an intercept, the slope block of (X'X)⁻¹ equals
+    // the inverse of the CENTERED 3×3 moment matrix, so ρ̂ and se(ρ̂) have
+    // a Cramer's-rule closed form over covar_pop moments; σ̂² uses
+    // df = n − 4 (const + 3 regressors), matching the OLS kernel.
+    "q44b_adf_lag2" ->
+      """WITH series AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::DOUBLE AS y
+        |  FROM events GROUP BY 1),
+        |ord AS (SELECT y, row_number() OVER (ORDER BY bucket_ts) AS rn FROM series),
+        |reg AS (SELECT cur.y - p1.y AS dd, p1.y AS x1, p1.y - p2.y AS dl1,
+        |    p2.y - p3.y AS dl2
+        |  FROM ord cur
+        |  JOIN ord p1 ON cur.rn = p1.rn + 1
+        |  JOIN ord p2 ON cur.rn = p2.rn + 2
+        |  JOIN ord p3 ON cur.rn = p3.rn + 3),
+        |m AS (SELECT count(*)::DOUBLE AS n,
+        |    covar_pop(x1,x1)*count(*) AS m11, covar_pop(x1,dl1)*count(*) AS m12,
+        |    covar_pop(x1,dl2)*count(*) AS m13, covar_pop(dl1,dl1)*count(*) AS m22,
+        |    covar_pop(dl1,dl2)*count(*) AS m23, covar_pop(dl2,dl2)*count(*) AS m33,
+        |    covar_pop(x1,dd)*count(*) AS v1, covar_pop(dl1,dd)*count(*) AS v2,
+        |    covar_pop(dl2,dd)*count(*) AS v3, covar_pop(dd,dd)*count(*) AS sdd
+        |  FROM reg),
+        |sol AS (SELECT n, sdd, v1, v2, v3,
+        |    m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13)
+        |      + m13*(m12*m23 - m22*m13) AS det,
+        |    m22*m33 - m23*m23 AS c11,
+        |    v1*(m22*m33 - m23*m23) - m12*(v2*m33 - m23*v3)
+        |      + m13*(v2*m23 - m22*v3) AS det1,
+        |    m11*(v2*m33 - v3*m23) - v1*(m12*m33 - m23*m13)
+        |      + m13*(m12*v3 - v2*m13) AS det2,
+        |    m11*(m22*v3 - m23*v2) - m12*(m12*v3 - v2*m13)
+        |      + v1*(m12*m23 - m22*m13) AS det3
+        |  FROM m),
+        |t AS (SELECT n,
+        |    det1/det AS rho,
+        |    (sdd - (det1/det)*v1 - (det2/det)*v2 - (det3/det)*v3) / (n - 4)
+        |      AS sig2,
+        |    c11/det AS invc11,
+        |    -2.86154 - 2.8903/n - 4.234/(n*n) - 40.040/(n*n*n) AS crit
+        |  FROM sol)
+        |SELECT 'all' AS k, round(rho / sqrt(sig2 * invc11), 6) AS adf_stat,
+        |  2 AS used_lag, CAST(n AS INT) AS nobs, round(crit, 6) AS crit_5pct,
+        |  (rho / sqrt(sig2 * invc11)) < crit AS stationary
         |FROM t""".stripMargin,
 
     // Full SQL twin of the flagship validator suite (classical drift

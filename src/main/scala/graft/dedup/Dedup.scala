@@ -66,9 +66,19 @@ object Dedup {
     * ids only — the 64×8-byte signatures never ride the replicated shuffle.
     * Signatures rejoin exactly once per surviving pair (two equi-joins on
     * the scalar id) to compute est_jaccard.
+    *
+    * The `signatures` plan is referenced THREE times (banding + the two
+    * est_jaccard rejoins): it is persisted here for the duration of the
+    * job so the upstream shingle-explode + min-aggregation runs ONCE
+    * (profiled at sf0.1: the unpersisted plan recomputed it per consumer
+    * and tripled the query wall). Signature state is O(numHashes)/doc —
+    * at 10^12 turns this is the doc-count × ~0.5 KB, storage-level
+    * MEMORY_AND_DISK spills the tail. The tiny id-only pair set is
+    * persisted for the same reason (3 consumers downstream).
     */
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
       bands: Int, estJaccardMin: Double = 0.5): DataFrame = {
+    signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signatures.select(col(idCol).as("a_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -81,6 +91,7 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = aggregate(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
     pairs
@@ -176,12 +187,18 @@ object Dedup {
     */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // `pairs` feeds 3 consumers (id semi-join, intersection, final base)
+    // and the candidate-doc shingles feed 2 (intersection both sides) —
+    // persist both so the upstream plans run once; both are bounded by
+    // the candidate set, not the corpus
+    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = pairs.select(col("a_id").as("__vid"))
       .union(pairs.select(col("b_id"))).distinct()
     val sh = df.join(ids, col(idCol) === col("__vid"))
       .select(col(idCol),
         explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK)))
           .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col(idCol).as("a_id"), col("sh")), Seq("a_id"))
