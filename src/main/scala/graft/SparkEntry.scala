@@ -694,9 +694,13 @@ object SparkEntry {
     }),
 
     // §2.10 LocalOutlierFactor role (reference src/anomaly_detection.py:
-    // 85-127, n_neighbors=20): per-conversation exact kernel; the k-NN
-    // reachability chain has no tractable SQL twin → rows-only check,
-    // MlSpec carries the grid/outlier/duplicate gates.
+    // 85-127, n_neighbors=20): per-conversation exact kernel. Over a
+    // single feature the whole Breunig chain (k-distance with ties,
+    // reachability, lrd, LOF) is SQL-expressible via a within-conv
+    // self-join, so the query is hash-checked; the twin mirrors the
+    // kernel's sqrt(d·d) distance bit-for-bit so tie comparisons agree,
+    // and round(…,4) absorbs sum-order drift in the lrd/LOF averages.
+    // MlSpec + the exact-Breunig golden carry the multi-feature gates.
     "q56_lof_scores" -> ((s, dir) =>
       graft.ml.Neighborhood.lof(Tables.transcripts(s, dir),
         "conv_id", "turn_idx", Seq("value"), k = 20)
@@ -725,11 +729,11 @@ object SparkEntry {
     * Driver applies the weaker rows-only check here.
     */
   val oracleExempt: Set[String] = Set("q50_validation_suite",
-    // random isolation trees / k-NN reachability chains / SGD-trained SVM
-    // weights have no SQL twin; behavioural gates live in MlSpec (planted
-    // outliers, determinism, RFF kernel bound) — their SQL-expressible
-    // siblings q53 (Mahalanobis) and q54 (DBSCAN noise) ARE hash-checked
-    "q55_iforest_outliers", "q56_lof_scores", "q57_ocsvm_outliers")
+    // random isolation trees / SGD-trained SVM weights have no SQL twin;
+    // behavioural gates live in MlSpec (planted outliers, determinism,
+    // RFF kernel bound) — their SQL-expressible siblings q53
+    // (Mahalanobis), q54 (DBSCAN noise) and q56 (1-D LOF) ARE hash-checked
+    "q55_iforest_outliers", "q57_ocsvm_outliers")
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -1511,6 +1515,53 @@ object SparkEntry {
          |  AND (NOT EXISTS (SELECT 1 FROM core c
          |     WHERE c.conv_id = a.conv_id AND abs(c.v - a.v) <= 3.005))
          |  AS is_noise
-         |FROM t a""".stripMargin
+         |FROM t a""".stripMargin,
+
+    // Exact Breunig LOF over the 1-D feature: k-distance (k-th smallest,
+    // QUALIFY row_number = k) → tie-inclusive neighborhoods (d <= kdist)
+    // → reachability lrd (count/sum of max(kdist_j, d), 0-sum ⇒ inf) →
+    // LOF = avg(neighbor lrd, inf ⇒ 1e12)/lrd (inf lrd ⇒ 1.0). Distance
+    // is sqrt(d*d), NOT abs(d), to match the kernel's FP bit-for-bit on
+    // tie comparisons; turn_idx is unique per conv (row_number-derived)
+    // so it doubles as the point id. Groups need n >= 3 like the kernel.
+    "q56_lof_scores" ->
+      s"""WITH $T,
+         |pts AS (
+         |  SELECT conv_id, turn_idx AS i, value AS v,
+         |         count(*) OVER (PARTITION BY conv_id) AS n
+         |  FROM transcripts WHERE value IS NOT NULL),
+         |pp AS (
+         |  SELECT a.conv_id, a.i, b.i AS j,
+         |         sqrt((a.v - b.v) * (a.v - b.v)) AS d,
+         |         least(20, a.n - 1) AS k
+         |  FROM pts a JOIN pts b USING (conv_id)
+         |  WHERE a.i <> b.i AND a.n >= 3),
+         |kd AS (
+         |  SELECT conv_id, i, d AS kdist
+         |  FROM pp
+         |  QUALIFY row_number() OVER (PARTITION BY conv_id, i ORDER BY d) = k),
+         |nb AS (
+         |  SELECT pp.conv_id, pp.i, pp.j, pp.d, kd.kdist
+         |  FROM pp JOIN kd USING (conv_id, i)
+         |  WHERE pp.d <= kd.kdist),
+         |lrdv AS (
+         |  SELECT nb.conv_id, nb.i,
+         |         CASE WHEN sum(greatest(kj.kdist, nb.d)) <= 0
+         |              THEN 'infinity'::DOUBLE
+         |              ELSE count(*) / sum(greatest(kj.kdist, nb.d)) END AS lrd
+         |  FROM nb JOIN kd kj ON kj.conv_id = nb.conv_id AND kj.i = nb.j
+         |  GROUP BY 1, 2),
+         |lofv AS (
+         |  SELECT nb.conv_id, nb.i,
+         |         CASE WHEN isinf(lp.lrd) THEN 1.0
+         |              ELSE avg(CASE WHEN isinf(lo.lrd) THEN 1e12
+         |                            ELSE lo.lrd END) / lp.lrd
+         |         END AS lof
+         |  FROM nb
+         |  JOIN lrdv lp ON lp.conv_id = nb.conv_id AND lp.i = nb.i
+         |  JOIN lrdv lo ON lo.conv_id = nb.conv_id AND lo.i = nb.j
+         |  GROUP BY nb.conv_id, nb.i, lp.lrd)
+         |SELECT conv_id, i AS turn_idx, round(lof, 4) AS lof
+         |FROM lofv WHERE lof > 1.5""".stripMargin
   )
 }
