@@ -720,6 +720,31 @@ object SparkEntry {
         .select(col("event_id"),
           round(col("ocsvm_decision"), 6).as("decision"),
           col("ocsvm_anomaly_label").as("label"))
+    }),
+
+    // Scoring-path twin for q55: the SAME array-encoded-tree traversal UDF
+    // (IsolationForest.scoreWith — the path fitScore scores through)
+    // evaluates a PINNED 2-tree forest, so the distributed scoring leg is
+    // hash-checked against a DuckDB CASE-chain twin; the FIT stays
+    // golden-gated in MlGoldenSpec (random trees have no SQL twin).
+    // round(,4) absorbs the pow() libm ulp (q56 convention).
+    "q58_iforest_pinned_scoring" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      graft.ml.IsolationForest.scoreWith(f, Seq("value", "hod"),
+        graft.ml.PinnedScoring.forest, "s")
+        .select(col("event_id"), round(col("s"), 4).as("score"))
+    }),
+
+    // Scoring-path twin for q57: OneClassSvm.Model.decision (the exact
+    // production cosine-expansion Column, whole-stage codegen, zero UDF)
+    // over a PINNED RFF model — hash-checked against a term-by-term DuckDB
+    // twin with matching evaluation order; SGD fit stays golden-gated.
+    "q59_ocsvm_pinned_scoring" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      f.withColumn("d", graft.ml.PinnedScoring.ocsvm.decision)
+        .select(col("event_id"), round(col("d"), 4).as("decision"))
     })
   )
 
@@ -731,8 +756,10 @@ object SparkEntry {
   val oracleExempt: Set[String] = Set("q50_validation_suite",
     // random isolation trees / SGD-trained SVM weights have no SQL twin;
     // behavioural gates live in MlSpec (planted outliers, determinism,
-    // RFF kernel bound) — their SQL-expressible siblings q53
-    // (Mahalanobis), q54 (DBSCAN noise) and q56 (1-D LOF) ARE hash-checked
+    // RFF kernel bound), fits are golden-gated in MlGoldenSpec, and the
+    // production SCORING paths are hash-checked via the pinned-model twins
+    // q58/q59; siblings q53 (Mahalanobis), q54 (DBSCAN noise) and q56
+    // (1-D LOF) are hash-checked end-to-end
     "q55_iforest_outliers", "q57_ocsvm_outliers")
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -1562,6 +1589,18 @@ object SparkEntry {
          |  JOIN lrdv lo ON lo.conv_id = nb.conv_id AND lo.i = nb.j
          |  GROUP BY nb.conv_id, nb.i, lp.lrd)
          |SELECT conv_id, i AS turn_idx, round(lof, 4) AS lof
-         |FROM lofv WHERE lof > 1.5""".stripMargin
+         |FROM lofv WHERE lof > 1.5""".stripMargin,
+
+    // generated from the pinned forest so the literals are identical
+    // binary64 on both sides (shortest-round-trip printing ↔ strtod)
+    "q58_iforest_pinned_scoring" ->
+      s"""SELECT event_id, round(${graft.ml.PinnedScoring.forestScoreSql(
+            Seq("value", "CAST(hour(ts) AS DOUBLE)"))}, 4) AS score
+         |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    "q59_ocsvm_pinned_scoring" ->
+      s"""SELECT event_id, round(${graft.ml.PinnedScoring.ocsvmDecisionSql(
+            Seq("value", "CAST(hour(ts) AS DOUBLE)"))}, 4) AS decision
+         |FROM events WHERE value IS NOT NULL""".stripMargin
   )
 }

@@ -156,6 +156,20 @@ object IsolationForest {
       .collect()
       .map(r => Array.tabulate(cols.size)(r.getDouble))
 
+  /** Score every row with a GIVEN forest: broadcast the array-encoded
+    * trees, traverse them in the one sanctioned UDF, null features → null
+    * score. This is the production scoring path for both the fitted
+    * detector (fitScore) and the pinned hash-checked twin (q58).
+    */
+  def scoreWith(df: DataFrame, cols: Seq[String], forest: Forest,
+      scoreCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(forest)
+    val scoreUdf = udf { xs: Seq[Double] => bc.value.score(xs.toArray) }
+    val features = array(cols.map(c => col(c).cast("double")): _*)
+    df.withColumn(scoreCol,
+      when(cols.map(col(_).isNotNull).reduce(_ && _), scoreUdf(features)))
+  }
+
   /** Fit on a deterministic sample, score every row, flag the
     * contamination tail. Adds `scoreCol`, `flagCol`, `flagCol_label`.
     */
@@ -165,12 +179,7 @@ object IsolationForest {
       flagCol: String = "iforest_anomaly"): DataFrame = {
     val data = deterministicSample(df, cols, trainRows)
     val forest = fit(data, nTrees, sampleSize, seed)
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(forest)
-    val scoreUdf = udf { xs: Seq[Double] => bc.value.score(xs.toArray) }
-    val features = array(cols.map(c => col(c).cast("double")): _*)
-    val scored = df.withColumn(scoreCol,
-      when(cols.map(col(_).isNotNull).reduce(_ && _), scoreUdf(features)))
+    val scored = scoreWith(df, cols, forest, scoreCol)
     val thr = scored.na.drop(cols).agg(expr(
       s"percentile_approx($scoreCol, ${1 - contamination}, 10000)").as("t"))
       .collect()(0).getAs[Double]("t")

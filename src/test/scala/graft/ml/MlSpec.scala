@@ -328,4 +328,59 @@ class MlSpec extends GraftSuite {
     assert(got(20) == -1)
     assert((0 until 20).forall(i => got(i) == 0))
   }
+
+  // ---- Pinned scoring paths (q58/q59 twins) ------------------------------
+
+  test("scoreWith(pinned forest): UDF path equals driver-side Forest.score exactly") {
+    val rows = (0 until 64).map(i =>
+      (i, 4.0 * u(i, 21) - 2.0, math.floor(24.0 * u(i, 22)))) :+
+      ((64, Double.NaN, 3.0)) // NaN routes through comparisons, not nulls
+    val df = rows.toDF("id", "v", "h")
+    val got = IsolationForest
+      .scoreWith(df, Seq("v", "h"), PinnedScoring.forest, "s")
+      .select("id", "v", "h", "s").collect()
+    got.foreach { r =>
+      val expect = PinnedScoring.forest.score(
+        Array(r.getDouble(1), r.getDouble(2)))
+      assert(r.getDouble(3) == expect, // same JVM code both sides: exact
+        s"id=${r.getInt(0)}: ${r.getDouble(3)} vs $expect")
+    }
+    // null feature → null score (the q58 twin filters nulls symmetrically)
+    val withNull = df.withColumn("v",
+      when(col("id") === 0, lit(null)).otherwise(col("v")))
+    val nulled = IsolationForest
+      .scoreWith(withNull, Seq("v", "h"), PinnedScoring.forest, "s")
+      .where(col("id") === 0).select("s").collect()
+    assert(nulled.head.isNullAt(0))
+  }
+
+  test("pinned ocsvm decision Column matches w·φ(x) − ρ (φ-path differential)") {
+    val m = PinnedScoring.ocsvm
+    val rows = (0 until 64).map(i =>
+      (i, 6.0 * u(i, 31) - 3.0, math.floor(24.0 * u(i, 32))))
+    val df = rows.toDF("id", "value", "hod")
+    val got = df.withColumn("d", m.decision)
+      .select("id", "value", "hod", "d").collect()
+    got.foreach { r =>
+      val phi = m.phi(Array(r.getDouble(1), r.getDouble(2)))
+      val expect = m.w.zip(phi).map { case (a, b) => a * b }.sum - m.rho
+      // Column tree and phi loop sum in different orders → ≈, not ==
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12,
+        s"id=${r.getInt(0)}: ${r.getDouble(3)} vs $expect")
+    }
+  }
+
+  test("pinned SQL twins: generated expressions carry every model constant") {
+    val fs = PinnedScoring.forestScoreSql(Seq("a", "b"))
+    PinnedScoring.forest.trees.flatMap(t =>
+      t.feature.indices.filter(t.feature(_) >= 0).map(t.split(_))).foreach {
+      s => assert(fs.contains(s.toString), s"missing split $s in $fs")
+    }
+    assert(fs.contains("pow(2.0,"))
+    val os = PinnedScoring.ocsvmDecisionSql(Seq("a", "b"))
+    PinnedScoring.ocsvm.freqs.flatten.foreach { f =>
+      assert(os.contains(f.toString), s"missing freq $f in $os")
+    }
+    assert(os.contains(PinnedScoring.ocsvm.rho.toString))
+  }
 }
