@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ann.Similarity
+import graft.ann.{Ivf, Similarity}
 import graft.compile.Validator
 import graft.dedup.Dedup
 import graft.dsl._
@@ -50,6 +50,9 @@ object SparkEntry {
   private val annPlanes = 8
   private val annTables = 8
   private val annDims = 64
+
+  // q60 IVF-ANN cell count (pinned-centroid search-path twin)
+  private val ivfCells = 8
 
   /** Global hourly event-count series with constant key (decomposition fixture). */
   private def hourlySeries(s: SparkSession, dir: String): DataFrame =
@@ -745,6 +748,23 @@ object SparkEntry {
         .withColumn("hod", hour(col("ts")).cast("double"))
       f.withColumn("d", graft.ml.PinnedScoring.ocsvm.decision)
         .select(col("event_id"), round(col("d"), 4).as("decision"))
+    }),
+
+    // IVF ANN (the FAISS-style coarse-quantizer scale path, sibling of
+    // q39's LSH path): corpus → single home cell, queries probe 2 cells,
+    // candidate equi-join on the scalar cell id (no ×tables explode, no
+    // pair dedup), exact cosine re-rank. Centroids PINNED (md5-derived,
+    // Scala-normalized) so assignment, probe, join, and re-rank are all
+    // hash-checked; the k-means FIT is spec-gated in IvfSpec (recall vs
+    // brute force), like the detector fits.
+    "q60_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Ivf.topK(q, e, "q_id", "vec_id", "q_vec", "embedding", k = 5,
+        Ivf.pinnedCentroids(ivfCells, annDims), nprobe = 2)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
     })
   )
 
@@ -1601,6 +1621,31 @@ object SparkEntry {
     "q59_ocsvm_pinned_scoring" ->
       s"""SELECT event_id, round(${graft.ml.PinnedScoring.ocsvmDecisionSql(
             Seq("value", "CAST(hour(ts) AS DOUBLE)"))}, 4) AS decision
-         |FROM events WHERE value IS NOT NULL""".stripMargin
+         |FROM events WHERE value IS NOT NULL""".stripMargin,
+
+    // full IVF search-path twin: literal centroid lists (normalized doubles
+    // inlined from the pinned matrix), left-to-right dot via
+    // list_sum(list_transform(...)) — the q39-proven FP identity — then
+    // cell assignment (rn=1) / probe (rn<=2), candidate join, cosine
+    // re-rank. Same doubles ⇒ same ties ⇒ same cells in both engines.
+    "q60_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT * FROM (VALUES ${Ivf.centroidsSqlValues(
+             Ivf.pinnedCentroids(ivfCells, annDims))}) AS t(cid, c)),
+         |asgn AS (SELECT vec_id, cid,
+         |    list_sum(list_transform(range($annDims), i -> v[i+1] * c[i+1])) AS d
+         |  FROM e, cent),
+         |ord AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+         |  FROM asgn),
+         |ccell AS (SELECT vec_id, cid AS cell FROM ord WHERE rn = 1),
+         |qcell AS (SELECT vec_id, cid AS cell FROM ord WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |  FROM qcell q JOIN ccell c USING (cell) WHERE c.vec_id != q.vec_id),
+         |s AS (SELECT q_id, neighbor_id, list_cosine_similarity(qe.v, ce.v) AS cs
+         |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
+         |SELECT q_id, neighbor_id, round(cs, 6) AS cos, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5""".stripMargin
   )
 }
