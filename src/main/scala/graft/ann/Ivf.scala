@@ -157,8 +157,10 @@ object Ivf {
       get(IvfCells(col(cVec), centroids), lit(0)).as("cell"))
       .where(col("cell").isNotNull)
     // one cell per corpus vector + distinct probe cells per query ⇒ a
-    // (query, candidate) pair matches at most once: no dedup needed
-    val pairs = qCells.join(cCells, Seq("cell"))
+    // (query, candidate) pair matches at most once: no dedup needed.
+    // The query side is broadcast explicitly — after the caller's filter
+    // Catalyst's size estimate can overshoot and shuffle the corpus.
+    val pairs = broadcast(qCells).join(cCells, Seq("cell"))
       .where(col(qId) =!= col(cId))
       .select(col(qId), col(cId))
     val cand = pairs

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape gates: the properties that make the operators hold
+  * at 100 TB — predicate pushdown into the parquet scan, column pruning,
+  * map-side partial aggregation, and broadcast of by-contract-small join
+  * sides — asserted on actual plans, so a refactor that silently loses one
+  * fails the suite here instead of melting a cluster.
+  */
+class PlanSpec extends GraftSuite {
+
+  /** Materialize first so AQE settles on the final physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: predicates pushed to the parquet scan, widest column pruned") {
+    val df = SparkEntry.queries("q01_scan_project_filter")(spark, sfTiny)
+    // read the scan node's metadata directly — the plan's toString
+    // truncates the PushedFilters list
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in the plan"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("IsNotNull(value)"), pushed)
+    assert(pushed.contains("In(event_type"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("LessThan(ts"), pushed)
+    // column pruning: props (the widest column) must not reach the scan
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("event_id", "user_id", "event_type", "value", "ts"),
+      s"scan reads $readCols")
+  }
+
+  test("q02: partial (map-side) aggregation before the exchange") {
+    val df = SparkEntry.queries("q02_summary_agg")(spark, sfTiny)
+    val s = finalPlan(df)
+    val aggs = "HashAggregate".r.findAllIn(s).size
+    assert(aggs >= 2, s"expected partial+final aggregates, saw $aggs:\n$s")
+    assert(s.contains("Exchange hashpartitioning(user_id"), s)
+  }
+
+  test("q37 brute force: the small query set is broadcast against the corpus") {
+    val df = SparkEntry.queries("q37_cosine_topk")(spark, sfTiny)
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastExchange"), s)
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q60 IVF: candidate generation is a broadcast equi-join on the cell id") {
+    val df = SparkEntry.queries("q60_ann_ivf")(spark, sfTiny)
+    val s = finalPlan(df)
+    assert(s.contains("BroadcastHashJoin [cell"), s)
+  }
+}
