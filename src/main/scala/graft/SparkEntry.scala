@@ -747,7 +747,8 @@ object SparkEntry {
       val f = Tables.events(s, dir).where(col("value").isNotNull)
         .withColumn("hod", hour(col("ts")).cast("double"))
       f.withColumn("d", graft.ml.PinnedScoring.ocsvm.decision)
-        .select(col("event_id"), round(col("d"), 4).as("decision"))
+        .select(col("event_id"),
+          (round(col("d"), 4) + lit(0.0)).as("decision")) // −0.0 → 0.0
     }),
 
     // IVF ANN (the FAISS-style coarse-quantizer scale path, sibling of
@@ -765,6 +766,25 @@ object SparkEntry {
         Ivf.pinnedCentroids(ivfCells, annDims), nprobe = 2)
         .select(col("q_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
+    // §2.10 PCA (reference src/anomaly_detection.py:414-418 uses sklearn
+    // PCA(2) for the anomaly scatter figures): fused moment pass → 2×2
+    // closed-form eigen at the driver (θ = atan2(2c01, c00−c11)/2 — the
+    // exact formula the SQL twin mirrors) → projection as a pure codegen
+    // Column. round(,2) absorbs the engines' sum-order drift in the
+    // moments (the q53 convention). The d≥3 Jacobi path is numpy-golden-
+    // gated in PcaSpec.
+    "q61_pca_projection" -> ((s, dir) => {
+      val f = Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("hod", hour(col("ts")).cast("double"))
+      val m = graft.ml.Pca.fit(f, Seq("value", "hod"), nComponents = 2)
+      val Seq(pc1, pc2) = m.project()
+      // + 0.0 normalizes −0.0 → 0.0 (DuckDB's round keeps the sign of a
+      // tiny negative; Spark's BigDecimal round does not)
+      f.select(col("event_id"),
+        (round(pc1, 2) + lit(0.0)).as("pc1"),
+        (round(pc2, 2) + lit(0.0)).as("pc2"))
     })
   )
 
@@ -1620,7 +1640,7 @@ object SparkEntry {
 
     "q59_ocsvm_pinned_scoring" ->
       s"""SELECT event_id, round(${graft.ml.PinnedScoring.ocsvmDecisionSql(
-            Seq("value", "CAST(hour(ts) AS DOUBLE)"))}, 4) AS decision
+            Seq("value", "CAST(hour(ts) AS DOUBLE)"))}, 4) + 0 AS decision
          |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     // full IVF search-path twin: literal centroid lists (normalized doubles
@@ -1646,6 +1666,25 @@ object SparkEntry {
          |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, neighbor_id) AS rn FROM s)
          |SELECT q_id, neighbor_id, round(cs, 6) AS cos, CAST(rn AS INT) AS rank
-         |FROM r WHERE rn <= 5""".stripMargin
+         |FROM r WHERE rn <= 5""".stripMargin,
+
+    // closed-form 2-feature PCA twin: MLE moments (sum/n, like the Scala
+    // moment pass), principal angle atan2(2c01, c00−c11)/2, projections
+    // (x−μ)·(cos θ, sin θ) / (x−μ)·(−sin θ, cos θ) in the same term order
+    "q61_pca_projection" ->
+      """WITH f AS (
+        |  SELECT event_id, value AS a, CAST(hour(ts) AS DOUBLE) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT count(*)::DOUBLE AS n, sum(a) AS sa, sum(b) AS sb,
+        |    sum(a*a) AS saa, sum(a*b) AS sab, sum(b*b) AS sbb FROM f),
+        |c AS (SELECT sa/n AS ma, sb/n AS mb,
+        |    saa/n - (sa/n)*(sa/n) AS caa,
+        |    sab/n - (sa/n)*(sb/n) AS cab,
+        |    sbb/n - (sb/n)*(sb/n) AS cbb FROM m),
+        |e AS (SELECT ma, mb, atan2(2.0 * cab, caa - cbb) / 2.0 AS th FROM c)
+        |SELECT event_id,
+        |  round((a - ma) * cos(th) + (b - mb) * sin(th), 2) + 0 AS pc1,
+        |  round((a - ma) * (-sin(th)) + (b - mb) * cos(th), 2) + 0 AS pc2
+        |FROM f, e""".stripMargin
   )
 }

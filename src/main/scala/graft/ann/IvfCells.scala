@@ -21,9 +21,9 @@ import org.apache.spark.sql.types._
   * ⇒ identical ties ⇒ identical cell order in both engines.
   *
   * Degenerate input (vector shorter than `dims` or containing a null
-  * element) yields an EMPTY array: `getItem(0)` is then null and the row
-  * drops out of the candidate join — documented, and absent from the
-  * testdata.
+  * element) yields an EMPTY array: `get(…, 0)` is then null (getItem
+  * would throw under ANSI) and the row drops out of the candidate join —
+  * documented, and absent from the testdata.
   */
 case class IvfCells(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
