@@ -366,6 +366,15 @@ object Bench {
     // host load sampled right before/after each fork, per level — lets a
     // reader see exactly which observation a neighbor spike poisoned
     var forkLoads = Map.empty[Int, List[(Double, Double)]].withDefaultValue(Nil)
+    // named memory-bandwidth probe readings (MB/s) at phase boundaries: a
+    // sub-gate headline in a brown-out window is then self-diagnosing in
+    // the artifact itself (quiet host reference ~17000; r4-F measured the
+    // whole run under ~40-60% of it and missed the gate at 0.745)
+    var bwProbes: List[(String, Double)] = Nil // newest first
+    def probeBw(label: String): Unit =
+      bwProbes = (label, memBandwidthProbe(4)) :: bwProbes
+    val bwRef = sys.env.getOrElse("SPARK_GRAFT_BW_REF_MBPS", "17000").toDouble
+    val bwHealthyFrac = sys.env.getOrElse("SPARK_GRAFT_BW_HEALTHY_FRAC", "0.6").toDouble
 
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -446,7 +455,7 @@ object Bench {
         if (acceptedEffs.nonEmpty) "max_over_cpu_symmetric_rounds"
         else if (roundEffs.nonEmpty) "median_over_complete_rounds_fallback"
         else "none"
-      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"rounds_detail":$roundsDetail,"rounds_rejected":$roundsRejected,"efficiency_basis":${jStr(effBasis)},"scaling_efficiency":${num(efficiency)},"peak_partial_wall_sec":${num(peakPartialSec)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
+      println(s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"rounds_detail":$roundsDetail,"rounds_rejected":$roundsRejected,"efficiency_basis":${jStr(effBasis)},"scaling_efficiency":${num(efficiency)},"peak_partial_wall_sec":${num(peakPartialSec)},"bw_probe_mbps":${bwProbes.reverse.map { case (l, v) => s"${jStr(l)}:${"%.0f".format(v)}" }.mkString("{", ",", "}")},"bw_quiet_ref_mbps":${"%.0f".format(bwRef)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}""")
     }
 
     try {
@@ -470,6 +479,7 @@ object Bench {
       // pristine JVM → how slow is the host RIGHT NOW vs the quiet-window
       // reference? (fork cost ~45s; it doubles as a full JIT dress
       // rehearsal for the fork machinery)
+      probeBw("start")
       speedFactor = forkSuite(hiN, warmPath, warmPath,
           math.min(math.max(60, remaining), 240)) match {
         case Right((w, _)) => calWall = w; math.max(1.0, w / calRef)
@@ -556,17 +566,28 @@ object Bench {
       // Waits are bounded and never eat the fork's own budget.
       val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "8.0").toDouble
       val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "120").toDouble
-      val bwRef = sys.env.getOrElse("SPARK_GRAFT_BW_REF_MBPS", "17000").toDouble
-      val bwHealthyFrac = sys.env.getOrElse("SPARK_GRAFT_BW_HEALTHY_FRAC", "0.6").toDouble
       def waitForQuiet(forkCostEst: Double): Unit = {
         val waitDeadline = math.min(quietWaitMax,
           remaining - 1.35 * forkCostEst)
+        // A LOAD spike usually clears within a couple of probes — waiting
+        // the full bound is rewarded. A bandwidth BROWN-OUT persists for
+        // minutes-to-tens-of-minutes (r4-F: one covered an entire 828s
+        // run), so waiting it out mostly burns the budget that a third
+        // round needs; bound the bandwidth-only wait harder and let
+        // asym-rejection + max-over-accepted filter the depressed rounds.
+        val bwOnlyDeadline = math.min(45.0, waitDeadline)
         val t0 = System.nanoTime()
         def waited = (System.nanoTime() - t0) / 1e9
-        while ((loadAvg > quietLoad ||
-            memBandwidthProbe(4) < bwHealthyFrac * bwRef) &&
-            waited < waitDeadline)
-          Thread.sleep(15000)
+        var done = false
+        while (!done) {
+          val loadHigh = loadAvg > quietLoad
+          // probing under a load spike measures the spike, not the host
+          val bwLow = !loadHigh &&
+            memBandwidthProbe(4) < bwHealthyFrac * bwRef
+          val deadline = if (loadHigh) waitDeadline else bwOnlyDeadline
+          if ((!loadHigh && !bwLow) || waited >= deadline) done = true
+          else Thread.sleep(15000)
+        }
       }
       def tryFork(n: Int, costEst: Double, isPeak: Boolean = false): Boolean = {
         val cap = remaining
@@ -722,6 +743,7 @@ object Bench {
       val round1Cap = math.min(2.5 * roundCost(curTurns),
         math.max(150.0, (budgetSec - queryReserve - 60.0) / 2))
       waitForQuiet(roundCost(curTurns))
+      probeBw("round1")
       runRound(round1Cap)
       def bestAcceptedEff = roundRecs.filter(_.accepted)
         .flatMap(_.eff).maxOption.getOrElse(0.0)
@@ -731,6 +753,7 @@ object Bench {
         val cap = math.min(2.5 * roundCost(curTurns),
           math.max(60.0, remaining - 0.6 * queryReserve))
         waitForQuiet(roundCost(curTurns))
+        probeBw(s"round${roundRecs.size + 1}")
         runRound(cap)
       }
 
@@ -745,6 +768,7 @@ object Bench {
       // leftover budget can't fit are recorded as skipped, never
       // silently dropped.
       if (!skipQueries && remaining > 45) {
+        probeBw("pre_query")
         val spark1 = newSession(cpus) // fresh session; the phase-2 one was
         // stopped so it couldn't contaminate the scaling rounds
         // warm the codegen paths before measuring
@@ -783,7 +807,8 @@ object Bench {
           .minOption
         val peakBase = hiFullWall.map(_ * hiN.toDouble / cpus * 2)
           .getOrElse(60.0) + overheadEst
-        val bwNow = memBandwidthProbe(4)
+        probeBw("pre_peak")
+        val bwNow = bwProbes.head._2
         val speedNow = math.min(4.0, math.max(1.0, bwRef / math.max(bwNow, 1.0)))
         val peakEst = peakBase * speedNow
         if (remaining > 1.25 * peakEst) tryFork(cpus, peakEst, isPeak = true)
