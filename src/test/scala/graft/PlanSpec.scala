@@ -54,4 +54,31 @@ class PlanSpec extends GraftSuite {
     val s = finalPlan(df)
     assert(s.contains("BroadcastHashJoin [cell"), s)
   }
+
+  test("q52 flagship: the text column never rides a shuffle") {
+    // AQE wraps exchanges in opaque query stages — disable it for this
+    // one plan inspection so the tree walk sees every ShuffleExchangeExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry
+        .queries("q52_validation_suite_classical")(spark, sfTiny)
+      val shuffledCols = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      }.flatten.toSet
+      assert(shuffledCols.nonEmpty, "expected at least one shuffle")
+      assert(!shuffledCols.exists(_.contains("text")),
+        s"text rides a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q40 minhash: the reused signature subplan is persisted (scanned once)") {
+    val df = SparkEntry.queries("q40_minhash_lsh")(spark, sfTiny)
+    val s = finalPlan(df)
+    // the r4 persist fix: without it the signature agg recomputes 3x
+    // (ReuseExchange does not reliably fire) — 30s -> 8s at sf0.1
+    assert(s.contains("InMemoryTableScan"),
+      "signature subplan not persisted — the q40 3x-recompute regression")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
