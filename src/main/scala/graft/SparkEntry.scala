@@ -785,6 +785,34 @@ object SparkEntry {
       f.select(col("event_id"),
         (round(pc1, 2) + lit(0.0)).as("pc1"),
         (round(pc2, 2) + lit(0.0)).as("pc2"))
+    }),
+
+    // Dedup CLUSTERING: near-dup pairs are only half the operator — groups
+    // are transitive closures over the pair graph. q35's exact-Jaccard pair
+    // generation (already hash-checked) feeds alternating large-star/
+    // small-star connected components; every doc gets (component_id = min
+    // doc id of its group, component_size). The DuckDB twin recomputes the
+    // same pairs and closes them with a recursive CTE.
+    "q62_dup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 200)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 1, threshold = 0.9)
+      val comp = graft.dedup.ConnectedComponents.assign(
+        docs.select("doc_id"), "doc_id", pairs, "a_id", "b_id")
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("component_size"))
+      comp.join(sizes, "component")
+        .select(col("doc_id"), col("component").as("component_id"),
+          col("component_size"))
+    }),
+
+    // Mega-conversation census via the mergeable Misra-Gries sketch: pass 1
+    // finds candidate heavy conv_ids in O(k) state (guaranteed complete for
+    // counts > n/256 since the sketch error is < n/257), pass 2 exact-counts
+    // only those candidates — identical to the full groupBy/HAVING at a
+    // fraction of the shuffle. The oracle IS that full groupBy/HAVING.
+    "q63_heavy_hitters" -> ((s, dir) => {
+      graft.agg.FreqItems.heavyHitters(
+        Tables.transcripts(s, dir), "conv_id", k = 512, den = 256.0)
     })
   )
 
@@ -1685,6 +1713,37 @@ object SparkEntry {
         |SELECT event_id,
         |  round((a - ma) * cos(th) + (b - mb) * sin(th), 2) + 0 AS pc1,
         |  round((a - ma) * (-sin(th)) + (b - mb) * cos(th), 2) + 0 AS pc2
-        |FROM f, e""".stripMargin
+        |FROM f, e""".stripMargin,
+
+    // q35's exact-Jaccard pair twin + recursive-CTE transitive closure:
+    // component_id = min reachable doc_id (reach is the full reachability
+    // set per doc; UNION dedup terminates it on cyclic graphs)
+    "q62_dup_components" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $normSql AS nt FROM documents WHERE doc_id < 200),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk FROM d),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+         |  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT a_id, b_id
+         |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.9),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM good
+         |  UNION ALL SELECT b_id, a_id FROM good),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY 1),
+         |szc AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+         |SELECT doc_id, component_id, component_size
+         |FROM comp JOIN szc USING (component_id)""".stripMargin,
+
+    // the exact census the two-pass sketch query must reproduce; the
+    // threshold n/256.0 is the same double on both sides (n * 2^-8)
+    "q63_heavy_hitters" ->
+      s"""WITH $T
+         |SELECT conv_id, count(*) AS cnt FROM transcripts GROUP BY 1
+         |HAVING count(*) > (SELECT count(*) FROM transcripts) / 256.0""".stripMargin
   )
 }

@@ -1,0 +1,167 @@
+package graft.agg
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable Misra–Gries heavy-hitters summary (Misra & Gries 1982;
+  * mergeability per Agarwal, Cormode, Huang, Phillips, Wei, Yi,
+  * "Mergeable Summaries", PODS 2012).
+  *
+  * The validator's mega-key census (graft.skew.Salting) is an exact
+  * groupBy — one full shuffle of the key column. This sketch is its
+  * scale path: O(k) state per partition, map-side partial aggregation,
+  * commutative merges (so it also rides the checkpoint-restart union
+  * like the other StatsState sketches). Guarantee, tracked EXPLICITLY in
+  * the state as `err`: for every key, counter ≤ true-count ≤ counter +
+  * err, and err ≤ n/⌈(k+1)/2⌉ (each purge subtracts the median counter
+  * δ from all entries; at least ⌈(k+1)/2⌉ entries lose the full δ, and
+  * total decrements cannot exceed total increments = n). Any key with
+  * true count > err is therefore guaranteed present — which makes the
+  * classic exact two-pass heavy-hitters query ([[FreqItems.heavyHitters]])
+  * sound: sketch → ≤k candidates → exact recount of candidates only.
+  */
+final class MgSummary(val k: Int) {
+  val counts = new java.util.HashMap[String, Long]()
+  var n: Long = 0L
+  var err: Long = 0L
+
+  def add(s: String): Unit = {
+    n += 1
+    counts.put(s, counts.getOrDefault(s, 0L) + 1L)
+    if (counts.size > k) purge()
+  }
+
+  /** Subtract the lower-median counter from every entry and drop the
+    * non-positive ones: ≥ half the entries survive-side lose the full δ
+    * (the mass argument), ≥ half get removed (the amortized-O(1)
+    * argument).
+    */
+  private def purge(): Unit = {
+    val vals = counts.values().asScala.toArray.sorted
+    val delta = vals(vals.length / 2)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val nv = en.getValue - delta
+      if (nv <= 0L) it.remove() else en.setValue(nv)
+    }
+    err += delta
+  }
+
+  def mergeIn(o: MgSummary): Unit = {
+    n += o.n
+    err += o.err
+    o.counts.forEach { (s, c) =>
+      counts.put(s, counts.getOrDefault(s, 0L) + c)
+    }
+    while (counts.size > k) purge()
+  }
+}
+
+case class FreqItemsAgg(
+    child: Expression,
+    k: Int = 512,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSummary] with UnaryLike[Expression] {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("item", StringType),
+      StructField("lb", LongType))))),
+    StructField("n", LongType),
+    StructField("err", LongType)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items_agg"
+
+  override def createAggregationBuffer(): MgSummary = new MgSummary(k)
+
+  override def update(buf: MgSummary, input: InternalRow): MgSummary = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(b1: MgSummary, b2: MgSummary): MgSummary = {
+    b1.mergeIn(b2); b1
+  }
+
+  override def eval(buf: MgSummary): Any = {
+    // counter desc, then key asc: a deterministic presentation order
+    val items = buf.counts.asScala.toSeq.sortBy { case (s, c) => (-c, s) }
+      .map { case (s, c) =>
+        InternalRow(UTF8String.fromString(s), c): Any
+      }
+    InternalRow(new GenericArrayData(items.toArray), buf.n, buf.err)
+  }
+
+  override def serialize(buf: MgSummary): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeLong(buf.n); out.writeLong(buf.err)
+    out.writeInt(buf.counts.size)
+    buf.counts.forEach { (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgSummary = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgSummary(in.readInt())
+    buf.n = in.readLong(); buf.err = in.readLong()
+    var m = in.readInt()
+    while (m > 0) { buf.counts.put(in.readUTF(), in.readLong()); m -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
+    copy(child = newChild)
+}
+
+object FreqItems {
+  /** Mergeable Misra–Gries summary of a string column:
+    * struct(items: array<struct<item,lb>>, n, err).
+    */
+  def freqItemsAgg(c: Column, k: Int = 512): Column =
+    GraftBridge.column(FreqItemsAgg(GraftBridge.expression(c.cast("string")), k))
+
+  /** EXACT heavy hitters by two passes — the scale-correct census of
+    * mega keys: pass 1 sketches candidates in O(k) state (any key with
+    * count > n/den is guaranteed among them when err < n/den, which
+    * k ≥ 2·den guarantees); pass 2 exact-counts ONLY the ≤k candidates.
+    * Returns (keyCol, cnt) for keys with cnt > n/den — identical to the
+    * full groupBy/HAVING, at a fraction of its shuffle.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 512,
+      den: Double = 256.0): DataFrame = {
+    val row = df.agg(freqItemsAgg(col(keyCol), k).as("s"))
+      .select(col("s.items").as("items"), col("s.n").as("n"), col("s.err").as("err"))
+      .head()
+    val n = row.getAs[Long]("n")
+    val err = row.getAs[Long]("err")
+    val threshold = n / den
+    require(err < threshold || n == 0L,
+      s"sketch error $err >= threshold $threshold: raise k (= $k) above 2*den (= ${2 * den})")
+    val cands: Seq[String] =
+      row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("items"))
+        .map(_.getAs[String]("item"))
+    df.where(col(keyCol).isin(cands: _*))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(threshold))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a candidate-duplicate edge list —
+  * the clustering step a real dedup pipeline needs AFTER pair generation
+  * (MinHash/SimHash/Jaccard emit pairs; near-duplication is transitive
+  * only through chains, so canonical group assignment = component id).
+  *
+  * The reference deduplicates single-process via pandas `duplicated()`
+  * (exact keys only — /root/reference/src/preprocessing.py); at 10^12-row
+  * scale the transitive grouping has to be a fixpoint of bounded
+  * DataFrame passes. This is the alternating large-star / small-star
+  * algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014): converges
+  * in O(log² n) rounds, and every round is two key-partitioned
+  * aggregations + joins — NO per-node neighbor lists are ever
+  * materialized (no collect_list), so a mega-component hub with millions
+  * of neighbors costs one extra join row per neighbor, not one task's
+  * memory. At convergence the edge set is a forest of stars rooted at
+  * each component's minimum id.
+  *
+  * Iteration state is cut with `localCheckpoint` (the logical plan would
+  * otherwise double per round and the analyzer, not the executors,
+  * becomes the bottleneck); a cluster deployment with a checkpoint dir
+  * would use reliable `checkpoint` for the same purpose.
+  */
+object ConnectedComponents {
+
+  /** One large-star round: every node u connects each strictly-larger
+    * neighbor v to m(u) = min(Γ(u) ∪ u). Expressed as a groupBy(min) +
+    * join so high-degree hubs never concentrate in one task.
+    */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val dir = directed(e)
+    val mins = dir.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    canonical(dir.join(mins, "src").where(col("dst") > col("src"))
+      .select(col("dst").as("a"), col("m").as("b")))
+  }
+
+  /** One small-star round: every node u connects its strictly-smaller
+    * neighbors (and itself) to the minimum of that set.
+    */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    val dir = directed(e)
+    val smaller = dir.where(col("dst") < col("src"))
+    val mins = smaller.groupBy("src").agg(min("dst").as("m"))
+    val leaves = smaller.join(mins, "src")
+      .select(col("dst").as("a"), col("m").as("b"))
+    val centers = mins.select(col("src").as("a"), col("m").as("b"))
+    canonical(leaves.union(centers))
+  }
+
+  private def directed(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Undirected-canonical form: src < dst, self-loops dropped, distinct. */
+  private def canonical(e: DataFrame): DataFrame =
+    e.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+
+  /** Component assignment for every node that appears in `edges`:
+    * (id, component) where component = min node id of the component.
+    * Nodes not present in any edge are absent (see [[assign]]).
+    */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    var e = canonical(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")))
+      .localCheckpoint(true)
+    var converged = e.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // both sides are canonical+distinct, so set equality is two
+      // anti-semidiffs (cheap: the frames are star-forest-sized)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    // star forest: every canonical edge is (root, member)
+    val members = e.select(col("dst").as("id"), col("src").as("component"))
+    val roots = e.select(col("src").as("id"), col("src").as("component")).distinct()
+    members.union(roots)
+  }
+
+  /** Component id for EVERY vertex: vertices absent from the edge list
+    * are their own singleton component.
+    */
+  def assign(vertices: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val comp = components(edges, srcCol, dstCol, maxIter)
+    vertices.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.agg
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+class FreqItemsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def sketch(values: Seq[String], k: Int, parts: Int = 4):
+      (Map[String, Long], Long, Long) = {
+    val row = values.toDF("v").repartition(parts)
+      .agg(FreqItems.freqItemsAgg(col("v"), k).as("s"))
+      .select(col("s.items"), col("s.n"), col("s.err")).head()
+    val items = row.getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    (items, row.getLong(1), row.getLong(2))
+  }
+
+  test("exact when distinct keys fit in k (no purge, err 0)") {
+    val vals = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val (items, n, err) = sketch(vals, k = 8)
+    assert(n == 9 && err == 0)
+    assert(items == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("MG guarantee on a skewed stream with distinct >> k: bounds + completeness") {
+    // 40 heavy keys (60 copies each) buried in 4000 singletons
+    val heavy = (0 until 40).flatMap(i => Seq.fill(60)(f"hot_$i%02d"))
+    val noise = (0 until 4000).map(i => s"cold_$i")
+    // deterministic interleave
+    val vals = (heavy ++ noise).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 6400 }.map(_._1)
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 128
+    val (items, n, err) = sketch(vals, k)
+    assert(n == vals.size)
+    // err bound: n / ceil((k+1)/2), with merge purges folded in
+    assert(err <= n / ((k + 1) / 2), s"err $err > bound ${n / ((k + 1) / 2)}")
+    // every reported counter is a lower bound within err of the truth
+    items.foreach { case (s, lb) =>
+      assert(lb <= truth(s) && truth(s) <= lb + err, s"key $s lb=$lb err=$err")
+    }
+    // completeness: every key with true count > err is present
+    truth.filter(_._2 > err).keys.foreach(key =>
+      assert(items.contains(key), s"guaranteed key $key missing (err=$err)"))
+    assert(items.size <= k)
+  }
+
+  test("merge across partitionings preserves the guarantee") {
+    val vals = (0 until 3000).map(i => if (i % 7 == 0) "mega" else s"k${i % 997}")
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val (items, n, err) = sketch(vals, k = 64, parts = parts)
+      assert(n == 3000)
+      truth.filter(_._2 > err).keys.foreach(key =>
+        assert(items.contains(key), s"parts=$parts key=$key err=$err"))
+      items.foreach { case (s, lb) =>
+        assert(lb <= truth(s) && truth(s) <= lb + err, s"parts=$parts key=$s")
+      }
+    }
+  }
+
+  test("two-pass heavyHitters equals the exact groupBy/HAVING census") {
+    // mega-conversation shape: a few giant keys, a long tail
+    val vals = (0 until 40).flatMap(i => Seq.fill(200)(f"mega_$i%02d")) ++
+      (0 until 5000).map(i => s"tail_${i % 2500}")
+    val df = vals.toDF("conv").repartition(8)
+    val got = FreqItems.heavyHitters(df, "conv", k = 512, den = 256.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = vals.size.toDouble
+    val expected = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > n / 256.0).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("nulls are skipped, empty input yields an empty census") {
+    val df = Seq[Option[String]](Some("a"), None, Some("a"), None).toDF("v")
+    val (items, n, err) = {
+      val row = df.agg(FreqItems.freqItemsAgg(col("v"), 4).as("s"))
+        .select(col("s.items"), col("s.n"), col("s.err")).head()
+      (row.getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap,
+        row.getLong(1), row.getLong(2))
+    }
+    assert(n == 2 && err == 0 && items == Map("a" -> 2L))
+    val empty = Seq.empty[String].toDF("v")
+    assert(FreqItems.heavyHitters(empty, "v").isEmpty)
+  }
+}
