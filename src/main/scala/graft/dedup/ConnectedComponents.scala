@@ -104,4 +104,27 @@ object ConnectedComponents {
       .select(col("id").as(idCol),
         coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** The one-call near-dup GROUPING surface: MinHash/LSH candidate pairs →
+    * exact-Jaccard verification → transitive closure → canonical groups.
+    * Returns (idCol, group_id, group_size): group_id = min doc id of the
+    * duplicate cluster, singletons included. This is the full
+    * "deduplicate a corpus" pipeline at its 100-TB shape — every stage is
+    * the scale-audited operator it composes (O(hashes)/doc signature
+    * state, id-only banded joins, candidate-bounded verification, star
+    * contraction).
+    */
+  def dupGroups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands,
+      estJaccardMin = threshold * 0.8)
+    val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),
+      idCol, textCol, shingleK, threshold)
+    val comp = assign(df.select(idCol), idCol, verified, "a_id", "b_id")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "component")
+      .select(col(idCol), col("component").as("group_id"), col("group_size"))
+  }
 }

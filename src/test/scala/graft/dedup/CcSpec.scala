@@ -76,4 +76,28 @@ class CcSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until 4L).map(i => i -> i).toMap)
   }
+
+  test("dupGroups: end-to-end minhash -> verify -> groups matches brute-force closure") {
+    // three near-dup families with chained edits + unrelated docs
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = (0 until 12).map(i => s"tok$i")
+    val docs = Seq(
+      0L -> doc(base),
+      1L -> doc(base.updated(0, "xx")), // near 0
+      2L -> doc(base.updated(0, "xx").updated(1, "yy")), // near 1, farther from 0
+      10L -> doc((20 until 32).map(i => s"tok$i")),
+      11L -> doc((20 until 32).map(i => s"tok$i").updated(5, "zz")), // near 10
+      20L -> doc((50 until 62).map(i => s"w$i")) // singleton
+    ).toDF("doc_id", "text")
+    val got = ConnectedComponents
+      .dupGroups(docs, "doc_id", "text", shingleK = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(0L) == 0L && byId(1L) == 0L && byId(2L) == 0L)
+    assert(byId(10L) == 10L && byId(11L) == 10L)
+    assert(byId(20L) == 20L)
+    assert(got.find(_._1 == 0L).get._3 == 3L)
+    assert(got.find(_._1 == 20L).get._3 == 1L)
+    spark.sharedState.cacheManager.clearCache() // dedup stages persist
+  }
 }
