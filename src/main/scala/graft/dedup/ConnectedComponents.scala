@@ -70,17 +70,30 @@ object ConnectedComponents {
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
-    var e = canonical(edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")))
-      .localCheckpoint(true)
+    val sc = spark.sparkContext
+    // each round's localCheckpoint caches an edge-list-sized RDD; at
+    // 10^12-row scale leaving O(log n) of them resident is a real
+    // storage-memory leak, so every superseded round is unpersisted as
+    // soon as the convergence check no longer reads it (only the FINAL
+    // star forest stays cached — the returned frame reads it lazily)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (e, eIds) = checkpointTracked(canonical(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))))
     var converged = e.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)))
       // both sides are canonical+distinct, so set equality is two
       // anti-semidiffs (cheap: the frames are star-forest-sized)
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
-      e = next
+      release(eIds)
+      e = next; eIds = nextIds
       it += 1
     }
     if (!converged)

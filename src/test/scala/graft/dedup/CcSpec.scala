@@ -60,6 +60,14 @@ class CcSpec extends GraftSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("superseded iteration checkpoints are unpersisted (only the final star forest stays)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (0L until 40L).map(i => (i, i + 1)) // long chain => several rounds
+    run(edges)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1, s"leaked ${leaked.size} checkpointed RDDs")
+  }
+
   test("assign gives isolated vertices their own singleton component") {
     val vertices = (0L until 8L).toDF("id")
     val edges = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
