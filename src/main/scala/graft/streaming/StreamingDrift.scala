@@ -28,4 +28,19 @@ object StreamingDrift {
     * to the sink table — documented contract (SURVEY §2.11): T1 streams,
     * stats/decomposition run on the materialized series.
     */
+
+  /** The uniqueness constraint evaluated AT INGEST: duplicate
+    * re-deliveries of a turn (at-least-once sources redeliver on retry)
+    * are dropped before they ever reach the batch table, keyed on the
+    * same (conv_id, turn_idx) the batch UniqueKey constraint checks.
+    * `dropDuplicatesWithinWatermark` expires key state with the
+    * watermark, so state is O(turns inside the horizon) — a mega-thread
+    * costs nothing once its turns age past the watermark, unlike a plain
+    * dropDuplicates whose state would grow to 10^12 keys.
+    */
+  def dedupTurnsStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
 }
