@@ -813,6 +813,20 @@ object SparkEntry {
     "q63_heavy_hitters" -> ((s, dir) => {
       graft.agg.FreqItems.heavyHitters(
         Tables.transcripts(s, dir), "conv_id", k = 512, den = 256.0)
+    }),
+
+    // The WHOLE dedup pipeline in one call at q40's operating point:
+    // minhash signatures -> LSH banding -> exact-Jaccard verify (q40
+    // hash-checks that this finds exactly the >= 0.7 pairs) -> connected
+    // components -> canonical (doc_id, group_id, group_size). The oracle
+    // is the exact pair set transitively closed by a recursive CTE, over
+    // ALL documents (sub-3-token docs have no shingles and stay
+    // singletons on both sides).
+    "q64_dup_groups" -> ((s, dir) => {
+      graft.dedup.ConnectedComponents.dupGroups(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 64, bands = 32,
+        estJaccardMin = 0.4, threshold = 0.7)
     })
   )
 
@@ -1744,6 +1758,31 @@ object SparkEntry {
     "q63_heavy_hitters" ->
       s"""WITH $T
          |SELECT conv_id, count(*) AS cnt FROM transcripts GROUP BY 1
-         |HAVING count(*) > (SELECT count(*) FROM transcripts) / 256.0""".stripMargin
+         |HAVING count(*) > (SELECT count(*) FROM transcripts) / 256.0""".stripMargin,
+
+    // q40's exact >=0.7 pair twin, transitively closed over all docs
+    "q64_dup_groups" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
+         |    FROM d WHERE len(tk) >= 3)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT a_id, b_id
+         |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.7),
+         |edges AS (SELECT a_id AS a, b_id AS b FROM good
+         |  UNION ALL SELECT b_id, a_id FROM good),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |comp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY 1),
+         |szc AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1)
+         |SELECT doc_id, group_id, group_size
+         |FROM comp JOIN szc USING (group_id)""".stripMargin
   )
 }

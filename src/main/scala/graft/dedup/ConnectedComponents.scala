@@ -129,10 +129,9 @@ object ConnectedComponents {
     */
   def dupGroups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      estJaccardMin: Double = 0.4, threshold: Double = 0.7): DataFrame = {
     val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands,
-      estJaccardMin = threshold * 0.8)
+    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin)
     val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),
       idCol, textCol, shingleK, threshold)
     val comp = assign(df.select(idCol), idCol, verified, "a_id", "b_id")
