@@ -827,6 +827,19 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 32,
         estJaccardMin = 0.4, threshold = 0.7)
+    }),
+
+    // The skew guard as a CONSTRAINT: MaxKeyShare compiles to the MG
+    // sketch + exact candidate recount inside the Validator; per-key FAIL
+    // verdicts + one global row. The oracle is the groupBy/HAVING census
+    // the sketch pass is guaranteed to equal. 1/512 and the cnt/n division
+    // are exact binary, so the rates hash-match.
+    "q65_key_share_verdicts" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("share", Seq(MaxKeyShare("conv_id", maxFrac = 1.0 / 512, k = 2048))))
+      r.verdicts.select(col("partition_key"), col("constraint"), col("pass"),
+        col("rows"), col("violations"),
+        round(col("violation_rate"), 9).as("violation_rate"))
     })
   )
 
@@ -1783,6 +1796,25 @@ object SparkEntry {
          |comp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY 1),
          |szc AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1)
          |SELECT doc_id, group_id, group_size
-         |FROM comp JOIN szc USING (group_id)""".stripMargin
+         |FROM comp JOIN szc USING (group_id)""".stripMargin,
+
+    // the exact census MaxKeyShare's sketch pass is guaranteed to equal,
+    // as verdict rows (per offending key + one global)
+    "q65_key_share_verdicts" ->
+      s"""WITH $T,
+         |tot AS (SELECT count(*) AS n FROM transcripts),
+         |hot AS (SELECT conv_id, count(*) AS cnt FROM transcripts GROUP BY 1
+         |  HAVING count(*) > (SELECT n FROM tot) / 512.0)
+         |SELECT conv_id AS partition_key,
+         |  'max_key_share(conv_id)' AS "constraint", false AS pass,
+         |  cnt AS rows, cnt AS violations,
+         |  round(cnt / (SELECT n::DOUBLE FROM tot), 9) AS violation_rate
+         |FROM hot
+         |UNION ALL
+         |SELECT '(global)', 'max_key_share(conv_id)',
+         |  (SELECT count(*) FROM hot) = 0,
+         |  (SELECT n FROM tot), (SELECT count(*) FROM hot),
+         |  round((SELECT count(*) FROM hot) /
+         |        greatest(1.0, (SELECT n::DOUBLE FROM tot)), 9)""".stripMargin
   )
 }

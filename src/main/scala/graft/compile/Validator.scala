@@ -308,6 +308,29 @@ object Validator {
         case c: TurnRateDrift => turnRateDrift(df, check, c)
       }
 
+    // ---- pass 6: key-share skew guard ---------------------------------------
+    // Misra–Gries sketch pass + exact recount of the ≤k candidates (see
+    // graft.agg.FreqItems): two extra scans per constraint, O(k) state, no
+    // full-table groupBy. Offenders are ≤ 1/maxFrac keys by pigeonhole, so
+    // collecting them to build verdict rows is bounded by construction.
+    val keyShareVerdicts: Seq[DataFrame] = check.constraints.collect {
+      case c: MaxKeyShare =>
+        require(c.k >= 2.0 / c.maxFrac,
+          s"${c.name}: k=${c.k} below the 2/maxFrac guarantee bound")
+        import spark.implicits._
+        val hot = graft.agg.FreqItems
+          .heavyHitters(df, c.column, c.k, 1.0 / c.maxFrac)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val perKey = hot.map { case (k0, cnt) =>
+          (k0, c.name, false, cnt, cnt, cnt.toDouble / totalRows.toDouble)
+        }
+        val global = ("(global)", c.name, hot.isEmpty, totalRows,
+          hot.size.toLong, hot.size.toDouble / math.max(1.0, totalRows.toDouble))
+        (perKey :+ global)
+          .toDF("partition_key", "constraint", "pass", "rows", "violations",
+            "violation_rate")
+    }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
@@ -373,7 +396,7 @@ object Validator {
         "violation_rate")
 
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
-      driftResults.map(_._2)).reduce(_ unionByName _)
+      keyShareVerdicts ++ driftResults.map(_._2)).reduce(_ unionByName _)
 
     Result(allViolations, allVerdicts,
       cached = allViolations +: driftResults.flatMap(_._3))

@@ -80,6 +80,17 @@ final case class QuantileBetween(column: String, q: Double, lo: Double,
 final case class DistinctCountBetween(column: String, lo: Long, hi: Long)
   extends Constraint { val name = s"distinct($column)" }
 
+/** Skew guard: no single value of `column` may own more than `maxFrac` of
+  * the rows — the mega-thread census as a CONSTRAINT. Compiles to the
+  * mergeable Misra–Gries sketch + exact recount of its ≤k candidates
+  * (graft.agg.FreqItems), so the verdict never pays a full-table groupBy;
+  * `k ≥ 2/maxFrac` keeps the sketch's completeness guarantee (validated
+  * at compile). Offending keys become per-key FAIL verdict rows.
+  */
+final case class MaxKeyShare(column: String, maxFrac: Double = 1.0 / 512,
+    k: Int = 2048)
+  extends Constraint { val name = s"max_key_share($column)" }
+
 // ---- statistical outlier families (global stats → row flags) ---------------
 
 /** Modified z-score (MAD-based) outliers (A6). `approx` defaults to the

@@ -194,4 +194,27 @@ class ValidatorSpec extends GraftSuite {
     val v = r.violations.select("observed").as[String].collect().toSeq
     assert(v == Seq("z"), s"got $v")
   }
+
+  test("MaxKeyShare flags exactly the keys over the share, sketch == exact census") {
+    // mega conv owns 30% of rows; 20 small convs share the rest
+    val rows = (0 until 300).map(i => ("mega", i, 1.0)) ++
+      (0 until 700).map(i => (s"c${i % 20}", i / 20, 1.0))
+    val df = rows.toDF("conv_id", "turn_idx", "v").repartition(6)
+    val r = Validator.validate(df,
+      Check("t", Seq(MaxKeyShare("conv_id", maxFrac = 0.125, k = 64))))
+    val verd = r.verdicts.collect()
+      .map(x => x.getString(0) -> (x.getBoolean(2), x.getAs[Long]("rows"))).toMap
+    assert(verd("mega") == (false, 300L))
+    assert(verd("(global)")._1 == false)
+    assert(verd.size == 2, s"only mega + global expected: ${verd.keys}")
+    // clean data passes globally with no per-key rows
+    val ok = Validator.validate(df.where(col("conv_id") =!= "mega"),
+      Check("t", Seq(MaxKeyShare("conv_id", maxFrac = 0.125, k = 64))))
+    val g = ok.verdicts.collect().map(x => x.getString(0) -> x.getBoolean(2)).toMap
+    assert(g == Map("(global)" -> true))
+    // guarantee precondition is enforced
+    intercept[IllegalArgumentException] {
+      Validator.validate(df, Check("t", Seq(MaxKeyShare("conv_id", 0.125, k = 8))))
+    }
+  }
 }
