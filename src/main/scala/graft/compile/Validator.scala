@@ -21,7 +21,9 @@ import graft.series.{Decomposition, Drift, SeriesKernels}
   *  pass 2  one projection with every row-level flag + windowed rolling-z
   *          flags, exploded into violation rows (single scan);
   *  pass 3  uniqueness group-bys (one per key tuple);
-  *  pass 4  broadcast anti-joins (one per referenced dimension);
+  *  pass 4  anti-joins, one per referenced dimension (broadcast by
+  *          default; shuffled sort-merge when `broadcastDim = false`
+  *          marks the dim too large to ship to executors);
   *  pass 5  turn-rate drift: bucket → decompose → residual/PSI/KS verdicts.
   *
   * Verdicts are per conversation for row/series constraints (the north
@@ -136,7 +138,7 @@ object Validator {
     // Keyed by (dim, dimColumn): two RI constraints probing DIFFERENT
     // columns of the same dimension must not collide on the dim name alone.
     val inlineDimValues: Map[(String, String), Seq[Any]] = check.constraints.collect {
-      case ReferentialIntegrity(_, dimName, dimCol, _) =>
+      case ReferentialIntegrity(_, dimName, dimCol, _, _) =>
         val dim = ctx.dims.getOrElse(dimName,
           throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
         val probe = dim.select(col(dimCol)).distinct().limit(1025).collect()
@@ -145,7 +147,7 @@ object Validator {
     }.toMap
 
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
-      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, _)
           if inlineDimValues((dimName, dimCol)) != null =>
         val values = inlineDimValues((dimName, dimCol))
         // coalesce in BOTH branches: a NULL in the dim's value list makes
@@ -287,11 +289,14 @@ object Validator {
     // ---- pass 4: referential integrity (broadcast anti-join; big dims
     // only — small dims were compiled into the row-flags pass above) ------
     val refViolations: Seq[DataFrame] = check.constraints.collect {
-      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk)
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, bcast)
           if inlineDimValues((dimName, dimCol)) == null =>
         val dim = ctx.dims(dimName)
         val base = if (nullOk) df.where(col(columnName).isNotNull) else df
-        base.join(broadcast(dim.select(col(dimCol).as(columnName)).distinct()),
+        // broadcastDim=false: the dim is too large to ship to every
+        // executor -- shuffle both sides and let the planner sort-merge
+        val dimKeys = dim.select(col(dimCol).as(columnName)).distinct()
+        base.join(if (bcast) broadcast(dimKeys) else dimKeys,
             Seq(columnName), "left_anti")
           .select(lit(c.name).as("constraint"),
             key.cast("string").as("conv_id"),

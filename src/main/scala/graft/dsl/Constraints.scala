@@ -51,11 +51,16 @@ final case class UniqueKey(columns: Seq[String])
 
 // ---- dimension-level -------------------------------------------------------
 
-/** Referential integrity against a registered dimension table (broadcast
-  * left-anti join; J2). `dim` is a key into ValidationContext.dims.
+/** Referential integrity against a registered dimension table (J2).
+  * `dim` is a key into ValidationContext.dims. Three compile tiers:
+  * ≤1024 distinct dim values inline into the row-flags pass (zero joins);
+  * otherwise a left-anti join — broadcast by default, and with
+  * `broadcastDim = false` a shuffled (sort-merge) anti-join for
+  * dimensions too large to ship to every executor (a 10^9-key entity
+  * dim cannot be broadcast; forcing it would OOM the executors).
   */
 final case class ReferentialIntegrity(column: String, dim: String,
-    dimColumn: String, nullOk: Boolean = true)
+    dimColumn: String, nullOk: Boolean = true, broadcastDim: Boolean = true)
   extends Constraint { val name = s"ref($column->$dim)" }
 
 // ---- aggregate-level (suite verdict, no row violations) --------------------

@@ -195,6 +195,21 @@ class ValidatorSpec extends GraftSuite {
     assert(v == Seq("z"), s"got $v")
   }
 
+  test("broadcastDim=false: shuffled anti-join RI equals the broadcast path") {
+    // >1024 distinct dim values so the inline-isin tier is skipped
+    val dim = (0 until 3000).map(i => f"k$i%04d").toDF("a")
+    val fact = (0 until 500).map { i =>
+      ("c1", i, if (i % 50 == 0) s"bad$i" else f"k${i % 3000}%04d")
+    }.toDF("conv_id", "turn_idx", "c")
+    def viol(bcast: Boolean) = Validator.validate(fact,
+      Check("t", Seq(ReferentialIntegrity("c", "d", "a", broadcastDim = bcast))),
+      Validator.Context(Map("d" -> dim)))
+      .violations.select("turn_idx").as[Int].collect().toSet
+    val shuffled = viol(bcast = false)
+    assert(shuffled == viol(bcast = true))
+    assert(shuffled == (0 until 500 by 50).toSet)
+  }
+
   test("MaxKeyShare flags exactly the keys over the share, sketch == exact census") {
     // mega conv owns 30% of rows; 20 small convs share the rest
     val rows = (0 until 300).map(i => ("mega", i, 1.0)) ++
