@@ -132,12 +132,95 @@ case class FreqItemsAgg(
     copy(child = newChild)
 }
 
+/** Same state machine, blob output — the form a run manifest persists
+  * (counterpart of the t-digest blob in graft.checkpoint.StatsState).
+  */
+case class FreqItemsSketchAgg(
+    child: Expression,
+    k: Int = 512,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSummary] with UnaryLike[Expression] {
+
+  private val impl = FreqItemsAgg(child, k)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items_sketch"
+
+  override def createAggregationBuffer(): MgSummary = new MgSummary(k)
+  override def update(buf: MgSummary, input: InternalRow): MgSummary =
+    impl.update(buf, input)
+  override def merge(b1: MgSummary, b2: MgSummary): MgSummary = {
+    b1.mergeIn(b2); b1
+  }
+  override def eval(buf: MgSummary): Any = impl.serialize(buf)
+  override def serialize(buf: MgSummary): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MgSummary = impl.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsSketchAgg =
+    copy(child = newChild)
+}
+
+/** Union of pre-serialized MG summaries — the checkpoint-restart merge
+  * (same role as TDigestMergeAgg): per-slice census sketches written to a
+  * run manifest fold into one global summary without rescanning, and the
+  * explicit `err` keeps the completeness guarantee across the merge.
+  */
+case class FreqItemsMergeAgg(
+    child: Expression,
+    k: Int = 512,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSummary] with UnaryLike[Expression] {
+
+  private val impl = FreqItemsAgg(child, k)
+
+  override def dataType: DataType = impl.dataType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items_merge_agg"
+
+  override def createAggregationBuffer(): MgSummary = new MgSummary(k)
+  override def update(buf: MgSummary, input: InternalRow): MgSummary = {
+    val v = child.eval(input)
+    if (v != null) buf.mergeIn(impl.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(b1: MgSummary, b2: MgSummary): MgSummary = {
+    b1.mergeIn(b2); b1
+  }
+  override def eval(buf: MgSummary): Any = impl.eval(buf)
+  override def serialize(buf: MgSummary): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MgSummary = impl.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): FreqItemsMergeAgg =
+    copy(child = newChild)
+}
+
 object FreqItems {
   /** Mergeable Misra–Gries summary of a string column:
     * struct(items: array<struct<item,lb>>, n, err).
     */
   def freqItemsAgg(c: Column, k: Int = 512): Column =
     GraftBridge.column(FreqItemsAgg(GraftBridge.expression(c.cast("string")), k))
+
+  /** Serialized MG summary blob (for persisting per-slice state). */
+  def freqItemsSketch(c: Column, k: Int = 512): Column =
+    GraftBridge.column(
+      FreqItemsSketchAgg(GraftBridge.expression(c.cast("string")), k)
+        .toAggregateExpression())
+
+  /** Union previously serialized MG summary blobs back into the
+    * struct(items, n, err) shape.
+    */
+  def freqItemsMergeAgg(c: Column, k: Int = 512): Column =
+    GraftBridge.column(FreqItemsMergeAgg(GraftBridge.expression(c), k))
 
   /** EXACT heavy hitters by two passes — the scale-correct census of
     * mega keys: pass 1 sketches candidates in O(k) state (any key with

@@ -75,6 +75,28 @@ class FreqItemsSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("sliced sketch blobs union to a summary with the direct guarantee (resume path)") {
+    val vals = (0 until 2400).map(i => if (i % 5 == 0) s"hot_${i % 15}" else s"cold_$i")
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 96
+    // 4 disjoint slices, each reduced to a serialized blob...
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 4, v) }.toDF("slice", "v")
+    val blobs = df.groupBy("slice")
+      .agg(FreqItems.freqItemsSketch(col("v"), k).as("blob"))
+    assert(blobs.count() == 4)
+    // ...then unioned WITHOUT rescanning the data
+    val row = blobs.agg(FreqItems.freqItemsMergeAgg(col("blob"), k).as("s"))
+      .select(col("s.items"), col("s.n"), col("s.err")).head()
+    val items = row.getSeq[Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (n, err) = (row.getLong(1), row.getLong(2))
+    assert(n == 2400)
+    truth.filter(_._2 > err).keys.foreach(key =>
+      assert(items.contains(key), s"guaranteed key $key missing after merge (err=$err)"))
+    items.foreach { case (s, lb) =>
+      assert(lb <= truth(s) && truth(s) <= lb + err, s"merged key $s")
+    }
+  }
+
   test("nulls are skipped, empty input yields an empty census") {
     val df = Seq[Option[String]](Some("a"), None, Some("a"), None).toDF("v")
     val (items, n, err) = {
