@@ -111,7 +111,12 @@ case class FreqItemsAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.k); out.writeLong(buf.n); out.writeLong(buf.err)
     out.writeInt(buf.counts.size)
-    buf.counts.forEach { (s, c) => out.writeUTF(s); out.writeLong(c) }
+    // length-prefixed UTF-8, NOT writeUTF: keys from free-text columns can
+    // exceed writeUTF's 64 KiB modified-UTF-8 limit and kill the shuffle
+    buf.counts.forEach { (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -120,7 +125,13 @@ case class FreqItemsAgg(
     val buf = new MgSummary(in.readInt())
     buf.n = in.readLong(); buf.err = in.readLong()
     var m = in.readInt()
-    while (m > 0) { buf.counts.put(in.readUTF(), in.readLong()); m -= 1 }
+    while (m > 0) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      m -= 1
+    }
     buf
   }
 
@@ -208,7 +219,8 @@ object FreqItems {
     * struct(items: array<struct<item,lb>>, n, err).
     */
   def freqItemsAgg(c: Column, k: Int = 512): Column =
-    GraftBridge.column(FreqItemsAgg(GraftBridge.expression(c.cast("string")), k))
+    GraftBridge.column(FreqItemsAgg(GraftBridge.expression(c.cast("string")), k)
+      .toAggregateExpression())
 
   /** Serialized MG summary blob (for persisting per-slice state). */
   def freqItemsSketch(c: Column, k: Int = 512): Column =
@@ -220,17 +232,26 @@ object FreqItems {
     * struct(items, n, err) shape.
     */
   def freqItemsMergeAgg(c: Column, k: Int = 512): Column =
-    GraftBridge.column(FreqItemsMergeAgg(GraftBridge.expression(c), k))
+    GraftBridge.column(FreqItemsMergeAgg(GraftBridge.expression(c), k)
+      .toAggregateExpression())
+
+  /** Census result: `hot` = (keyCol: string, cnt) for keys over the share;
+    * `n` = non-null key count the threshold was computed over (the census
+    * is a share of NON-NULL values — null share is NotNull's job);
+    * `err` = the sketch's realized error bound.
+    */
+  final case class Census(hot: DataFrame, n: Long, err: Long)
 
   /** EXACT heavy hitters by two passes — the scale-correct census of
     * mega keys: pass 1 sketches candidates in O(k) state (any key with
     * count > n/den is guaranteed among them when err < n/den, which
     * k ≥ 2·den guarantees); pass 2 exact-counts ONLY the ≤k candidates.
-    * Returns (keyCol, cnt) for keys with cnt > n/den — identical to the
-    * full groupBy/HAVING, at a fraction of its shuffle.
+    * `hot` holds keys with cnt > n/den — identical to the full
+    * groupBy/HAVING (over the column cast to string, matching the
+    * sketch's key space), at a fraction of its shuffle.
     */
-  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 512,
-      den: Double = 256.0): DataFrame = {
+  def heavyHittersCensus(df: DataFrame, keyCol: String, k: Int = 512,
+      den: Double = 256.0): Census = {
     val row = df.agg(freqItemsAgg(col(keyCol), k).as("s"))
       .select(col("s.items").as("items"), col("s.n").as("n"), col("s.err").as("err"))
       .head()
@@ -242,9 +263,16 @@ object FreqItems {
     val cands: Seq[String] =
       row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("items"))
         .map(_.getAs[String]("item"))
-    df.where(col(keyCol).isin(cands: _*))
-      .groupBy(keyCol)
+    val key = col(keyCol).cast("string")
+    val hot = df.where(key.isin(cands: _*))
+      .groupBy(key.as(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > lit(threshold))
+    Census(hot, n, err)
   }
+
+  /** The census without the metadata. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 512,
+      den: Double = 256.0): DataFrame =
+    heavyHittersCensus(df, keyCol, k, den).hot
 }

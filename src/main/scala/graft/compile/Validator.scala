@@ -323,14 +323,19 @@ object Validator {
         require(c.k >= 2.0 / c.maxFrac,
           s"${c.name}: k=${c.k} below the 2/maxFrac guarantee bound")
         import spark.implicits._
-        val hot = graft.agg.FreqItems
-          .heavyHitters(df, c.column, c.k, 1.0 / c.maxFrac)
+        // the census shares, thresholds, and rates are all over the
+        // NON-NULL key count (census.n) — one consistent denominator;
+        // a null mega-key is NotNull's finding, not this constraint's
+        val census = graft.agg.FreqItems
+          .heavyHittersCensus(df, c.column, c.k, 1.0 / c.maxFrac)
+        val nKeys = math.max(1L, census.n)
+        val hot = census.hot
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         val perKey = hot.map { case (k0, cnt) =>
-          (k0, c.name, false, cnt, cnt, cnt.toDouble / totalRows.toDouble)
+          (k0, c.name, false, cnt, cnt, cnt.toDouble / nKeys.toDouble)
         }
-        val global = ("(global)", c.name, hot.isEmpty, totalRows,
-          hot.size.toLong, hot.size.toDouble / math.max(1.0, totalRows.toDouble))
+        val global = ("(global)", c.name, hot.isEmpty, census.n,
+          hot.size.toLong, hot.size.toDouble / nKeys.toDouble)
         (perKey :+ global)
           .toDF("partition_key", "constraint", "pass", "rows", "violations",
             "violation_rate")

@@ -67,33 +67,49 @@ object ConnectedComponents {
     * (id, component) where component = min node id of the component.
     * Nodes not present in any edge are absent (see [[assign]]).
     */
+  /** Ids must be integral: cast("long") on a string id column would turn
+    * every endpoint NULL and silently report all-singleton components.
+    * Map string ids to longs FIRST (zipWithUniqueId / a dense dim join —
+    * not a 64-bit hash, whose collisions would silently merge groups).
+    */
+  private def requireIntegralId(df: DataFrame, c: String, who: String): Unit = {
+    val t = df.schema(c).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"$who: id column '$c' is $t — connected components needs integral " +
+        "ids (map string ids to longs first; a hash would merge groups on collision)")
+  }
+
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
-    val spark = edges.sparkSession
-    val sc = spark.sparkContext
+    requireIntegralId(edges, srcCol, "components")
+    requireIntegralId(edges, dstCol, "components")
+    import org.apache.spark.sql.GraftBridge
     // each round's localCheckpoint caches an edge-list-sized RDD; at
     // 10^12-row scale leaving O(log n) of them resident is a real
     // storage-memory leak, so every superseded round is unpersisted as
     // soon as the convergence check no longer reads it (only the FINAL
-    // star forest stays cached — the returned frame reads it lazily)
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // star forest stays cached — the returned frame reads it lazily).
+    // The checkpoint's own RDD is taken from the frame's LogicalRDD plan,
+    // so concurrent jobs' cached RDDs are never touched.
+    def checkpointTracked(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint(true)
-      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+      (out, GraftBridge.checkpointRdd(out))
     }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    var (e, eIds) = checkpointTracked(canonical(edges
+    var (e, eRdd) = checkpointTracked(canonical(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))))
     var converged = e.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
-      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)))
+      val (next, nextRdd) = checkpointTracked(smallStar(largeStar(e)))
       // both sides are canonical+distinct, so set equality is two
       // anti-semidiffs (cheap: the frames are star-forest-sized)
       converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
-      release(eIds)
-      e = next; eIds = nextIds
+      eRdd.foreach(_.unpersist(false))
+      e = next; eRdd = nextRdd
       it += 1
     }
     if (!converged)
@@ -111,6 +127,7 @@ object ConnectedComponents {
   def assign(vertices: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    requireIntegralId(vertices, idCol, "assign")
     val comp = components(edges, srcCol, dstCol, maxIter)
     vertices.select(col(idCol).cast("long").as("id"))
       .join(comp, Seq("id"), "left")
@@ -130,6 +147,7 @@ object ConnectedComponents {
   def dupGroups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       estJaccardMin: Double = 0.4, threshold: Double = 0.7): DataFrame = {
+    requireIntegralId(df, idCol, "dupGroups")
     val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin)
     val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),

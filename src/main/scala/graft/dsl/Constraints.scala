@@ -86,11 +86,13 @@ final case class DistinctCountBetween(column: String, lo: Long, hi: Long)
   extends Constraint { val name = s"distinct($column)" }
 
 /** Skew guard: no single value of `column` may own more than `maxFrac` of
-  * the rows — the mega-thread census as a CONSTRAINT. Compiles to the
+  * the NON-NULL rows of that column (a null mega-key is NotNull's
+  * finding) — the mega-thread census as a CONSTRAINT. Compiles to the
   * mergeable Misra–Gries sketch + exact recount of its ≤k candidates
   * (graft.agg.FreqItems), so the verdict never pays a full-table groupBy;
   * `k ≥ 2/maxFrac` keeps the sketch's completeness guarantee (validated
-  * at compile). Offending keys become per-key FAIL verdict rows.
+  * at compile). Offending keys become per-key FAIL verdict rows (keys
+  * rendered as strings — the sketch's key space).
   */
 final case class MaxKeyShare(column: String, maxFrac: Double = 1.0 / 512,
     k: Int = 2048)

@@ -97,6 +97,23 @@ class FreqItemsSpec extends GraftSuite {
     }
   }
 
+  test("keys beyond writeUTF's 64 KiB limit survive the shuffle serde") {
+    val big = "x" * 70000
+    val vals = Seq.fill(5)(big) ++ Seq.fill(3)("small")
+    val (items, n, err) = sketch(vals, k = 8)
+    assert(n == 8 && err == 0)
+    assert(items == Map(big -> 5L, "small" -> 3L))
+  }
+
+  test("non-string key columns census in string space; nulls excluded from the share") {
+    // int keys + nulls: threshold over the 8 non-null values (den 2 -> > 4)
+    val df = Seq[Option[Int]](Some(7), Some(7), Some(7), Some(7), Some(7),
+      Some(8), Some(8), Some(9), None, None, None, None).toDF("k")
+    val got = FreqItems.heavyHitters(df, "k", k = 16, den = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("7", 5L)))
+  }
+
   test("nulls are skipped, empty input yields an empty census") {
     val df = Seq[Option[String]](Some("a"), None, Some("a"), None).toDF("v")
     val (items, n, err) = {

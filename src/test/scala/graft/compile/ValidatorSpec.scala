@@ -232,4 +232,22 @@ class ValidatorSpec extends GraftSuite {
       Validator.validate(df, Check("t", Seq(MaxKeyShare("conv_id", 0.125, k = 8))))
     }
   }
+
+  test("MaxKeyShare on a non-string column with nulls: share is over non-null rows") {
+    // v: 300 nulls + key 42 on 210 of 700 non-null rows (30% > 25%)
+    val rows = (0 until 1000).map { i =>
+      ("c0", i, if (i < 300) None else Some(if (i < 510) 42 else i))
+    }
+    val df = rows.toDF("conv_id", "turn_idx", "v")
+    val r = Validator.validate(df,
+      Check("t", Seq(MaxKeyShare("v", maxFrac = 0.25, k = 64))))
+    val verd = r.verdicts.collect()
+      .map(x => (x.getString(0), x.getBoolean(2), x.getAs[Long]("rows"),
+        x.getDouble(5))).toList
+    val hot = verd.find(_._1 == "42").get
+    assert(hot._2 == false && hot._3 == 210L)
+    assert(math.abs(hot._4 - 210.0 / 700.0) < 1e-12, s"rate over non-null: $hot")
+    val global = verd.find(_._1 == "(global)").get
+    assert(global._2 == false && global._3 == 700L)
+  }
 }

@@ -77,6 +77,14 @@ class CcSpec extends GraftSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("string id columns are rejected loudly, not silently nulled to singletons") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(edges, "src", "dst")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("empty edge list converges immediately") {
     val vertices = (0L until 4L).toDF("id")
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
