@@ -73,12 +73,18 @@ object Validator {
       case c: DistinctCountBetween => c.column }.distinct
     // (column, q, approx): approx rides percentile_approx (one-pass QTree
     // sketch, the 10^12-row path); exact percentile only where a test-scale
-    // parity contract requires it
+    // parity contract requires it. Needs are keyed by (column, q) ONLY —
+    // two constraints wanting the same quantile at different approx
+    // settings would otherwise emit two aggregates under ONE alias and
+    // whichever resolves last would silently serve both; when they
+    // disagree, exact wins for both (strictly more accurate).
     val quantileNeeds: Seq[(String, Double, Boolean)] = (check.constraints.collect {
       case c: QuantileBetween => Seq((c.column, c.q, c.approx))
       case c: RobustZ => Seq((c.column, 0.5, c.approx))
       case c: IqrOutliers => Seq((c.column, 0.25, c.approx), (c.column, 0.75, c.approx))
-    }).flatten.distinct
+    }).flatten.groupBy { case (c, q, _) => (c, q) }
+      .map { case ((c, q), needs) => (c, q, needs.forall(_._3)) }
+      .toSeq.sortBy(t => (t._1, t._2))
 
     val aggExprs: Seq[Column] =
       Seq(count(lit(1)).as("__rows")) ++
@@ -89,16 +95,21 @@ object Validator {
         stddev_pop(col(c)).as(s"__stdp__$c")) } ++
       distinctCols.map(c => approx_count_distinct(col(c)).as(s"__hll__$c")) ++
       quantileNeeds.map { case (c, q, approx) =>
-        val fn = if (approx) s"percentile_approx($c, $q, 10000)"
-          else s"percentile($c, $q)"
-        expr(fn).as(s"__q${q}__$c") }
+        // Column API, not SQL text: a non-identifier column name ("a-b",
+        // a reserved word, a dotted name) must stay a column reference
+        val fn = if (approx) percentile_approx(col(c), lit(q), lit(10000))
+          else percentile(col(c), lit(q))
+        fn.as(s"__q${q}__$c") }
 
     val statsRow: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
     def stat(name: String): Double = statsRow.getAs[Any](name) match {
       case null => Double.NaN
       case d: Double => d
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
+      // percentile_approx/avg preserve the input type: Float, Decimal,
+      // Short... all are java.lang.Number (incl. java.math.BigDecimal)
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalStateException(
+        s"non-numeric stat $name: ${other.getClass}")
     }
     val totalRows = statsRow.getAs[Long]("__rows")
 
@@ -138,13 +149,17 @@ object Validator {
     // Keyed by (dim, dimColumn): two RI constraints probing DIFFERENT
     // columns of the same dimension must not collide on the dim name alone.
     val inlineDimValues: Map[(String, String), Seq[Any]] = check.constraints.collect {
-      case ReferentialIntegrity(_, dimName, dimCol, _, _) =>
-        val dim = ctx.dims.getOrElse(dimName,
-          throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
-        val probe = dim.select(col(dimCol)).distinct().limit(1025).collect()
-        (dimName, dimCol) ->
-          (if (probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
-    }.toMap
+      case ReferentialIntegrity(_, dimName, dimCol, _, bcast) => (dimName, dimCol, bcast)
+    }.groupBy { case (d, c, _) => (d, c) }.map { case ((dimName, dimCol), uses) =>
+      val dim = ctx.dims.getOrElse(dimName,
+        throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
+      // broadcastDim=false declares the dim too large to ship — don't pay
+      // a full distinct shuffle probing for <=1024 values it cannot have
+      val probe = if (uses.forall(!_._3)) null
+        else dim.select(col(dimCol)).distinct().limit(1025).collect()
+      (dimName, dimCol) ->
+        (if (probe != null && probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
+    }
 
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
       case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, _)
@@ -232,7 +247,11 @@ object Validator {
 
     def uniqueRows(u: UniqueKey, src: DataFrame, nCol: Column): DataFrame =
       src.select(lit(u.name).as("constraint"),
-        key.cast("string").as("conv_id"),
+        // a key tuple without keyCol groups ACROSS conversations — the
+        // grouped frame has no keyCol to attribute (same sentinel idea as
+        // turn_idx = -1 below; these roll up under the (global) verdict)
+        (if (u.columns.contains(check.keyCol)) key.cast("string")
+         else lit("(global)")).as("conv_id"),
         (if (u.columns.contains(check.orderCol)) ord.cast("int")
          else lit(-1)).as("turn_idx"),
         lit(u.columns.mkString(",")).as("column"),

@@ -70,8 +70,12 @@ object Decomposition {
       .withColumn("phase_mean", avg(col("detrended")).over(wPhase))
       .withColumn("first_of_phase",
         coalesce(col("phase") =!= lag(col("phase"), 1).over(wPhaseOrd), lit(true)))
+    // count only phases with a DEFINED mean: a phase whose every detrended
+    // value is null (short series, trend-null head/tail covering it) must
+    // not deflate the grand mean — this is avg-ignoring-nulls, exactly the
+    // SQL twin's `avg(pmean)` semantics
     val grand = sum(when(col("first_of_phase"), col("phase_mean"))).over(wKey) /
-      sum(when(col("first_of_phase"), 1)).over(wKey)
+      sum(when(col("first_of_phase") && col("phase_mean").isNotNull, 1)).over(wKey)
 
     val seasonal = if (multiplicative) col("phase_mean") / grand
       else col("phase_mean") - grand

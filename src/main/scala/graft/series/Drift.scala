@@ -30,10 +30,12 @@ object Drift {
       keyCols: Seq[String], bins: Int = 10, eps: Double = 1e-4): DataFrame = {
     val key = keyCols.map(col)
     val qs = (1 until bins).map(i => i.toDouble / bins)
+    // Column API, not SQL text: a non-identifier column name must stay a
+    // column reference rather than re-parse as an expression
     val edges = df.where(col(sideCol) === "baseline").groupBy(key: _*).agg(
-      expr(s"percentile($valueCol, array(${qs.mkString(",")}))").as("edges"))
+      percentile(col(valueCol), array(qs.map(lit): _*)).as("edges"))
     val binned = df.join(edges, keyCols)
-      .withColumn("bin", expr(s"size(filter(edges, e -> $valueCol > e))"))
+      .withColumn("bin", size(filter(col("edges"), e => col(valueCol) > e)))
     val counts = binned.groupBy((key :+ col("bin")): _*).agg(
       sum(when(col(sideCol) === "baseline", 1).otherwise(0)).as("n_base"),
       sum(when(col(sideCol) === "current", 1).otherwise(0)).as("n_cur"))

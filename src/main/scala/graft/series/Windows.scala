@@ -187,15 +187,19 @@ object Windows {
     * (adjusted weights: y_t = Σ (1-a)^i x_{t-i} / Σ (1-a)^i, a=2/(span+1)).
     *
     * No Spark built-in recursion; expressed as two finite-window sums over
-    * the last `cap` rows — (1-a)^cap < 1e-12 truncation error for
-    * span<=40, far below verdict thresholds. Stays inside codegen'd
-    * window exec (no mapGroups detour).
+    * the last `cap` rows. With the default `maxCap` 200 the truncation
+    * error (1-a)^cap is < 1e-12 for span ≤ 14; at span 40 it is ~4.5e-5
+    * relative — still far below the 3σ-class verdict thresholds, but NOT
+    * strict-parity territory: raise `maxCap` (553 covers span 40 at
+    * 1e-12) when a parity check needs it and the wider window is worth
+    * its cost. Stays inside codegen'd window exec (no mapGroups detour).
     */
   def ewm(df: DataFrame, valueCol: String, span: Int,
-      partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+      partitionCols: Seq[String], orderCols: Seq[String],
+      maxCap: Int = 200): DataFrame = {
     val a = 2.0 / (span + 1.0)
     val decay = 1.0 - a
-    val cap = math.min(math.ceil(-12 / math.log10(decay)).toInt.max(span), 200)
+    val cap = math.min(math.ceil(-12 / math.log10(decay)).toInt.max(span), maxCap)
     val w = seriesWindow(partitionCols, orderCols)
     val terms = (0 until cap).map { i =>
       val x = if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)
@@ -208,24 +212,79 @@ object Windows {
     df.withColumn(s"${valueCol}_ewm", when(den > 0, num / den))
   }
 
-  /** T9: Savitzky–Golay smoothing as a fixed-coefficient FIR filter over a
-    * centered window (polyorder 2/3 share coefficients; reference
-    * src/preprocessing.py:237-243).
+  /** T9: Savitzky–Golay smoothing as a fixed-coefficient FIR filter
+    * (reference src/preprocessing.py:237-243 = scipy savgol_filter).
+    *
+    * Full scipy `mode='interp'` semantics, including the edges: a
+    * quadratic is least-squares-fitted to the FIRST window and evaluated
+    * at head positions 0..m-1 (symmetrically for the tail), so an exact
+    * quadratic input is reproduced EXACTLY at every row. All w rows of
+    * the projection matrix H = V(VᵀV)⁻¹Vᵀ are precomputed at plan time
+    * (row m is the classical central coefficient vector); the per-row
+    * branch is a codegen'd CASE on the row's window position. A null
+    * inside a row's window nulls that row's output (the reference
+    * interpolates nulls away first); series shorter than the window are
+    * all-null (scipy refuses them).
     */
   def savgol(df: DataFrame, valueCol: String, window: Int,
       partitionCols: Seq[String], orderCols: Seq[String]): DataFrame = {
     require(window % 2 == 1, "savgol window must be odd")
     val m = (window - 1) / 2
-    // quadratic/cubic LS coefficients: c_i = (3m^2+3m-1-5i^2) * 3/((2m+3)(2m+1)(2m-1))
-    val denom = (2.0 * m + 3) * (2 * m + 1) * (2 * m - 1)
-    val coef = (-m to m).map(i => 3.0 * (3.0 * m * m + 3 * m - 1 - 5.0 * i * i) / denom)
+    val h = savgolProjection(window) // w×w, quadratic fit
     val w = seriesWindow(partitionCols, orderCols)
-    val terms = (-m to m).zip(coef).map { case (off, c) =>
-      val x = if (off == 0) col(valueCol)
-        else if (off < 0) lag(col(valueCol), -off).over(w)
-        else lead(col(valueCol), off).over(w)
-      when(x.isNotNull, x * c)
+    val wAll = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rn = row_number().over(
+      Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*))
+    val cnt = count(lit(1)).over(wAll)
+    // window position q of this row: j for head row j<m, m interior,
+    // w-1-j' for tail row j' from the end
+    def fitAt(q: Int): Column =
+      (0 until window).map { i =>
+        val off = i - q
+        val x = if (off == 0) col(valueCol)
+          else if (off < 0) lag(col(valueCol), -off).over(w)
+          else lead(col(valueCol), off).over(w)
+        when(x.isNotNull, x * h(q)(i))
+      }.reduce(_ + _)
+    val headCases = (0 until m).foldLeft(when(lit(false), lit(0.0))) {
+      (acc, j) => acc.when(rn - 1 === j, fitAt(j))
     }
-    df.withColumn(s"${valueCol}_savgol", terms.reduce(_ + _))
+    val tailCases = (0 until m).foldLeft(headCases) {
+      (acc, j) => acc.when(cnt - rn === j, fitAt(window - 1 - j))
+    }
+    df.withColumn(s"${valueCol}_savgol",
+      when(cnt < window, lit(null).cast("double"))
+        .otherwise(tailCases.otherwise(fitAt(m))))
+  }
+
+  /** Projection matrix of the quadratic LS fit over window positions
+    * 0..w-1: H = V(VᵀV)⁻¹Vᵀ with V_{i,p} = i^p, p = 0..2. Row q holds the
+    * FIR weights producing the fitted value at position q; row m equals
+    * the textbook central Savitzky–Golay coefficients.
+    */
+  private def savgolProjection(w: Int): Array[Array[Double]] = {
+    val s = Array.tabulate(5)(k => (0 until w).map(i => math.pow(i, k)).sum)
+    val a = Array(
+      Array(s(0), s(1), s(2)),
+      Array(s(1), s(2), s(3)),
+      Array(s(2), s(3), s(4)))
+    val inv = Array(Array(1.0, 0, 0), Array(0.0, 1, 0), Array(0.0, 0, 1))
+    for (p <- 0 until 3) { // Gauss-Jordan with partial pivot (3×3)
+      val piv = (p until 3).maxBy(r => math.abs(a(r)(p)))
+      if (piv != p) { val t = a(p); a(p) = a(piv); a(piv) = t
+        val ti = inv(p); inv(p) = inv(piv); inv(piv) = ti }
+      val d = a(p)(p)
+      for (c <- 0 until 3) { a(p)(c) /= d; inv(p)(c) /= d }
+      for (r <- 0 until 3 if r != p) {
+        val f = a(r)(p)
+        for (c <- 0 until 3) { a(r)(c) -= f * a(p)(c); inv(r)(c) -= f * inv(p)(c) }
+      }
+    }
+    Array.tabulate(w, w) { (q, i) =>
+      (for (p1 <- 0 until 3; p2 <- 0 until 3)
+        yield math.pow(q, p1) * inv(p1)(p2) * math.pow(i, p2)).sum
+    }
   }
 }
