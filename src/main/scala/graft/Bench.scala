@@ -801,6 +801,12 @@ object Bench {
               name -> Right((System.nanoTime() - t0) / 1e9)
             } catch { case e: Throwable =>
               name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            } finally {
+              // queries persist intermediates (dedup signatures, drift
+              // buckets); clearing between queries keeps every timing
+              // cold-start honest — q64 must not reuse q40's cached
+              // identical signature subplan — and bounds cache growth
+              spark1.sharedState.cacheManager.clearCache()
             }
           }
         }

@@ -20,7 +20,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally spark.sharedState.cacheManager.clearCache()
+      // ^ queries persist intermediates; unbounded accumulation across 64
+      //   queries would eventually spill every later query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

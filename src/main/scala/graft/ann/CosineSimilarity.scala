@@ -32,11 +32,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // dimension mismatch or a null element => null (matches zip_with +
+    // aggregate, where a null slot nulls the whole fold) — NOT a silent
+    // prefix-truncated or null-as-zero score that could top a ranking
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val (af, bf) = (isFloat(left), isFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -54,15 +59,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double x = (double) $a.$getA($i);
          |  double y = (double) $b.$getB($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |if ($na > 0.0 && $nb > 0.0) {
+         |if (!$bad && $na > 0.0 && $nb > 0.0) {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |} else {
          |  ${ev.isNull} = true;

@@ -53,18 +53,23 @@ object Ivf {
     */
   def fit(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
       sampleRows: Int = 4096, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = df
+    val raw = df
       .select(transform(col(vecCol), _.cast("double")).as("v"))
       .where(col("v").isNotNull && not(exists(col("v"), _.isNull)))
       .orderBy(xxhash64(col("v")))
       .limit(sampleRows)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // a truncated vector in the sample would AIOOBE every dot() against
+    // full-width centroids (a longer one would be silently cut): fit on
+    // the sample's dominant dimensionality only
+    val dims = raw.map(_.length).groupBy(identity)
+      .maxByOption { case (_, g) => g.length }.map(_._1).getOrElse(0)
+    val sample = raw.filter(_.length == dims)
       .map(normalize)
       .filter(v => v.exists(_ != 0.0))
     require(sample.length >= k, s"need >= $k non-zero sample vectors")
     val rng = new XorShift(seed)
-    val dims = sample(0).length
 
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -121,19 +126,23 @@ object Ivf {
         counts(assign(i)) += 1
         i += 1
       }
+      // reseed each emptied cell from a DISTINCT farthest point: two cells
+      // emptied in the same iteration would otherwise both clone the same
+      // point, and the argmax tie-break would starve the higher id forever
+      val reseeded = scala.collection.mutable.Set.empty[Int]
       var j = 0
       while (j < k) {
         if (counts(j) > 0) cents(j) = normalize(sums(j))
         else {
-          var worst = 0
+          var worst = -1
           var wd = Double.PositiveInfinity
           var p = 0
           while (p < sample.length) {
             val d = dot(sample(p), cents(assign(p)))
-            if (d < wd) { wd = d; worst = p }
+            if (d < wd && !reseeded.contains(p)) { wd = d; worst = p }
             p += 1
           }
-          cents(j) = sample(worst).clone()
+          if (worst >= 0) { cents(j) = sample(worst).clone(); reseeded += worst }
         }
         j += 1
       }
@@ -149,12 +158,14 @@ object Ivf {
   def topK(queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
       qVec: String, cVec: String, k: Int, centroids: Array[Array[Double]],
       nprobe: Int = 2): DataFrame = {
+    // ranking limits: a query needs its nprobe probe cells, a corpus row
+    // only its argmax home cell — O(k·limit), not a full O(k²) sort/row
     val qCells = queries.select(col(qId),
-      explode(slice(IvfCells(col(qVec), centroids), 1, nprobe)).as("cell"))
+      explode(slice(IvfCells(col(qVec), centroids, nprobe), 1, nprobe)).as("cell"))
     // get() (not getItem) tolerates the degenerate-vector empty array
     // under ANSI semantics, yielding null → filtered
     val cCells = corpus.select(col(cId),
-      get(IvfCells(col(cVec), centroids), lit(0)).as("cell"))
+      get(IvfCells(col(cVec), centroids, 1), lit(0)).as("cell"))
       .where(col("cell").isNotNull)
     // one cell per corpus vector + distinct probe cells per query ⇒ a
     // (query, candidate) pair matches at most once: no dedup needed.

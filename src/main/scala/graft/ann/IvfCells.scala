@@ -25,14 +25,20 @@ import org.apache.spark.sql.types._
   * would throw under ANSI) and the row drops out of the candidate join —
   * documented, and absent from the testdata.
   */
-case class IvfCells(child: Expression, centroids: Array[Array[Double]])
+case class IvfCells(child: Expression, centroids: Array[Array[Double]],
+    limit: Int = Int.MaxValue)
     extends UnaryExpression {
 
   require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
     "centroids must be a non-empty rectangular matrix")
+  require(limit >= 1, "limit must be >= 1")
 
   private def k = centroids.length
   private def dims = centroids(0).length
+  // only the first `lim` ranking positions are emitted: the corpus
+  // assignment needs 1 and a query probes nprobe — a full O(k^2)
+  // selection sort per corpus row would dominate the assignment stage
+  private def lim = math.min(limit, k)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -71,7 +77,7 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
       }
       val ord = Array.tabulate(k)(identity)
       var x = 0
-      while (x < k) {
+      while (x < lim) {
         var best = x
         var y = x + 1
         while (y < k) {
@@ -82,13 +88,14 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
         val t = ord(x); ord(x) = ord(best); ord(best) = t
         x += 1
       }
-      UnsafeArrayData.fromPrimitiveArray(ord)
+      UnsafeArrayData.fromPrimitiveArray(ord.take(lim))
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
     val get = if (isFloat) "getFloat" else "getDouble"
+    val limV = lim
     nullSafeCodeGen(ctx, ev, a => {
       val vec = ctx.freshName("vec")
       val bad = ctx.freshName("bad")
@@ -101,6 +108,7 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
       val b = ctx.freshName("best")
       val d = ctx.freshName("d")
       val t = ctx.freshName("tmp")
+      val lim = limV
       s"""
          |boolean $bad = $a.numElements() < $dims;
          |for (int $i = 0; !$bad && $i < $dims; $i++) {
@@ -124,7 +132,7 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
          |  }
          |  $ord = new int[$k];
          |  for (int $x = 0; $x < $k; $x++) $ord[$x] = $x;
-         |  for (int $x = 0; $x < $k; $x++) {
+         |  for (int $x = 0; $x < $lim; $x++) {
          |    int $b = $x;
          |    for (int $y = $x + 1; $y < $k; $y++) {
          |      if ($dots[$ord[$y]] > $dots[$ord[$b]] ||
@@ -134,6 +142,7 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
          |    }
          |    int $t = $ord[$x]; $ord[$x] = $ord[$b]; $ord[$b] = $t;
          |  }
+         |  if ($lim < $k) $ord = java.util.Arrays.copyOf($ord, $lim);
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($ord);
        """.stripMargin
@@ -147,4 +156,8 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]])
 object IvfCells {
   def apply(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(IvfCells(GraftBridge.expression(vec), centroids))
+
+  /** Only the first `limit` ranking positions (O(k·limit) per row). */
+  def apply(vec: Column, centroids: Array[Array[Double]], limit: Int): Column =
+    GraftBridge.column(IvfCells(GraftBridge.expression(vec), centroids, limit))
 }

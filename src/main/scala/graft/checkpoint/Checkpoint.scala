@@ -108,14 +108,29 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     * pass; afterwards every slice (including on resume) prunes to its own
     * files. Idempotent — an interrupted staging write is redone (no _SUCCESS).
     */
+  private def stagingParts = Paths.get(s"$stagingDir/_PARTITIONS")
+
   private def stage(df: DataFrame, check: Check): DataFrame = {
     if (!Files.exists(stagingDone)) {
       df.withColumn("__slice",
           pmod(xxhash64(col(check.keyCol)), lit(partitions)).cast("int"))
         .write.mode("overwrite").partitionBy("__slice").parquet(stagingDir)
-    }
+      // record the slice count the data was hashed into: a resume with a
+      // DIFFERENT `partitions` would otherwise silently skip (smaller) or
+      // never finish (larger) the staged slices
+      Files.writeString(stagingParts, partitions.toString)
+    } else requireStagedPartitions()
     spark.read.parquet(stagingDir)
   }
+
+  /** A resume must use the slice count the data was hashed into. */
+  private def requireStagedPartitions(): Unit =
+    if (Files.exists(stagingDone) && Files.exists(stagingParts)) {
+      val staged = Files.readString(stagingParts).trim.toInt
+      require(staged == partitions,
+        s"checkpoint at $checkpointDir was staged with partitions=$staged; " +
+          s"resume with that value (got $partitions)")
+    }
 
   /** Run (or resume) the suite. Returns Some(violations, verdicts, metrics)
     * when all partitions are done; None if `maxPartitionsThisRun` stopped
@@ -126,6 +141,19 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       withStatsState: Boolean = true,
       maxPartitionsThisRun: Int = Int.MaxValue)
       : Option[(DataFrame, DataFrame, Seq[PartitionMetrics])] = {
+    // the aggregate-level constraints are stripped from every slice and
+    // re-evaluated from merged state at the end — running without state
+    // would silently drop their verdicts (pass-by-omission)
+    require(withStatsState || !check.constraints.exists {
+        case _: graft.dsl.MinRows | _: graft.dsl.MeanBetween |
+             _: graft.dsl.StddevBetween | _: graft.dsl.QuantileBetween |
+             _: graft.dsl.DistinctCountBetween => true
+        case _ => false
+      },
+      "check has aggregate-level constraints: withStatsState=false would drop their verdicts")
+    // fires even when every slice under the NEW count looks done (a
+    // resume at partitions=4 of an 8-slice staging must not "complete")
+    requireStagedPartitions()
     val todo = (0 until partitions).filterNot(isDone).take(maxPartitionsThisRun)
     val staged = if (todo.nonEmpty) stage(df, check) else null
     todo.foreach { p =>

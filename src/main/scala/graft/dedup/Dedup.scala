@@ -28,7 +28,10 @@ object Dedup {
     val key = if (normalize) TextAnalysis.fingerprint(col(textCol))
       else md5(col(textCol))
     val w = Window.partitionBy(col("__digest"))
-    df.select(col(idCol), key.as("__digest"))
+    // null text has no content to compare — md5(null)=null would group
+    // every contentless row into one fake "duplicate" cluster
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), key.as("__digest"))
       .withColumn("kept_id", min(col(idCol)).over(w))
       .where(col(idCol) =!= col("kept_id"))
       .select(col("kept_id"), col(idCol).as("dup_id"), col("__digest").as("digest"))
@@ -79,6 +82,13 @@ object Dedup {
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
       bands: Int, estJaccardMin: Double = 0.5): DataFrame = {
     signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a non-divisor bands silently misaligns the slice offsets (fractional
+    // starts truncate) and leaves tail positions uncovered by any band —
+    // the recall guarantee degrades with no error. 1-row probe, persisted.
+    signatures.select(size(col("signature"))).head(1).foreach { r =>
+      require(r.getInt(0) % bands == 0,
+        s"bands=$bands must divide the signature length ${r.getInt(0)}")
+    }
     val banded = signatures.select(col(idCol).as("a_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -217,9 +227,12 @@ object Dedup {
 
   /** Exact n-gram Jaccard over candidate generation by inverted index:
     * docs sharing ≥1 shingle are candidates; Jaccard from intersection
-    * counts vs distinct-shingle sizes. Exact but quadratic within hot
-    * shingles — cap fan-out with `maxDocsPerShingle` (drop
-    * stop-shingles, standard practice).
+    * counts vs distinct-shingle sizes. Exact over the stop-shingle-
+    * filtered universe: shingles hotter than `maxDocsPerShingle` are
+    * dropped from BOTH the intersection and the size terms (standard
+    * stop-word practice) — sizing on the unfiltered sets while
+    * intersecting on the filtered ones would bias jaccard DOWNWARD and
+    * silently drop truly-above-threshold pairs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.7,
@@ -227,10 +240,10 @@ object Dedup {
     val sh = df.select(col(idCol),
       explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK)))
         .as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val filtered = sh.withColumn("docs_with",
         count(lit(1)).over(Window.partitionBy(col("sh"))))
       .where(col("docs_with") <= maxDocsPerShingle)
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = filtered.select(col(idCol).as("a_id"), col("sh"))
     val r = filtered.select(col(idCol).as("b_id"), col("sh"))
     l.join(r, Seq("sh")).where(col("a_id") < col("b_id"))

@@ -31,6 +31,18 @@ class SimilaritySpec extends GraftSuite {
     assert(got(3).isNullAt(0))
   }
 
+  test("cosine: length mismatch or a null element → null, matching the HOF form") {
+    val df = Seq(
+      (Seq(Option(1.0f), Option(0.0f)), Seq(Option(1.0f))), // shorter
+      (Seq(Option(1.0f), None), Seq(Option(1.0f), Option(1.0f))), // null slot
+      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(1.0f), Option(2.0f))))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(got(0).isNullAt(0), "prefix-truncated score must not rank")
+    assert(got(1).isNullAt(0), "null element read as 0.0 must not rank")
+    assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
   /** Deterministic clustered vectors: 8 clusters x 30 points in 16 dims. */
   private def clustered = {
     val rows = for (c <- 0 until 8; i <- 0 until 30) yield {

@@ -152,4 +152,22 @@ class CheckpointSpec extends GraftSuite {
     assert(v12.map(r => (r.getString(0), r.getBoolean(1))) ==
       full.map(r => (r.getString(0), r.getBoolean(1))))
   }
+
+  test("resume with a different partition count is refused, not silently partial") {
+    val dir = Files.createTempDirectory("graft_cp_parts").toString
+    val r1 = new ResumableValidation(spark, dir, partitions = 8)
+    assert(r1.run(transcripts, check, ctx, maxPartitionsThisRun = 3).isEmpty)
+    val r2 = new ResumableValidation(spark, dir, partitions = 4)
+    val ex = intercept[IllegalArgumentException] { r2.run(transcripts, check, ctx) }
+    assert(ex.getMessage.contains("partitions=8"))
+  }
+
+  test("withStatsState=false refuses a check whose aggregate verdicts would vanish") {
+    val dir = Files.createTempDirectory("graft_cp_nostate").toString
+    val r = new ResumableValidation(spark, dir, partitions = 2)
+    val ex = intercept[IllegalArgumentException] {
+      r.run(transcripts, check, ctx, withStatsState = false)
+    }
+    assert(ex.getMessage.contains("aggregate-level"))
+  }
 }

@@ -69,6 +69,37 @@ class DedupSpec extends GraftSuite {
     assert(j.length == 1 && math.abs(j(0) - 0.5) < 1e-12)
   }
 
+  test("null text rows are never reported as duplicates of each other") {
+    val withNulls = Seq((1L, Some(base)), (2L, Some(base)),
+      (10L, None), (11L, None), (12L, None)).toDF("doc_id", "text")
+    val pairs = Dedup.exactDuplicates(withNulls, "doc_id", "text")
+      .select("kept_id", "dup_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
+  test("non-divisor bands is rejected, not silently misaligned") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 64)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashLshCandidates(sigs, "doc_id", bands = 10).count()
+    }
+    assert(ex.getMessage.contains("divide"))
+  }
+
+  test("hot-shingle cap filters sizes AND intersections consistently") {
+    // 'common' is in every doc (hot); docs 1/2 share their remaining
+    // 4 shingles exactly => jaccard 1.0 over the filtered universe
+    val hot = Seq(
+      (1L, "common alpha beta gamma delta"),
+      (2L, "common alpha beta gamma delta"),
+      (3L, "common zeta eta theta iota"),
+      (4L, "common kappa lambda mu nu")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(hot, "doc_id", "text", shingleK = 1,
+      threshold = 0.9, maxDocsPerShingle = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"sizes must use the same filtered shingles as the intersection: ${got.toSeq}")
+  }
+
   test("scales: dedup families run on the documents testdata") {
     val d = spark.read.parquet(s"$sfTiny/documents.parquet")
     assert(Dedup.exactDuplicates(d, "doc_id", "text").count() >= 0)
