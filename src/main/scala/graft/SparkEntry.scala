@@ -689,8 +689,11 @@ object SparkEntry {
     "q55_iforest_outliers" -> ((s, dir) => {
       val f = Tables.events(s, dir).where(col("value").isNotNull)
         .withColumn("hod", hour(col("ts")).cast("double"))
+      // event_id salts the reservoir hash: duplicate (value, hod) tuples
+      // then sample per-ROW uniformly instead of all-or-nothing
       graft.ml.IsolationForest.fitScore(f, Seq("value", "hod"),
-        nTrees = 100, sampleSize = 256, contamination = 0.1, seed = 42L)
+        nTrees = 100, sampleSize = 256, contamination = 0.1, seed = 42L,
+        sampleSaltCols = Seq("event_id"))
         .where(col("iforest_anomaly"))
         .select(col("event_id"), round(col("iforest_score"), 6).as("score"),
           col("iforest_anomaly_label").as("label"))

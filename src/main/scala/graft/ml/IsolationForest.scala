@@ -81,7 +81,8 @@ object IsolationForest {
     */
   def fit(data: Array[Array[Double]], nTrees: Int = 100,
       sampleSize: Int = 256, seed: Long = 42L): Forest = {
-    require(data.nonEmpty, "empty training sample")
+    // psi = 1 makes avgPathLength(sampleSize) = 0 and every score NaN
+    require(data.length >= 2, s"need >= 2 training rows, got ${data.length}")
     val d = data(0).length
     val rng = new XorShift(seed)
     val psi = math.min(sampleSize, data.length)
@@ -145,11 +146,17 @@ object IsolationForest {
     * across runs and partitionings (SURVEY §7 resumability: a resumed run
     * refits the identical forest).
     */
-  def deterministicSample(df: DataFrame, cols: Seq[String], k: Int)
-      : Array[Array[Double]] =
+  /** `saltCols`: a row-unique key to fold into the reservoir hash.
+    * Without it duplicate feature tuples share ONE hash and enter the
+    * sample all-or-nothing — a heavily duplicated tuple (a sentinel
+    * value) can flood the whole sample. With a unique salt the reservoir
+    * is uniform over ROWS, still fully deterministic.
+    */
+  def deterministicSample(df: DataFrame, cols: Seq[String], k: Int,
+      saltCols: Seq[String] = Nil): Array[Array[Double]] =
     df.na.drop(cols)
       .select(cols.map(c => col(c).cast("double")) :+
-        xxhash64(cols.map(col): _*).as("__h"): _*)
+        xxhash64((cols ++ saltCols).map(col): _*).as("__h"): _*)
       .orderBy(col("__h"))
       .limit(k)
       .drop("__h")
@@ -176,12 +183,13 @@ object IsolationForest {
   def fitScore(df: DataFrame, cols: Seq[String], nTrees: Int = 100,
       sampleSize: Int = 256, contamination: Double = 0.1, seed: Long = 42L,
       trainRows: Int = 8192, scoreCol: String = "iforest_score",
-      flagCol: String = "iforest_anomaly"): DataFrame = {
-    val data = deterministicSample(df, cols, trainRows)
+      flagCol: String = "iforest_anomaly",
+      sampleSaltCols: Seq[String] = Nil): DataFrame = {
+    val data = deterministicSample(df, cols, trainRows, sampleSaltCols)
     val forest = fit(data, nTrees, sampleSize, seed)
     val scored = scoreWith(df, cols, forest, scoreCol)
-    val thr = scored.na.drop(cols).agg(expr(
-      s"percentile_approx($scoreCol, ${1 - contamination}, 10000)").as("t"))
+    val thr = scored.na.drop(cols).agg(
+      percentile_approx(col(scoreCol), lit(1 - contamination), lit(10000)).as("t"))
       .collect()(0).getAs[Double]("t")
     scored
       .withColumn(flagCol, coalesce(col(scoreCol) > thr, lit(false)))

@@ -48,20 +48,10 @@ object Mahalanobis {
     */
   def fit(df: DataFrame, cols: Seq[String]): Model = {
     val d = cols.size
-    require(d >= 1, "need at least one feature column")
-    val sums = cols.map(c => sum(col(c)).as(s"__s_$c"))
-    val crosses = for { i <- 0 until d; j <- i until d } yield
-      sum(col(cols(i)) * col(cols(j))).as(s"__x_${i}_$j")
-    val aggs = (count(lit(1)).as("__n") +: sums) ++ crosses
-    val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("__n").toDouble
+    // shared cast-safe moment pass (Moments.fused) — integer feature
+    // columns fit instead of ClassCastException-ing on LongType sums
+    val (n, mean, cov) = Moments.fused(df, cols)
     require(n > d, s"need > $d complete rows to fit, got ${n.toLong}")
-    val mean = cols.map(c => row.getAs[Double](s"__s_$c") / n).toArray
-    val cov = Array.ofDim[Double](d, d)
-    for { i <- 0 until d; j <- i until d } {
-      val m = row.getAs[Double](s"__x_${i}_$j") / n - mean(i) * mean(j)
-      cov(i)(j) = m; cov(j)(i) = m
-    }
     Model(cols, mean, invert(cov))
   }
 

@@ -30,11 +30,15 @@ object Neighborhood {
       featureCols: Seq[String]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val allSet = featureCols.map(c => col(c).isNotNull).reduce(_ && _)
+    // guard the CAST value, not the raw column: a non-null value whose
+    // double cast is null ("n/a" in a string column) would otherwise slip
+    // a null into the array and crash deserialization; a NaN would poison
+    // every distance comparison in the group's kernel
+    val xs = featureCols.map(c => col(c).cast("double"))
+    val allSet = xs.map(x => x.isNotNull && !isnan(x)).reduce(_ && _)
     df.select(col(keyCol).cast("string").as("key"),
         col(ordCol).cast("int").as("ord"),
-        when(allSet, array(featureCols.map(c => col(c).cast("double")): _*))
-          .as("x"))
+        when(allSet, array(xs: _*)).as("x"))
       .as[(String, Int, Option[Seq[Double]])]
   }
 

@@ -70,6 +70,7 @@ object OneClassSvm {
   def fit(data: Array[Array[Double]], nu: Double = 0.1, nFeatures: Int = 64,
       gamma: Double = -1.0, epochs: Int = 30, seed: Long = 42L): Model = {
     require(data.nonEmpty && nu > 0 && nu <= 1)
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs (0 would average over nothing -> NaN weights)")
     val n = data.length
     val d = data(0).length
     val rng = new XorShift(seed)

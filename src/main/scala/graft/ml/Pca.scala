@@ -44,26 +44,11 @@ object Pca {
 
   /** Fused moment pass → MLE mean/covariance (ddof = 0, like a fitted
     * Gaussian and like sklearn's PCA uses n in the denominator only up to
-    * the λ scale — ratios are denominator-free).
+    * the λ scale — ratios are denominator-free). Shared with Mahalanobis
+    * ([[Moments.fused]] — casts to double, so integer feature columns fit).
     */
   private def moments(df: DataFrame, cols: Seq[String])
-      : (Double, Array[Double], Array[Array[Double]]) = {
-    val d = cols.size
-    val sums = cols.map(c => sum(col(c)).as(s"__s_$c"))
-    val crosses = for { i <- 0 until d; j <- i until d } yield
-      sum(col(cols(i)) * col(cols(j))).as(s"__x_${i}_$j")
-    val aggs = (count(lit(1)).as("__n") +: sums) ++ crosses
-    val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("__n").toDouble
-    require(n > 1, s"need > 1 complete rows, got ${n.toLong}")
-    val mean = cols.map(c => row.getAs[Double](s"__s_$c") / n).toArray
-    val cov = Array.ofDim[Double](d, d)
-    for { i <- 0 until d; j <- i until d } {
-      val m = row.getAs[Double](s"__x_${i}_$j") / n - mean(i) * mean(j)
-      cov(i)(j) = m; cov(j)(i) = m
-    }
-    (n, mean, cov)
-  }
+      : (Double, Array[Double], Array[Array[Double]]) = Moments.fused(df, cols)
 
   def fit(df: DataFrame, cols: Seq[String], nComponents: Int = 2): Model = {
     val d = cols.size

@@ -70,7 +70,8 @@ object Reports {
           "suspect a systemic upstream change (schema drift, producer bug) " +
           "rather than isolated bad conversations.")
       else None,
-      byConstraint.find(c => c.constraint.startsWith("referential") &&
+      // Validator emits "ref(col->dim)" (Constraints.ReferentialIntegrity.name)
+      byConstraint.find(c => c.constraint.startsWith("ref(") &&
           c.violations > 0).map(c =>
         s"${c.constraint}: ${c.violations} rows reference unknown dimension " +
           "values — refresh the role/tool dimension tables or quarantine the " +
@@ -112,7 +113,7 @@ object Reports {
       sb ++= "| partition | constraint | rows | violations | rate |\n"
       sb ++= "|---|---|---|---|---|\n"
       r.worstPartitions.foreach { p =>
-        sb ++= s"| ${p.partitionKey} | ${p.constraint} | ${p.rows} " +
+        sb ++= s"| ${mdCell(p.partitionKey)} | ${mdCell(p.constraint)} | ${p.rows} " +
           s"| ${p.violations} | ${fmtRate(p.violationRate)} |\n"
       }
     }
@@ -123,6 +124,12 @@ object Reports {
 
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** A partition key / constraint name from arbitrary data must not break
+    * the markdown table: escape pipes, flatten newlines.
+    */
+  private def mdCell(s: String): String =
+    s.replace("|", "\\|").replace("\n", " ").replace("\r", " ")
 
   /** S9 figure sink, dependency-free: a horizontal bar chart as inline SVG
     * (the engine-side analog of the reference's matplotlib PNGs,

@@ -58,7 +58,9 @@ object TranscriptGen {
       burstRate: Int = 20): DataFrame = {
     val convs = spark.range(nConvs).select(
       col("id").as("conv_idx"),
-      turnCount(col("id"), baseTurns, megaFactor).as("n_turns"))
+      // floor at 1: n_turns = 0 would make sequence(0, -1) emit a bogus
+      // descending [0, -1] pair (turn_idx = -1) instead of zero rows
+      greatest(lit(1), turnCount(col("id"), baseTurns, megaFactor)).as("n_turns"))
 
     val turns = convs.select(
       col("conv_idx"),

@@ -383,4 +383,37 @@ class MlSpec extends GraftSuite {
     }
     assert(os.contains(PinnedScoring.ocsvm.rho.toString))
   }
+
+  test("degenerate-input guards: int features fit, tiny/zero-epoch inputs fail fast") {
+    import spark.implicits._
+    // integer feature columns: the cast-safe moment pass must fit
+    val ints = (0 until 50).map(i => (i % 10, (i * 7) % 13)).toDF("a", "b")
+    val m = Mahalanobis.fit(ints, Seq("a", "b"))
+    assert(m.mean.forall(v => !v.isNaN))
+    val p = Pca.fit(ints, Seq("a", "b"), 2)
+    assert(p.explainedVarRatio.forall(v => !v.isNaN))
+    // 1-row iforest fit would NaN every score
+    intercept[IllegalArgumentException] {
+      IsolationForest.fit(Array(Array(1.0, 2.0)))
+    }
+    // 0-epoch ocsvm would divide by nAvg = 0
+    intercept[IllegalArgumentException] {
+      OneClassSvm.fit(Array(Array(1.0), Array(2.0)), epochs = 0)
+    }
+  }
+
+  test("iforest sample salt: duplicate tuples no longer flood the reservoir") {
+    import spark.implicits._
+    // 5000 copies of one tuple + 100 distinct rows; trainRows = 64
+    val df = ((0 until 5000).map(i => (i.toLong, 0.0, 12.0)) ++
+      (0 until 100).map(i => (10000L + i, i.toDouble, (i % 24).toDouble)))
+      .toDF("id", "value", "hod")
+    val salted = IsolationForest.deterministicSample(
+      df, Seq("value", "hod"), 64, saltCols = Seq("id"))
+    // per-row uniform: the duplicate tuple is ~98% of rows, so it should
+    // dominate the sample but NOT exclude distinct rows entirely, and the
+    // unsalted all-or-nothing pathology (0 or 64 copies) must not occur
+    val dupCount = salted.count(v => v(0) == 0.0 && v(1) == 12.0)
+    assert(dupCount > 32 && dupCount < 64, s"dup rows in sample: $dupCount")
+  }
 }
