@@ -843,6 +843,48 @@ object SparkEntry {
       r.verdicts.select(col("partition_key"), col("constraint"), col("pass"),
         col("rows"), col("violations"),
         round(col("violation_rate"), 9).as("violation_rate"))
+    }),
+
+    // Gap-based sessionization: a "conversation" spans days of sporadic
+    // activity; per-session bounds/counts at a 30-min inactivity gap. ONE
+    // keyed window + one keyed agg — the turn_idx shuffle class.
+    "q66_sessions" -> ((s, dir) => {
+      graft.series.Sessions.sessionize(
+        Tables.transcripts(s, dir), "conv_id", "ts", "turn_idx", 1800L)
+    }),
+
+    // As-of (point-in-time) join: every turn picks up the policy version
+    // live at its ts — snapshots are every-3rd-day (role, day) entries, so
+    // most turns resolve BACKWARD to an earlier day (non-trivial asof).
+    // Spark lacks ASOF JOIN: built from interval-bucketed broadcast
+    // equi-join (fact side never shuffles). Oracle uses DuckDB's native
+    // ASOF LEFT JOIN — an independent implementation of the semantics.
+    "q67_asof_versions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "ts")
+      val dim = t.select(col("role"),
+          date_trunc("day", col("ts")).as("valid_from")).distinct()
+        .where(pmod(datediff(to_date(col("valid_from")),
+          lit("2000-01-01").cast("date")), lit(3)) === 0)
+        .withColumn("version", row_number().over(
+          Window.partitionBy(col("role")).orderBy(col("valid_from"))))
+      graft.join.AsOf.joinAsOf(t, dim, Seq("role"), "ts", "valid_from",
+        "day", Seq("version"))
+        .select("conv_id", "turn_idx", "role", "version")
+    }),
+
+    // Deterministic stratified sampling: per-role keep rates via a salted
+    // md5 threshold — a pure codegen'd filter (no shuffle, no RNG state),
+    // byte-identical across reruns/resumes AND across engines (the oracle
+    // recomputes the exact same sample in DuckDB).
+    "q68_stratified_sample" -> ((s, dir) => {
+      graft.sample.Sampling.stratified(
+        Tables.transcripts(s, dir).select("conv_id", "turn_idx", "role"),
+        "role", "conv_id",
+        Map("user" -> 0.5, "assistant" -> 0.25, "tool" -> 0.1,
+          "invalid_role" -> 0.0),
+        defaultRate = 1.0, salt = "graft")
     })
   )
 
@@ -1178,11 +1220,13 @@ object SparkEntry {
         |  round(punct_ratio, 6) AS punct_ratio,
         |  round(digit_ratio, 6) AS digit_ratio,
         |  round(stopword_ratio, 6) AS stopword_ratio,
-        |  round(greatest(0.0, least(1.0,
+        |  -- floor(x*1e6+0.5)/1e6 = deterministic half-up (scores land exactly
+        |  -- on round() half-boundaries, where engine round() semantics diverge)
+        |  floor(greatest(0.0, least(1.0,
         |    least(n_tokens / 64.0, 1.0) * 0.3 +
         |    coalesce(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0), 0.0) * 0.3 +
         |    least(stopword_ratio * 5.0, 1.0) * 0.2 +
-        |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)), 6) AS quality_score
+        |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)) * 1e6 + 0.5) / 1e6 AS quality_score
         |FROM g""".stripMargin,
 
     "q35_ngram_jaccard" ->
@@ -1818,6 +1862,57 @@ object SparkEntry {
          |  (SELECT count(*) FROM hot) = 0,
          |  (SELECT n FROM tot), (SELECT count(*) FROM hot),
          |  round((SELECT count(*) FROM hot) /
-         |        greatest(1.0, (SELECT n::DOUBLE FROM tot)), 9)""".stripMargin
+         |        greatest(1.0, (SELECT n::DOUBLE FROM tot)), 9)""".stripMargin,
+
+    // gap sessionization twin: same lag/flag/running-sum chain; whole-
+    // second diffs (date_diff('second') == the unix_timestamp difference)
+    "q66_sessions" ->
+      s"""WITH $T,
+         |lagged AS (
+         |  SELECT conv_id, turn_idx, ts,
+         |    lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+         |  FROM transcripts),
+         |flags AS (
+         |  SELECT conv_id, turn_idx, ts,
+         |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged),
+         |sess AS (
+         |  SELECT conv_id, ts,
+         |    CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+         |  FROM flags)
+         |SELECT conv_id, session_idx, count(*) AS n_turns,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  date_diff('second', min(ts), max(ts)) AS span_seconds
+         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // as-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of backward-inclusive point-in-time semantics against
+    // which the interval-bucketed Spark composition is hash-checked
+    "q67_asof_versions" ->
+      s"""WITH $T,
+         |days AS (SELECT DISTINCT role, date_trunc('day', ts) AS valid_from
+         |  FROM transcripts),
+         |snaps AS (
+         |  SELECT role, valid_from,
+         |    CAST(row_number() OVER (PARTITION BY role ORDER BY valid_from) AS INT) AS version
+         |  FROM days
+         |  WHERE date_diff('day', DATE '2000-01-01', CAST(valid_from AS DATE)) % 3 = 0)
+         |SELECT t.conv_id, t.turn_idx, t.role, s.version
+         |FROM transcripts t ASOF LEFT JOIN snaps s
+         |  ON t.role = s.role AND t.ts >= s.valid_from""".stripMargin,
+
+    // stratified-sample twin: the EXACT same md5 thresholds (interpolated
+    // from the one Scala constant), so the selected row set hash-matches
+    "q68_stratified_sample" ->
+      s"""WITH $T
+         |SELECT conv_id, turn_idx, role FROM transcripts
+         |WHERE CASE role
+         |  WHEN 'user' THEN substr(md5('graft|' || conv_id), 1, 12) < '${graft.sample.Sampling.hexThreshold(0.5)}'
+         |  WHEN 'assistant' THEN substr(md5('graft|' || conv_id), 1, 12) < '${graft.sample.Sampling.hexThreshold(0.25)}'
+         |  WHEN 'tool' THEN substr(md5('graft|' || conv_id), 1, 12) < '${graft.sample.Sampling.hexThreshold(0.1)}'
+         |  WHEN 'invalid_role' THEN FALSE
+         |  ELSE TRUE END""".stripMargin
   )
 }

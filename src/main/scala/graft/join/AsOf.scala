@@ -1,0 +1,143 @@
+package graft.join
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: align each fact row to the LATEST dimension
+  * snapshot at or before the fact's timestamp, per key — the canonical way
+  * a transcript turn picks up the model/config/policy version that was live
+  * when the turn happened. The reference has no temporal dims (its tables
+  * are daily snapshots joined by date string, src/hive_data_loader.py), but
+  * any production validation run over 10^12 turns must resolve slowly-
+  * changing dimensions; Spark has no ASOF JOIN operator, so this composes
+  * one from built-ins (SURVEY §7.3 preference (a)).
+  *
+  * Two physical strategies, chosen by dim size:
+  *
+  *  - [[joinAsOf]] (snapshot dims — the overwhelmingly common case): turn
+  *    each dim row into its validity interval [ts, next ts) via one lead()
+  *    window over the (small) dim, explode intervals to fixed-granularity
+  *    buckets, then BROADCAST equi-join the fact on (key, bucket(fact.ts))
+  *    plus a residual range filter. The fact side is never shuffled and the
+  *    range predicate never degenerates into a BroadcastNestedLoopJoin —
+  *    the bucket key keeps it a hash join. Bucket explosion is bounded by
+  *    (time span / granularity), paid on the dim side only.
+  *
+  *  - [[joinAsOfShuffle]] (dims too large to broadcast): the union-sentinel
+  *    carry-forward — tag dim rows, union with facts, one window over
+  *    (key, ts) carrying the last dim values forward. One shuffle of
+  *    fact+dim by key; correct for any dim size, but subject to key skew
+  *    (a mega-key's rows land in one partition), so prefer the bucketed
+  *    form whenever the dim broadcasts.
+  *
+  * Ties (fact.ts == dim.ts) match the snapshot at that exact ts, matching
+  * DuckDB/pandas `merge_asof` backward semantics.
+  */
+object AsOf {
+
+  /** Broadcast interval-bucket as-of join (left semantics: fact rows before
+    * the first snapshot keep null dim columns).
+    *
+    * @param fact        fact table
+    * @param dim         snapshot table, one row per (key, version ts); must
+    *                    be broadcast-small (exploded by ~span/granularity)
+    * @param keys        equi-join key columns present on both sides
+    * @param factTs      fact timestamp column
+    * @param dimTs       dim snapshot-effective timestamp column
+    * @param granularity bucket width as a SQL interval unit: "day"/"hour"
+    * @param dimCols     dim payload columns to carry onto the fact
+    * @param clampTs     upper bound for the OPEN last interval's bucket
+    *                    explosion. None computes max(fact.ts) — one extra
+    *                    aggregate-only scan of the fact; at 100 TB pass the
+    *                    known horizon (e.g. the partition/day being
+    *                    validated) to skip that scan. Must be >= every
+    *                    fact ts, or later facts lose their last-snapshot
+    *                    match.
+    */
+  def joinAsOf(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      factTs: String, dimTs: String, granularity: String,
+      dimCols: Seq[String], clampTs: Option[java.sql.Timestamp] = None)
+      : DataFrame = {
+    require(Seq("day", "hour", "week").contains(granularity),
+      s"unsupported granularity $granularity")
+    val keyCols = keys.map(col)
+
+    // validity interval per snapshot: [dimTs, next dimTs) within the key
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(dimTs))
+    val withEnd = dim.select((keys :+ dimTs) ++ dimCols map col: _*)
+      .withColumn("__valid_to", lead(col(dimTs), 1).over(w))
+
+    // the open last interval is clamped (caller horizon, or the fact's max
+    // ts via one aggregate-only pass) so its bucket explosion is bounded
+    val clamp: Option[Any] = clampTs.orElse {
+      val r = fact.agg(max(col(factTs))).first()
+      if (r.isNullAt(0)) None else Some(r.get(0))
+    }
+    if (clamp.isEmpty) {
+      // empty fact: left join over nothing, same output schema
+      return fact.select(fact.columns.map(col) ++
+        dimCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+        .limit(0)
+    }
+    val maxTs = lit(clamp.get)
+
+    // explode each interval to the buckets it covers; a fact row in bucket b
+    // can only match the (unique) interval containing its ts, and that
+    // interval covers b — so bucket equality + range filter is exact
+    val bucketed = withEnd
+      .withColumn("__b0", date_trunc(granularity, col(dimTs)))
+      .withColumn("__b1",
+        date_trunc(granularity, coalesce(col("__valid_to"), maxTs)))
+      // an OPEN interval starting after the last fact has __b1 < __b0
+      // (its end clamps to maxTs) — unmatched by construction, drop it
+      // before sequence() would reject the descending range
+      .where(col("__b0") <= col("__b1"))
+      .withColumn("__bucket",
+        explode(sequence(col("__b0"), col("__b1"),
+          expr(s"interval 1 $granularity"))))
+      .drop("__b0", "__b1")
+
+    val factB = fact.withColumn("__bucket", date_trunc(granularity, col(factTs)))
+    val cond = keys.map(k => factB(k) === bucketed(k))
+      .reduce(_ && _) && factB("__bucket") === bucketed("__bucket") &&
+      factB(factTs) >= bucketed(dimTs) &&
+      (bucketed("__valid_to").isNull || factB(factTs) < bucketed("__valid_to"))
+
+    factB.join(broadcast(bucketed), cond, "left")
+      .select(fact.columns.map(factB(_)) ++ dimCols.map(bucketed(_)): _*)
+  }
+
+  /** Shuffled union-sentinel as-of join for non-broadcastable dims: one
+    * window pass carries the latest snapshot values forward onto fact rows.
+    * Dim payload travels as a struct so one last(ignoreNulls) carries all
+    * columns atomically (no torn version/value pairs).
+    */
+  def joinAsOfShuffle(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      factTs: String, dimTs: String, dimCols: Seq[String]): DataFrame = {
+    val factCols = fact.columns.toSeq
+    val payload = struct(dimCols.map(col): _*)
+    val dimSide = dim.select(
+      keys.map(col) ++ Seq(col(dimTs).as("__ts"), lit(0).as("__src"),
+        payload.as("__payload")): _*)
+    val factSide = fact.select(
+      keys.map(col) ++ Seq(col(factTs).as("__ts"), lit(1).as("__src"),
+        lit(null).cast(dimSide.schema("__payload").dataType).as("__payload"),
+        struct(factCols.map(col): _*).as("__fact")): _*)
+    val dimAligned = dimSide.withColumn("__fact",
+      lit(null).cast(factSide.schema("__fact").dataType))
+      .select(factSide.columns.map(col): _*)
+
+    // dim rows sort before fact rows at equal ts (__src 0 < 1), so a fact
+    // AT a snapshot ts sees that snapshot — backward/inclusive semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = factSide.unionByName(dimAligned)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__src") === 1)
+
+    carried.select(factCols.map(c => col(s"__fact.$c").as(c)) ++
+      dimCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+}

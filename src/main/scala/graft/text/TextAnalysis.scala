@@ -88,10 +88,15 @@ object TextAnalysis {
       least(abs(col("mean_token_len") - 5.0) / 5.0, lit(1.0))
     val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
     val noise = least(col("punct_ratio") * 3.0 + col("digit_ratio") * 2.0, lit(1.0))
-    f.withColumn("quality_score",
-      round(greatest(lit(0.0), least(lit(1.0),
-        lenScore * 0.3 + coalesce(wordScore, lit(0.0)) * 0.3 +
-          stopScore * 0.2 + (lit(1.0) - noise) * 0.2)), 6))
+    // deterministic half-up rounding at 6 decimals: floor(x*1e6 + 0.5)/1e6.
+    // The weight/ratio arithmetic lands scores EXACTLY on rounding half-
+    // boundaries (e.g. 0.5223125), where engines' round() disagree (Spark
+    // HALF_UP on the shortest decimal repr vs DuckDB/C nearbyint half-even);
+    // explicit floor arithmetic is identical on identical doubles.
+    val raw = greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.3 + coalesce(wordScore, lit(0.0)) * 0.3 +
+        stopScore * 0.2 + (lit(1.0) - noise) * 0.2))
+    f.withColumn("quality_score", floor(raw * 1e6 + 0.5) / 1e6)
   }
 
   /** Normalization for fingerprinting: lowercase, strip punctuation,

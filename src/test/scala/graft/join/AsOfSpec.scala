@@ -1,0 +1,90 @@
+package graft.join
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+class AsOfSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val dim = Seq(
+    ("a", ts("2024-01-01 00:00:00"), 1),
+    ("a", ts("2024-01-03 12:00:00"), 2),
+    ("a", ts("2024-01-10 00:00:00"), 3),
+    ("b", ts("2024-01-05 00:00:00"), 10))
+    .toDF("k", "valid_from", "version")
+
+  private val fact = Seq(
+    ("a", ts("2023-12-31 23:59:59"), "before-first"),
+    ("a", ts("2024-01-01 00:00:00"), "at-first"),
+    ("a", ts("2024-01-02 08:00:00"), "inside-1"),
+    ("a", ts("2024-01-03 12:00:00"), "at-second"),
+    ("a", ts("2024-01-09 23:59:59"), "end-of-2"),
+    ("a", ts("2024-01-15 00:00:00"), "open-last"),
+    ("b", ts("2024-01-04 00:00:00"), "b-before"),
+    ("b", ts("2024-02-01 00:00:00"), "b-open"),
+    ("c", ts("2024-01-06 00:00:00"), "no-dim-key"))
+    .toDF("k", "ts", "tag")
+
+  private val expected = Map(
+    "before-first" -> None, "at-first" -> Some(1), "inside-1" -> Some(1),
+    "at-second" -> Some(2), "end-of-2" -> Some(2), "open-last" -> Some(3),
+    "b-before" -> None, "b-open" -> Some(10), "no-dim-key" -> None)
+
+  private def toMap(df: org.apache.spark.sql.DataFrame): Map[String, Option[Int]] =
+    df.select("tag", "version").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+
+  test("bucketed broadcast as-of matches backward-inclusive semantics") {
+    val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    assert(got.count() == fact.count()) // left semantics, no fan-out
+    assert(toMap(got) == expected)
+  }
+
+  test("hour granularity agrees with day granularity") {
+    val d = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from", "day", Seq("version"))
+    val h = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from", "hour", Seq("version"))
+    assert(toMap(d) == toMap(h))
+  }
+
+  test("shuffled union-sentinel as-of agrees with the bucketed form") {
+    val got = AsOf.joinAsOfShuffle(fact, dim, Seq("k"), "ts", "valid_from",
+      Seq("version"))
+    assert(got.count() == fact.count())
+    assert(toMap(got) == expected)
+  }
+
+  test("empty fact yields empty result with the joined schema") {
+    val got = AsOf.joinAsOf(fact.limit(0), dim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("k", "ts", "tag", "version"))
+  }
+
+  test("dim snapshot after the last fact never matches and never errors") {
+    val lateDim = dim.union(Seq(("a", ts("2030-01-01 00:00:00"), 99))
+      .toDF("k", "valid_from", "version"))
+    val got = AsOf.joinAsOf(fact, lateDim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    assert(toMap(got) == expected)
+  }
+
+  test("caller-supplied clamp horizon matches the computed one") {
+    val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"), clampTs = Some(ts("2024-03-01 00:00:00")))
+    assert(toMap(got) == expected)
+  }
+
+  test("bucketed fact side is not shuffled (broadcast hash join)") {
+    val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
