@@ -75,10 +75,10 @@ object AsOf {
       if (r.isNullAt(0)) None else Some(r.get(0))
     }
     if (clamp.isEmpty) {
-      // empty fact: left join over nothing, same output schema
+      // no usable horizon = fact is empty or every factTs is null; left
+      // semantics keep all such rows (0 or n) with null dim columns
       return fact.select(fact.columns.map(col) ++
         dimCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
-        .limit(0)
     }
     val maxTs = lit(clamp.get)
 
@@ -87,11 +87,14 @@ object AsOf {
     // interval covers b — so bucket equality + range filter is exact
     val bucketed = withEnd
       .withColumn("__b0", date_trunc(granularity, col(dimTs)))
+      // clamp CLOSED intervals to the horizon too: a snapshot far in the
+      // future would otherwise explode its predecessor's interval into
+      // years of unmatched buckets (explosion stays <= span/granularity)
       .withColumn("__b1",
-        date_trunc(granularity, coalesce(col("__valid_to"), maxTs)))
-      // an OPEN interval starting after the last fact has __b1 < __b0
-      // (its end clamps to maxTs) — unmatched by construction, drop it
-      // before sequence() would reject the descending range
+        date_trunc(granularity, least(coalesce(col("__valid_to"), maxTs), maxTs)))
+      // any interval starting after the last fact has __b1 < __b0 (its
+      // end clamps to maxTs) — unmatched by construction, drop it before
+      // sequence() would reject the descending range
       .where(col("__b0") <= col("__b1"))
       .withColumn("__bucket",
         explode(sequence(col("__b0"), col("__b1"),
@@ -129,15 +132,14 @@ object AsOf {
       .select(factSide.columns.map(col): _*)
 
     // dim rows sort before fact rows at equal ts (__src 0 < 1), so a fact
-    // AT a snapshot ts sees that snapshot — backward/inclusive semantics
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__src"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = factSide.unionByName(dimAligned)
-      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+    // AT a snapshot ts sees that snapshot — backward/inclusive semantics;
+    // the carry-forward IS Windows.ffill over the union
+    val carried = graft.series.Windows.ffill(
+      factSide.unionByName(dimAligned), "__payload",
+      keys, Seq("__ts", "__src"))
       .where(col("__src") === 1)
 
     carried.select(factCols.map(c => col(s"__fact.$c").as(c)) ++
-      dimCols.map(c => col(s"__carried.$c").as(c)): _*)
+      dimCols.map(c => col(s"__payload_ffill.$c").as(c)): _*)
   }
 }

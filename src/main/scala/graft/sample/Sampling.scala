@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
   * because md5 is engine-independent, the exact sample is reproducible in
   * any other engine for audit (the DuckDB oracle twin recomputes it).
   *
-  * Keying on a row id samples rows; keying on conv_id samples whole
-  * conversations coherently (every turn of a kept conversation is kept) —
-  * the right unit for transcript training data.
+  * Keying on a row id samples rows; [[uniform]] keyed on conv_id samples
+  * whole conversations coherently (every turn of a kept conversation is
+  * kept) — the right unit for transcript training data. [[stratified]]
+  * with per-turn strata (e.g. role) is coherent per (stratum,
+  * conversation) block, NOT per conversation: a conversation whose hash
+  * passes one stratum's rate but not another's keeps only the passing
+  * roles' turns. For whole-conversation stratified sampling, stratify on
+  * a per-conversation attribute.
+  *
+  * Null keys are never sampled (kept = false): SQL's `md5(NULL || ...)`
+  * comparison is NULL→filtered, and Spark's `concat_ws` would instead
+  * silently collapse all null keys onto one hash — the explicit guard
+  * keeps the two engines (and the oracle twin) identical.
   */
 object Sampling {
 
@@ -26,7 +36,11 @@ object Sampling {
   private[graft] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
     val space = 1L << 48
-    val cut = math.min(space, math.round(rate * space))
+    // a rate < 1.0 that rounds up to the full space would format as 13
+    // chars and lexicographically UNDERSORT 12-char hashes; clamp to
+    // space-1 ("ffffffffffff") — off by 16^-12, far under such a rate's
+    // distance from 1.0 semantics anyone could observe
+    val cut = math.min(space - 1, math.round(rate * space))
     f"$cut%012x"
   }
 
@@ -35,10 +49,11 @@ object Sampling {
     * underlying 48-bit value, identically in any engine with md5.
     */
   def keep(key: Column, rate: Double, salt: String): Column =
-    if (rate >= 1.0) lit(true)
+    if (rate >= 1.0) key.isNotNull
     else if (rate <= 0.0) lit(false)
-    else substring(md5(concat_ws("|", lit(salt), key)), 1, 12) <
-      lit(hexThreshold(rate))
+    else key.isNotNull &&
+      substring(md5(concat_ws("|", lit(salt), key)), 1, 12) <
+        lit(hexThreshold(rate))
 
   /** Uniform deterministic sample at `rate`, keyed on `keyCol`. */
   def uniform(df: DataFrame, keyCol: String, rate: Double,

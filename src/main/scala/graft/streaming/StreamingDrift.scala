@@ -43,4 +43,25 @@ object StreamingDrift {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+
+  /** Streaming counterpart of [[graft.series.Sessions]]: data-driven
+    * session windows via the built-in `session_window` (state merges
+    * adjacent windows; the watermark closes sessions whose gap has
+    * provably expired, so state is O(open sessions), append-compatible).
+    *
+    * Boundary nuance vs the batch kernel: session_window's window is
+    * `[start, last_ts + gap)` with an EXCLUSIVE end, so an event at
+    * exactly `prev + gap` starts a NEW session here, while the batch
+    * `diff > gapSeconds` rule keeps it — batch-streaming parity holds for
+    * all gaps except exact-`gap` ties (document, don't paper over).
+    */
+  def sessionStream(stream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_turns"))
 }

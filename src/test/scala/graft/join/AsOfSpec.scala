@@ -75,6 +75,16 @@ class AsOfSpec extends GraftSuite {
     assert(toMap(got) == expected)
   }
 
+  test("all-null fact ts keeps every row with null dim columns (left)") {
+    val nullFact = fact.withColumn("ts", lit(null).cast("timestamp"))
+    val b = AsOf.joinAsOf(nullFact, dim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    assert(b.count() == fact.count() && b.where(col("version").isNotNull).count() == 0)
+    val s = AsOf.joinAsOfShuffle(nullFact, dim, Seq("k"), "ts", "valid_from",
+      Seq("version"))
+    assert(s.count() == fact.count() && s.where(col("version").isNotNull).count() == 0)
+  }
+
   test("caller-supplied clamp horizon matches the computed one") {
     val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
       "day", Seq("version"), clampTs = Some(ts("2024-03-01 00:00:00")))

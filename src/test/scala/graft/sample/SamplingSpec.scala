@@ -52,9 +52,24 @@ class SamplingSpec extends GraftSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("hex threshold is the exact 48-bit cut") {
+  test("hex threshold is the exact 48-bit cut, clamped to 12 chars") {
     assert(Sampling.hexThreshold(0.0) == "000000000000")
     assert(Sampling.hexThreshold(0.5) == "800000000000")
-    assert(Sampling.hexThreshold(1.0) == "1000000000000") // full space, 13 chars
+    // rates rounding up to the full space clamp to the max 12-char hex —
+    // a 13-char "1000000000000" would undersort every hash and keep ~1/16
+    assert(Sampling.hexThreshold(1.0) == "ffffffffffff")
+    assert(Sampling.hexThreshold(1.0 - 1e-16) == "ffffffffffff")
+  }
+
+  test("a rate just under 1.0 keeps (essentially) everything") {
+    assert(Sampling.uniform(ids, "key", 1.0 - 1e-16).count() == 20000)
+  }
+
+  test("null keys are never sampled, at any rate (matches SQL semantics)") {
+    val withNulls = ids.withColumn("key",
+      when(col("g") === "3", lit(null)).otherwise(col("key")))
+    assert(Sampling.uniform(withNulls, "key", 1.0).count() == 15000)
+    assert(Sampling.uniform(withNulls, "key", 0.5)
+      .where(col("key").isNull).count() == 0)
   }
 }
