@@ -116,7 +116,10 @@ object SparkEntry {
       val withMed = withScalars(e, med)
       val mad = withMed.agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
       withScalars(withMed, mad)
-        .withColumn("rz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        // mad = 0 (>=50% of values identical) ⇒ null rz, nothing flagged;
+        // the unguarded divide would ANSI-crash on such data
+        .withColumn("rz", when(col("mad") > 0,
+          lit(0.6745) * (col("value") - col("med")) / col("mad")))
         .where(abs(col("rz")) > 3.5)
         .select(col("event_id"), col("value"), round(col("rz"), 4).as("rz"))
     }),
@@ -159,7 +162,9 @@ object SparkEntry {
         .withColumn("n_win", count(col("value")).over(w))
         .withColumn("roll_mean", avg(col("value")).over(w))
         .withColumn("roll_std", stddev_samp(col("value")).over(w))
-        .withColumn("z", (col("value") - col("roll_mean")) / col("roll_std"))
+        // constant window (std = 0) ⇒ null z, not a violation (ANSI-safe)
+        .withColumn("z", when(col("roll_std") > 0,
+          (col("value") - col("roll_mean")) / col("roll_std")))
         .where(col("n_win") >= 24 && abs(col("z")) > 3)
         .select(col("conv_id"), col("turn_idx"), col("value"),
           round(col("z"), 4).as("z"))
@@ -250,7 +255,9 @@ object SparkEntry {
       val e = Tables.events(s, dir)
       val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
       withScalars(e, stats)
-        .withColumn("score", (col("value") - col("mn")) / (col("mx") - col("mn")))
+        // constant column (mx = mn) ⇒ null score → 'normal' (ANSI-safe)
+        .withColumn("score", when(col("mx") > col("mn"),
+          (col("value") - col("mn")) / (col("mx") - col("mn"))))
         .select(col("event_id"), round(col("score"), 6).as("score"),
           when(col("score") > 0.8, "high").when(col("score") > 0.6, "medium")
             .when(col("score") > 0.3, "low").otherwise("normal").as("level"))
@@ -282,9 +289,12 @@ object SparkEntry {
         .withColumn("f_iqr",
           (col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1"))) ||
             (col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1"))))
-        .withColumn("f_rz",
-          abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5)
-        .withColumn("f_gz", abs((col("value") - col("mu")) / col("sigma")) > 3.0)
+        // degenerate stats (mad/sigma = 0) ⇒ detector contributes no vote
+        .withColumn("f_rz", coalesce(when(col("mad") > 0,
+          abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5),
+          lit(false)))
+        .withColumn("f_gz", coalesce(when(col("sigma") > 0,
+          abs((col("value") - col("mu")) / col("sigma")) > 3.0), lit(false)))
       Drift.ensembleVote(flagged, Seq("f_iqr", "f_rz", "f_gz"), k = 2, "is_anomaly")
         .where(col("is_anomaly"))
         .select(col("event_id"),
@@ -961,9 +971,9 @@ object SparkEntry {
       """WITH m AS (SELECT median(value) AS med FROM events),
         |  d AS (SELECT median(abs(value - med)) AS mad FROM events, m)
         |SELECT event_id, value,
-        |  round(0.6745 * (value - med) / mad, 4) AS rz
+        |  round(CASE WHEN mad > 0 THEN 0.6745 * (value - med) / mad END, 4) AS rz
         |FROM events, m, d
-        |WHERE abs(0.6745 * (value - med) / mad) > 3.5""".stripMargin,
+        |WHERE abs(CASE WHEN mad > 0 THEN 0.6745 * (value - med) / mad END) > 3.5""".stripMargin,
 
     "q06_iqr_outliers" ->
       """WITH q AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events)
@@ -991,8 +1001,10 @@ object SparkEntry {
          |  FROM transcripts
          |  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
          |)
-         |SELECT conv_id, turn_idx, value, round((value - roll_mean) / roll_std, 4) AS z
-         |FROM w WHERE n_win >= 24 AND abs((value - roll_mean) / roll_std) > 3""".stripMargin,
+         |SELECT conv_id, turn_idx, value,
+         |  round(CASE WHEN roll_std > 0 THEN (value - roll_mean) / roll_std END, 4) AS z
+         |FROM w WHERE n_win >= 24
+         |  AND abs(CASE WHEN roll_std > 0 THEN (value - roll_mean) / roll_std END) > 3""".stripMargin,
 
     "q10_turn_rate_bucketing" ->
       s"""WITH $T
@@ -1073,7 +1085,8 @@ object SparkEntry {
 
     "q19_minmax_levels" ->
       """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
-        |n AS (SELECT event_id, (value - mn) / (mx - mn) AS score FROM events, s)
+        |n AS (SELECT event_id,
+        |  CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END AS score FROM events, s)
         |SELECT event_id, round(score, 6) AS score,
         |  CASE WHEN score > 0.8 THEN 'high' WHEN score > 0.6 THEN 'medium'
         |       WHEN score > 0.3 THEN 'low' ELSE 'normal' END AS level
@@ -1090,8 +1103,8 @@ object SparkEntry {
         |d AS (SELECT median(abs(value - med)) AS mad FROM events, s),
         |f AS (SELECT event_id,
         |    (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))::INT AS f_iqr,
-        |    (abs(0.6745 * (value - med) / mad) > 3.5)::INT AS f_rz,
-        |    (abs((value - mu) / sigma) > 3.0)::INT AS f_gz
+        |    coalesce(mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5, false)::INT AS f_rz,
+        |    coalesce(sigma > 0 AND abs((value - mu) / sigma) > 3.0, false)::INT AS f_gz
         |  FROM events, s, d)
         |SELECT event_id, CAST(f_iqr + f_rz + f_gz AS INT) AS votes FROM f
         |WHERE f_iqr + f_rz + f_gz >= 2""".stripMargin,
@@ -1223,7 +1236,7 @@ object SparkEntry {
         |  -- floor(x*1e6+0.5)/1e6 = deterministic half-up (scores land exactly
         |  -- on round() half-boundaries, where engine round() semantics diverge)
         |  floor(greatest(0.0, least(1.0,
-        |    least(n_tokens / 64.0, 1.0) * 0.3 +
+        |    least(coalesce(n_tokens, 0) / 64.0, 1.0) * 0.3 +
         |    coalesce(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0), 0.0) * 0.3 +
         |    least(stopword_ratio * 5.0, 1.0) * 0.2 +
         |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)) * 1e6 + 0.5) / 1e6 AS quality_score
@@ -1231,7 +1244,10 @@ object SparkEntry {
 
     "q35_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents WHERE doc_id < 60),
-         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk FROM d),
+         |-- nt <> '' mirrors shingleHashes' empty-normalized guard (k=1:
+         |-- split('') would yield a phantom '' token)
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk
+         |  FROM d WHERE nt <> ''),
          |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
          |  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -1795,7 +1811,8 @@ object SparkEntry {
     "q62_dup_components" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, $normSql AS nt FROM documents WHERE doc_id < 200),
-         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk FROM d),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tk
+         |  FROM d WHERE nt <> ''),
          |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
          |  FROM tok a JOIN tok b USING (tk) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -1874,7 +1891,8 @@ object SparkEntry {
          |  FROM transcripts),
          |flags AS (
          |  SELECT conv_id, turn_idx, ts,
-         |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+         |    -- epoch_us: microsecond-exact, mirroring Sessions.assign
+         |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM lagged),
          |sess AS (

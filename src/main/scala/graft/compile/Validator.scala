@@ -278,8 +278,10 @@ object Validator {
           pruned, columnName, window, check.keyCol, check.orderCol,
           withOrdPeers = fuseHere.nonEmpty)
         val n = col(s"${columnName}_n")
-        val z = (v - col(s"${columnName}_rolling_mean")) /
-          col(s"${columnName}_rolling_std")
+        // std = 0 (constant window) ⇒ null z, not flagged — and the divide
+        // never runs (ANSI DIVIDE_BY_ZERO applies to doubles in Spark 4)
+        val std = col(s"${columnName}_rolling_std")
+        val z = when(std > 0, (v - col(s"${columnName}_rolling_mean")) / std)
         // ONE explodeViolations pass emits BOTH the rolling flags and the
         // fused duplicate-key flags: two branches over `stats` would share
         // only the exchange (ReuseExchange) and re-run the 10^7-row

@@ -58,9 +58,13 @@ object Multimodal {
       * "frame" token.
       */
     def sampleFrames(media: Array[Byte], everyN: Int, frameBytes: Int)
-        : Seq[Array[Byte]] =
+        : Seq[Array[Byte]] = {
+      // fail at the driver with a message, not inside a task with i % 0
+      require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+      require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
       media.grouped(frameBytes).zipWithIndex
         .collect { case (b, i) if i % everyN == 0 => b }.toSeq
+    }
   }
 
   /** Feature extraction as a partition-batched kernel: processes rows in

@@ -29,9 +29,13 @@ object Sessions {
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
     val prev = lag(col(tsCol), 1).over(w)
+    // microsecond-exact gap (unix_timestamp would TRUNCATE each side to
+    // whole seconds, misjudging sub-second-resolution gaps near the
+    // threshold); ntz timestamps cast via the session tz (UTC everywhere
+    // in this engine) so the difference is tz-independent
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
     val isNew = when(prev.isNull, 1)
-      .otherwise((unix_timestamp(col(tsCol)) - unix_timestamp(prev) >
-        gapSeconds).cast("int"))
+      .otherwise((us(col(tsCol)) - us(prev) > gapSeconds * 1000000L).cast("int"))
     // running count of boundaries − 1 = 0-based session index; both windows
     // share one spec, so this is still a single shuffle + sort
     df.withColumn("session_idx",

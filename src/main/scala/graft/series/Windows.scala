@@ -38,13 +38,20 @@ object Windows {
         when(n >= mp, stddev_samp(v).over(w)))
   }
 
-  /** W2: rolling z-score + |z|>threshold flag (NaN ⇒ not flagged). */
+  /** W2: rolling z-score + |z|>threshold flag (null/NaN ⇒ not flagged).
+    * A constant full window has rolling_std = 0.0: its z is null (no
+    * variance ⇒ no anomaly, matching the streaming kernel), and the
+    * division never runs — Spark 4's default ANSI mode throws
+    * DIVIDE_BY_ZERO even for doubles, so an unguarded z would crash the
+    * whole job on the first flat window.
+    */
   def rollingZ(df: DataFrame, valueCol: String, window: Int, zThreshold: Double,
       partitionCols: Seq[String], orderCols: Seq[String],
       minPeriods: Option[Int] = None): DataFrame = {
     val withStats = rollingStats(df, valueCol, window, partitionCols, orderCols, minPeriods)
-    val z = (col(valueCol) - col(s"${valueCol}_rolling_mean")) /
-      col(s"${valueCol}_rolling_std")
+    val std = col(s"${valueCol}_rolling_std")
+    val z = when(std > 0,
+      (col(valueCol) - col(s"${valueCol}_rolling_mean")) / std)
     withStats
       .withColumn(s"${valueCol}_z", z)
       .withColumn(s"${valueCol}_z_anomaly",

@@ -53,7 +53,8 @@ object StreamingDrift {
     * `[start, last_ts + gap)` with an EXCLUSIVE end, so an event at
     * exactly `prev + gap` starts a NEW session here, while the batch
     * `diff > gapSeconds` rule keeps it — batch-streaming parity holds for
-    * all gaps except exact-`gap` ties (document, don't paper over).
+    * all gaps except exact-`gap` ties (the batch kernel compares at
+    * microsecond precision, so "tie" means equality at that resolution).
     */
   def sessionStream(stream: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -45,9 +45,20 @@ object StreamingValidator {
     * REQUIRED for finite test streams: with ProcessingTimeTimeout the
     * micro-batch engine schedules continuous empty batches to fire
     * timeouts, so `processAllAvailable()` on a MemoryStream never settles.
+    *
+    * Timeout-vs-batch parity caveat: expiry DROPS the trailing window, so
+    * a conversation that resumes after sitting idle past the timeout
+    * restarts with an empty window — its first (window-1) post-resume
+    * turns can never be flagged, where the batch kernel (seeing all rows)
+    * might flag them. That trade is deliberate (bounded state beats exact
+    * parity for conversations idle for hours); batch-exact parity holds
+    * only with timeouts disabled, which is how the spec gates it.
     */
   def rollingZViolations(turns: Dataset[Turn], column: String, window: Int,
       threshold: Double, idleTimeoutMs: Long = 3600 * 1000L): Dataset[Violation] = {
+    // the batch path fails fast at plan time (rowsBetween(1,0) invalid);
+    // match it — window <= 1 would reach empty.last inside the stream
+    require(window >= 2, s"rolling window must be >= 2, got $window")
     val spark = turns.sparkSession
     import spark.implicits._
     val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout

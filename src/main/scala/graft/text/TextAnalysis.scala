@@ -44,14 +44,28 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: argmax of marker-token hits, 'und'
     * (undetermined) when nothing matches. Ties break in fixed language
     * order (en, de, es, fr — deterministic).
+    *
+    * Single-pass shape: lambda subtrees are excluded from Catalyst's
+    * common-subexpression elimination, so the naive per-language
+    * `size(filter(tokens(...)))` form re-splits the text up to 8× per
+    * row. Here ONE aggregate walks the token array once accumulating all
+    * four counts, and the argmax runs over that array bound to a lambda
+    * variable (evaluated once) via a 1-element transform.
     */
   def langId(text: Column): Column = {
     val langs = Seq("en", "de", "es", "fr")
-    val hits = langs.map(l => l -> markerHits(text, l))
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und")) { case ((l, h), acc) =>
-      when(h > 0 && h === best, lit(l)).otherwise(acc)
-    }
+    val counts = aggregate(tokens(text),
+      array(langs.map(_ => lit(0)): _*),
+      (acc, t) => array(langs.zipWithIndex.map { case (l, i) =>
+        element_at(acc, i + 1) +
+          when(t.isin(stopwords(l): _*), 1).otherwise(0)
+      }: _*))
+    element_at(transform(array(counts), c => {
+      val best = array_max(c)
+      langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), acc) =>
+        when(best > 0 && element_at(c, i + 1) === best, lit(l)).otherwise(acc)
+      }
+    }), 1)
   }
 
   /** Quality features: lengths, punctuation/digit/stopword ratios, mean
@@ -59,9 +73,8 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
     val nChars = length(t)
-    val nTok = when(length(trim(t)) === 0, 0).otherwise(size(toks))
+    val nTok = tokenCount(t)
     df.withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_token_len",
@@ -83,7 +96,10 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val f = qualityFeatures(df, textCol)
-    val lenScore = least(col("n_tokens").cast("double") / 64.0, lit(1.0))
+    // coalesce BEFORE least: least() skips nulls, so a NULL text's null
+    // n_tokens would otherwise make lenScore 1.0 and gift contentless
+    // rows a 0.5 score; with 0 they score like empty strings (~0.2)
+    val lenScore = least(coalesce(col("n_tokens").cast("double"), lit(0.0)) / 64.0, lit(1.0))
     val wordScore = lit(1.0) -
       least(abs(col("mean_token_len") - 5.0) / 5.0, lit(1.0))
     val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
@@ -116,9 +132,14 @@ object TextAnalysis {
     * minhash/jaccard dedup.
     */
   def shingleHashes(text: Column, k: Int): Column = {
-    val toks = split(normalized(text), " ")
+    require(k >= 1, s"shingle k must be >= 1, got $k")
+    val s = normalized(text)
+    val toks = split(s, " ")
     val n = size(toks)
-    when(n >= k,
+    // the empty-normalized guard matters at k = 1: split("", " ") is [""]
+    // (size 1), which would otherwise hash a phantom "" shingle shared by
+    // every punctuation-only/empty doc — spurious duplicate clusters
+    when(length(s) > 0 && n >= k,
       transform(sequence(lit(0), n - k),
         i => xxhash64(concat_ws(" ",
           slice(toks, i + 1, lit(k))))))
@@ -129,6 +150,7 @@ object TextAnalysis {
     * are too coarse).
     */
   def charNgramHashes(text: Column, n: Int): Column = {
+    require(n >= 1, s"char n-gram n must be >= 1, got $n")
     val s = normalized(text)
     val len = length(s)
     when(len >= n,

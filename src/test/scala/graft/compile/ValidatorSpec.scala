@@ -162,6 +162,16 @@ class ValidatorSpec extends GraftSuite {
     assert(obs == Set(("ref(col1->d)", "p"), ("ref(col2->d)", "x")))
   }
 
+  test("RollingZDrift on a constant series: no flags, no ANSI divide crash") {
+    // a full window of identical values has rolling_std = 0.0; Spark 4's
+    // default ANSI mode throws DIVIDE_BY_ZERO on doubles, so the unguarded
+    // z would abort the whole suite on any flat conversation
+    val df = (0 until 20).map(i => ("flat", i, 7.0)).toDF("conv_id", "turn_idx", "v")
+    val r = Validator.validate(df, Check("t", Seq(
+      RollingZDrift("v", window = 5, threshold = 3.0))), dims)
+    assert(r.violations.count() == 0)
+  }
+
   test("fused UniqueKey emits duplicates ONCE with multiple RollingZDrift") {
     // regression (ADVICE r2): the fused duplicate-key check was appended
     // per RollingZDrift constraint, double-counting violations

@@ -30,6 +30,20 @@ class SessionsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("gaps compare at microsecond precision, not truncated seconds") {
+    // 10:00:00.000 -> 10:30:00.900: true gap 1800.9s > 1800 (new session);
+    // whole-second truncation would compute 1800 and merge them
+    val sub = Seq(
+      ("s", 0, Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("s", 1, Timestamp.valueOf("2024-01-01 10:30:00.9")),
+      ("s", 2, Timestamp.valueOf("2024-01-01 10:59:59.9"))) // 1799.0s gap: same session
+      .toDF("conv_id", "turn_idx", "ts")
+    val got = Sessions.assign(sub, "conv_id", "ts", "turn_idx", 1800L)
+      .select("turn_idx", "session_idx").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(0 -> 0, 1 -> 1, 2 -> 1))
+  }
+
   test("sessionize aggregates bounds, counts and span per session") {
     val got = Sessions.sessionize(turns, "conv_id", "ts", "turn_idx", 1800L)
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
