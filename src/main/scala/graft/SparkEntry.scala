@@ -884,6 +884,24 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "role", "version")
     }),
 
+    // The as-of SHUFFLE tier (non-broadcastable dims): same semantics as
+    // q67 through the union-sentinel carry-forward physical path — both
+    // tiers are driver-hash-checked against DuckDB's native ASOF JOIN.
+    "q69_asof_shuffled" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "ts")
+      val dim = t.select(col("role"),
+          date_trunc("day", col("ts")).as("valid_from")).distinct()
+        .where(pmod(datediff(to_date(col("valid_from")),
+          lit("2000-01-01").cast("date")), lit(3)) === 0)
+        .withColumn("version", row_number().over(
+          Window.partitionBy(col("role")).orderBy(col("valid_from"))))
+      graft.join.AsOf.joinAsOfShuffle(t, dim, Seq("role"), "ts", "valid_from",
+        Seq("version"))
+        .select("conv_id", "turn_idx", "role", "version")
+    }),
+
     // Deterministic stratified sampling: per-role keep rates via a salted
     // md5 threshold — a pure codegen'd filter (no shuffle, no RNG state),
     // byte-identical across reruns/resumes AND across engines (the oracle
@@ -1406,12 +1424,14 @@ object SparkEntry {
         |    END AS trend
         |  FROM idxd
         |  WINDOW w AS (ORDER BY idx ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |det AS (SELECT idx, y, trend, idx % 24 AS phase, y / trend AS d FROM tr),
+        |-- NULLIF mirrors the engine's zero-divisor guards (a zero trend/
+        |-- seasonal degrades to null components instead of erroring)
+        |det AS (SELECT idx, y, trend, idx % 24 AS phase, y / nullif(trend, 0) AS d FROM tr),
         |pm AS (SELECT phase, avg(d) AS pmean FROM det GROUP BY 1),
         |g AS (SELECT avg(pmean) AS grand FROM pm),
         |dc AS (
-        |  SELECT idx, y, trend, pmean / grand AS seasonal,
-        |    y / (trend * (pmean / grand)) AS resid
+        |  SELECT idx, y, trend, pmean / nullif(grand, 0) AS seasonal,
+        |    y / nullif(trend * (pmean / nullif(grand, 0)), 0) AS resid
         |  FROM det JOIN pm USING (phase), g)
         |SELECT idx, y, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
         |  round(resid, 6) AS resid
@@ -1909,6 +1929,20 @@ object SparkEntry {
     // implementation of backward-inclusive point-in-time semantics against
     // which the interval-bucketed Spark composition is hash-checked
     "q67_asof_versions" ->
+      s"""WITH $T,
+         |days AS (SELECT DISTINCT role, date_trunc('day', ts) AS valid_from
+         |  FROM transcripts),
+         |snaps AS (
+         |  SELECT role, valid_from,
+         |    CAST(row_number() OVER (PARTITION BY role ORDER BY valid_from) AS INT) AS version
+         |  FROM days
+         |  WHERE date_diff('day', DATE '2000-01-01', CAST(valid_from AS DATE)) % 3 = 0)
+         |SELECT t.conv_id, t.turn_idx, t.role, s.version
+         |FROM transcripts t ASOF LEFT JOIN snaps s
+         |  ON t.role = s.role AND t.ts >= s.valid_from""".stripMargin,
+
+    // shuffle-tier as-of: identical semantics, same native-ASOF oracle
+    "q69_asof_shuffled" ->
       s"""WITH $T,
          |days AS (SELECT DISTINCT role, date_trunc('day', ts) AS valid_from
          |  FROM transcripts),

@@ -54,7 +54,13 @@ object Decomposition {
     }
     val withTrend = withIdx.withColumn("trend", trend)
 
-    val detrended = if (multiplicative) y / col("trend") else y - col("trend")
+    // multiplicative division guards: statsmodels REFUSES non-positive
+    // series for multiplicative decomposition; this engine degrades the
+    // affected rows to null components instead (a zero trend/seasonal
+    // would otherwise ANSI-crash the job). when() with no otherwise =
+    // SQL NULLIF: null where the divisor is 0, the division never runs.
+    val detrended = if (multiplicative) y / when(col("trend") =!= 0, col("trend"))
+      else y - col("trend")
     val withDet = withTrend
       .withColumn("phase", pmod(col("idx"), lit(period)))
       .withColumn("detrended", detrended)
@@ -77,11 +83,13 @@ object Decomposition {
     val grand = sum(when(col("first_of_phase"), col("phase_mean"))).over(wKey) /
       sum(when(col("first_of_phase") && col("phase_mean").isNotNull, 1)).over(wKey)
 
-    val seasonal = if (multiplicative) col("phase_mean") / grand
+    val seasonal = if (multiplicative)
+      col("phase_mean") / when(grand =!= 0, grand)
       else col("phase_mean") - grand
     val withSeasonal = withPhaseMean.withColumn("seasonal", seasonal)
 
-    val resid = if (multiplicative) y / (col("trend") * col("seasonal"))
+    val fit = col("trend") * col("seasonal")
+    val resid = if (multiplicative) y / when(fit =!= 0, fit)
       else y - col("trend") - col("seasonal")
     val fitted = if (multiplicative) col("trend") * col("seasonal")
       else col("trend") + col("seasonal")
@@ -146,7 +154,11 @@ object Decomposition {
         val s = decomposed.where(col("resid").isNotNull).groupBy(key: _*).agg(
           avg(col("resid")).as("rmean"), stddev_samp(col("resid")).as("rstd"))
         decomposed.join(s, keyCols)
-          .withColumn("rz", abs((col("resid") - col("rmean")) / col("rstd")))
+          // constant residuals (a perfectly periodic series) have rstd = 0:
+          // null rz, nothing flagged — unguarded this is an ANSI
+          // DIVIDE_BY_ZERO crash, and a perfect fit is not an anomaly
+          .withColumn("rz", when(col("rstd") > 0,
+            abs((col("resid") - col("rmean")) / col("rstd"))))
           .where(col("rz") > threshold)
           .drop("rmean", "rstd")
       case "threshold" =>

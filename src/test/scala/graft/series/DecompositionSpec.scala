@@ -83,6 +83,23 @@ class DecompositionSpec extends GraftSuite {
     assert(bad.isEmpty)
   }
 
+  test("multiplicative with zeros: null components, no ANSI divide crash") {
+    // statsmodels refuses non-positive multiplicative series; this engine
+    // degrades zero-trend/seasonal rows to null instead of erroring
+    val df = (0 until 56).map(i => ("k", i, 0.0)).toDF("key", "i", "y")
+    val d = Decomposition.multiplicative(df, "y", 7, Seq("key"), Seq("i"))
+    assert(d.count() == 56)
+    assert(d.where(col("resid").isNotNull).count() == 0)
+  }
+
+  test("zscore anomalies on a perfect fit (constant residuals): none, no crash") {
+    // pure seasonal+trend series -> residuals all ~0 with rstd = 0
+    val df = (0 until 84).map(i => ("k", i, 5.0)).toDF("key", "i", "y")
+    val dec = Decomposition.additive(df, "y", 7, Seq("key"), Seq("i"))
+    val found = Decomposition.residualAnomalies(dec, Seq("key"), "zscore", 3.0)
+    assert(found.count() == 0)
+  }
+
   test("strengths: strong seasonality detected, clamped [0,1]") {
     val n = 140
     val df = (0 until n).map(i =>
