@@ -54,6 +54,20 @@ object SparkEntry {
   // q60 IVF-ANN cell count (pinned-centroid search-path twin)
   private val ivfCells = 8
 
+  /** Shared q67/q69 as-of fixture: every-3rd-day (role, day) snapshot dim
+    * with a per-role version counter — ONE definition so the broadcast and
+    * shuffle tiers provably join the identical dim.
+    */
+  private def every3rdDaySnapshots(t: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t.select(col("role"),
+        date_trunc("day", col("ts")).as("valid_from")).distinct()
+      .where(pmod(datediff(to_date(col("valid_from")),
+        lit("2000-01-01").cast("date")), lit(3)) === 0)
+      .withColumn("version", row_number().over(
+        Window.partitionBy(col("role")).orderBy(col("valid_from"))))
+  }
+
   /** Global hourly event-count series with constant key (decomposition fixture). */
   private def hourlySeries(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -870,35 +884,22 @@ object SparkEntry {
     // equi-join (fact side never shuffles). Oracle uses DuckDB's native
     // ASOF LEFT JOIN — an independent implementation of the semantics.
     "q67_asof_versions" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.transcripts(s, dir)
         .select("conv_id", "turn_idx", "role", "ts")
-      val dim = t.select(col("role"),
-          date_trunc("day", col("ts")).as("valid_from")).distinct()
-        .where(pmod(datediff(to_date(col("valid_from")),
-          lit("2000-01-01").cast("date")), lit(3)) === 0)
-        .withColumn("version", row_number().over(
-          Window.partitionBy(col("role")).orderBy(col("valid_from"))))
-      graft.join.AsOf.joinAsOf(t, dim, Seq("role"), "ts", "valid_from",
-        "day", Seq("version"))
+      graft.join.AsOf.joinAsOf(t, every3rdDaySnapshots(t), Seq("role"),
+        "ts", "valid_from", "day", Seq("version"))
         .select("conv_id", "turn_idx", "role", "version")
     }),
 
-    // The as-of SHUFFLE tier (non-broadcastable dims): same semantics as
-    // q67 through the union-sentinel carry-forward physical path — both
-    // tiers are driver-hash-checked against DuckDB's native ASOF JOIN.
+    // The as-of SHUFFLE tier (non-broadcastable dims): same semantics and
+    // the same snapshot dim as q67 through the union-sentinel
+    // carry-forward physical path — both tiers are driver-hash-checked
+    // against DuckDB's native ASOF JOIN.
     "q69_asof_shuffled" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.transcripts(s, dir)
         .select("conv_id", "turn_idx", "role", "ts")
-      val dim = t.select(col("role"),
-          date_trunc("day", col("ts")).as("valid_from")).distinct()
-        .where(pmod(datediff(to_date(col("valid_from")),
-          lit("2000-01-01").cast("date")), lit(3)) === 0)
-        .withColumn("version", row_number().over(
-          Window.partitionBy(col("role")).orderBy(col("valid_from"))))
-      graft.join.AsOf.joinAsOfShuffle(t, dim, Seq("role"), "ts", "valid_from",
-        Seq("version"))
+      graft.join.AsOf.joinAsOfShuffle(t, every3rdDaySnapshots(t), Seq("role"),
+        "ts", "valid_from", Seq("version"))
         .select("conv_id", "turn_idx", "role", "version")
     }),
 

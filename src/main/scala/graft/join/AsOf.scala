@@ -120,7 +120,13 @@ object AsOf {
       factTs: String, dimTs: String, dimCols: Seq[String]): DataFrame = {
     val factCols = fact.columns.toSeq
     val payload = struct(dimCols.map(col): _*)
-    val dimSide = dim.select(
+    // equi-join semantics on NULL keys: a window partitionBy groups null
+    // keys TOGETHER (unlike a join, where null never matches), so null-key
+    // dim rows are dropped here and null-key fact rows get their payload
+    // masked below — keeping this tier's output identical to the
+    // broadcast tier and to a native ASOF equi-join for dirty keys
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val dimSide = dim.where(keyNotNull).select(
       keys.map(col) ++ Seq(col(dimTs).as("__ts"), lit(0).as("__src"),
         payload.as("__payload")): _*)
     val factSide = fact.select(
@@ -140,6 +146,7 @@ object AsOf {
       .where(col("__src") === 1)
 
     carried.select(factCols.map(c => col(s"__fact.$c").as(c)) ++
-      dimCols.map(c => col(s"__payload_ffill.$c").as(c)): _*)
+      dimCols.map(c =>
+        when(keyNotNull, col(s"__payload_ffill.$c")).as(c)): _*)
   }
 }

@@ -91,7 +91,7 @@ object Decomposition {
     val fit = col("trend") * col("seasonal")
     val resid = if (multiplicative) y / when(fit =!= 0, fit)
       else y - col("trend") - col("seasonal")
-    val fitted = if (multiplicative) col("trend") * col("seasonal")
+    val fitted = if (multiplicative) fit
       else col("trend") + col("seasonal")
 
     withSeasonal

@@ -43,19 +43,23 @@ object Windows {
     * variance ⇒ no anomaly, matching the streaming kernel), and the
     * division never runs — Spark 4's default ANSI mode throws
     * DIVIDE_BY_ZERO even for doubles, so an unguarded z would crash the
-    * whole job on the first flat window.
+    * whole job on the first flat window. A NaN in the window makes
+    * rolling_std NaN, and Spark SQL ORDERS NaN above every number
+    * (`NaN > 0` is TRUE, unlike the streaming kernel's Scala
+    * comparison) — both guards below carry an explicit !isnan so a
+    * NaN-poisoned window is not flagged on either path.
     */
   def rollingZ(df: DataFrame, valueCol: String, window: Int, zThreshold: Double,
       partitionCols: Seq[String], orderCols: Seq[String],
       minPeriods: Option[Int] = None): DataFrame = {
     val withStats = rollingStats(df, valueCol, window, partitionCols, orderCols, minPeriods)
     val std = col(s"${valueCol}_rolling_std")
-    val z = when(std > 0,
+    val z = when(!isnan(std) && std > 0,
       (col(valueCol) - col(s"${valueCol}_rolling_mean")) / std)
     withStats
       .withColumn(s"${valueCol}_z", z)
       .withColumn(s"${valueCol}_z_anomaly",
-        coalesce(abs(z) > zThreshold, lit(false)))
+        coalesce(!isnan(z) && abs(z) > zThreshold, lit(false)))
   }
 
   /** W1/W2 at mega-key scale: trailing rolling mean/std/count with a

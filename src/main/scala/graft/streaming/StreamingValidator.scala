@@ -56,9 +56,13 @@ object StreamingValidator {
     */
   def rollingZViolations(turns: Dataset[Turn], column: String, window: Int,
       threshold: Double, idleTimeoutMs: Long = 3600 * 1000L): Dataset[Violation] = {
-    // the batch path fails fast at plan time (rowsBetween(1,0) invalid);
-    // match it — window <= 1 would reach empty.last inside the stream
-    require(window >= 2, s"rolling window must be >= 2, got $window")
+    // window = 1 is legal on BOTH paths and flags nothing (one sample has
+    // no variance: batch stddev_samp is null, this kernel's 0/0 variance
+    // is NaN), so it must not be rejected here. window = 0 would reach
+    // xs.last on an empty trailing window below, where the batch kernel's
+    // rowsBetween(1,0) is just an empty frame (null aggregates, no
+    // flags) — reject it instead of crashing mid-stream
+    require(window >= 1, s"rolling window must be >= 1, got $window")
     val spark = turns.sparkSession
     import spark.implicits._
     val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout

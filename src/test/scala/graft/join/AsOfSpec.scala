@@ -85,6 +85,25 @@ class AsOfSpec extends GraftSuite {
     assert(s.count() == fact.count() && s.where(col("version").isNotNull).count() == 0)
   }
 
+  test("null join keys never match on either tier (equi-join semantics)") {
+    // a window partitionBy groups null keys together, so the shuffle tier
+    // must explicitly mask them or it would hand null-role facts a
+    // null-role snapshot that no equi/ASOF join would ever produce
+    val nullKeyFact = fact.union(Seq(
+      (null.asInstanceOf[String], ts("2024-01-06 00:00:00"), "null-key"))
+      .toDF("k", "ts", "tag"))
+    val nullKeyDim = dim.union(Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 00:00:00"), 77))
+      .toDF("k", "valid_from", "version"))
+    val want = expected + ("null-key" -> None)
+    val b = AsOf.joinAsOf(nullKeyFact, nullKeyDim, Seq("k"), "ts",
+      "valid_from", "day", Seq("version"))
+    assert(b.count() == nullKeyFact.count() && toMap(b) == want)
+    val s = AsOf.joinAsOfShuffle(nullKeyFact, nullKeyDim, Seq("k"), "ts",
+      "valid_from", Seq("version"))
+    assert(s.count() == nullKeyFact.count() && toMap(s) == want)
+  }
+
   test("caller-supplied clamp horizon matches the computed one") {
     val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
       "day", Seq("version"), clampTs = Some(ts("2024-03-01 00:00:00")))

@@ -75,4 +75,45 @@ class StreamingValidatorSpec extends GraftSuite {
       Seq("constraint", "conv_id", "turn_idx", "column", "observed", "bound",
         "severity"))
   }
+
+  test("window=1 is accepted and flags nothing, matching the batch kernel") {
+    // batch at window=1: rowsBetween(0,0) is legal, stddev_samp over one
+    // row is null -> no flags; the streaming path must not reject what
+    // the batch path accepts (its 1-sample 0/0 variance is NaN -> None)
+    assert(batchFlags(turnsA).nonEmpty) // fixture sanity at window=5
+    val df = turnsA.toDF("conv_id", "turn_idx", "v")
+      .withColumn("v", col("v").cast("double"))
+    val batch1 = graft.series.Windows.rollingZ(df, "v", 1, threshold,
+      Seq("conv_id"), Seq("turn_idx"))
+    assert(batch1.where(col("v_z_anomaly")).count() == 0)
+
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val out = StreamingValidator.rollingZViolations(input.toDS(), "v", 1,
+      threshold, idleTimeoutMs = 0L)
+    val q = out.writeStream.format("memory").queryName("rz_w1")
+      .outputMode("append").start()
+    try {
+      input.addData(turnsA: _*); q.processAllAvailable()
+      assert(spark.table("rz_w1").count() == 0)
+    } finally q.stop()
+  }
+
+  test("window=0: streaming rejects (would crash on an empty trailing " +
+      "window); batch degrades to zero flags") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Turn]
+    intercept[IllegalArgumentException] {
+      StreamingValidator.rollingZViolations(input.toDS(), "v", 0, threshold,
+        idleTimeoutMs = 0L)
+    }
+    // batch: rowsBetween(1, 0) is an EMPTY frame, not an error — all
+    // aggregates are null, so nothing flags (no parity break: neither
+    // path ever emits a violation at window=0)
+    val df = turnsA.toDF("conv_id", "turn_idx", "v")
+      .withColumn("v", col("v").cast("double"))
+    val batch0 = graft.series.Windows.rollingZ(df, "v", 0, threshold,
+      Seq("conv_id"), Seq("turn_idx"))
+    assert(batch0.where(col("v_z_anomaly")).count() == 0)
+  }
 }
