@@ -10,13 +10,19 @@ import graft.sources.{Tables, TranscriptGen}
 
 /** spark-submit entry point:
   *
-  *   graft.Runner validate <transcripts-parquet> <out-dir> [--resumable <ckpt-dir> <P>]
+  *   graft.Runner validate <transcripts-parquet> <out-dir>
+  *       [--resumable <ckpt-dir> <P>] [--format csv] [--sample <rate>]
   *   graft.Runner generate <n-convs> <out-parquet>
+  *   graft.Runner dupgroups <docs-parquet> <out-dir>
+  *       [--id doc_id] [--text text] [--threshold 0.7]
+  *   graft.Runner sessions <transcripts-parquet> <out-parquet> <gap-seconds>
   *
   * `validate` pins the input file set (snapshot manifest), runs the default
   * transcript suite, writes violations/verdicts parquet + a JSON summary.
   * With --resumable it runs through the per-partition checkpoint (restart
-  * the same command to resume after a kill).
+  * the same command to resume after a kill); --sample validates a
+  * deterministic whole-conversation sample. `dupgroups` and `sessions`
+  * expose the dedup-grouping and sessionization pipelines without Scala.
   */
 object Runner {
 
@@ -38,6 +44,10 @@ object Runner {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
     // spark-submit injects spark.master; default to local for direct runs
+    // tests drive main() directly against their shared session — only stop
+    // a session this main actually created
+    val adopted = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")))
       .getOrCreate()
@@ -48,12 +58,26 @@ object Runner {
         TranscriptGen.generate(spark, n.toLong).write.mode("overwrite").parquet(out)
         println(s"""{"generated": "$out", "convs": $n}""")
 
-      case "validate" :: in :: out :: restWithFmt =>
+      case "validate" :: in :: out :: restWithFlags =>
         // S6: --format csv additionally writes the violation rows as the
         // reference's detailed_results.csv (src/main_analysis.py:430-438)
-        val csvSink = restWithFmt.containsSlice(Seq("--format", "csv"))
+        val csvSink = restWithFlags.containsSlice(Seq("--format", "csv"))
+        val restWithFmt = {
+          val i = restWithFlags.indexOfSlice(Seq("--format", "csv"))
+          if (i < 0) restWithFlags else restWithFlags.patch(i, Nil, 2)
+        }
+        // --sample <rate>: validate a deterministic whole-conversation
+        // sample (graft.sample.Sampling — salted-md5 threshold, pure
+        // codegen filter; the same conversations are selected on every
+        // engine and every run, so a sampled validation is reproducible)
+        val sampleRate = {
+          val i = restWithFmt.indexOf("--sample")
+          if (i >= 0 && i + 1 < restWithFmt.length)
+            Some(restWithFmt(i + 1).toDouble)
+          else None
+        }
         val rest = {
-          val i = restWithFmt.indexOfSlice(Seq("--format", "csv"))
+          val i = restWithFmt.indexOf("--sample")
           if (i < 0) restWithFmt else restWithFmt.patch(i, Nil, 2)
         }
         val ctx = Validator.Context(Map(
@@ -65,7 +89,12 @@ object Runner {
         val provider: graft.sources.TableProvider = graft.sources.ParquetDirProvider
         val manifest = s"$out/input_manifest.json"
         provider.pin(spark, in, manifest)
-        val pinned = provider.readPinned(spark, manifest)
+        val pinnedAll = provider.readPinned(spark, manifest)
+        val pinned = sampleRate match {
+          case Some(r) => graft.sample.Sampling
+            .uniform(pinnedAll, defaultSuite.keyCol, r)
+          case None => pinnedAll
+        }
         val t0 = System.nanoTime()
         val (violations, verdicts) = rest match {
           case "--resumable" :: ckpt :: p :: Nil =>
@@ -100,10 +129,40 @@ object Runner {
           .where(!col("pass")).count()
         println(s"""{"rows":$rows,"violations":$nViol,"failed_verdicts":$nFail,"wall_sec":$wall,"turns_per_sec":${rows / wall}}""")
 
+      // full dedup pipeline as a spark-submit verb (no Scala needed):
+      // minhash → LSH banding → exact-Jaccard verify → connected
+      // components → canonical (group_id, group_size) per document
+      case "dupgroups" :: in :: out :: flags =>
+        def flag(name: String, dflt: String): String = {
+          val i = flags.indexOf(name)
+          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
+        }
+        val idCol = flag("--id", "doc_id")
+        val textCol = flag("--text", "text")
+        val docs = spark.read.parquet(in)
+        graft.dedup.ConnectedComponents
+          .dupGroups(docs, idCol, textCol,
+            threshold = flag("--threshold", "0.7").toDouble)
+          .write.mode("overwrite").parquet(s"$out/groups")
+        val g = spark.read.parquet(s"$out/groups")
+        val Array(nDocs, nDup) = g.agg(count(lit(1)),
+          count(when(col("group_size") > 1, 1))).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val nGroups = g.select("group_id").distinct().count()
+        println(s"""{"docs":$nDocs,"dup_docs":$nDup,"groups":$nGroups,"out":"$out/groups"}""")
+
+      // gap sessionization as a verb: per-session summary rows
+      case "sessions" :: in :: out :: gapSec :: Nil =>
+        graft.series.Sessions.sessionize(spark.read.parquet(in),
+            "conv_id", "ts", "turn_idx", gapSec.toLong)
+          .write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        println(s"""{"sessions":$n,"out":"$out"}""")
+
       case other =>
         System.err.println(s"unknown args: $other")
         sys.exit(2)
     }
-    spark.stop()
+    if (!adopted) spark.stop()
   }
 }

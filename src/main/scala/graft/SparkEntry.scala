@@ -914,6 +914,36 @@ object SparkEntry {
         Map("user" -> 0.5, "assistant" -> 0.25, "tool" -> 0.1,
           "invalid_role" -> 0.0),
         defaultRate = 1.0, salt = "graft")
+    }),
+
+    // Sessionization as a CONSTRAINT (declarative reach for suite
+    // configs, VERDICT r4 item 4): MaxSessionGap emits one violation per
+    // session boundary past each conversation's first turn — exactly the
+    // boundaries Sessions.assign(gap=1800) opens. One pruned keyed
+    // window; text never shuffles.
+    "q70_session_gap_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("gap", Seq(MaxSessionGap(1800L))))
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        round(col("observed").cast("double"), 6).as("gap_seconds"))
+    }),
+
+    // Point-in-time referential integrity as a CONSTRAINT: every turn's
+    // role must have a snapshot at-or-before its ts in the every-3rd-day
+    // snapshot dim (q67's dim) — unresolved turns are violations. Rides
+    // the broadcast as-of tier; the oracle re-derives the violation set
+    // with DuckDB's NATIVE ASOF LEFT JOIN.
+    "q71_asof_integrity_violations" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      // each role's FIRST snapshot is dropped so turns before the second
+      // one genuinely fail to resolve — a nonzero violation set (with all
+      // snapshots present every turn resolves and the check is vacuous)
+      val ctx = Validator.Context(Map(
+        "role_snap" -> every3rdDaySnapshots(t).where(col("version") >= 2)))
+      val r = Validator.validate(t, Check("asof", Seq(
+        AsOfIntegrity("role", "role_snap", "role", "valid_from"))), ctx)
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        col("observed").as("role"))
     })
   )
 
@@ -1966,6 +1996,39 @@ object SparkEntry {
          |  WHEN 'assistant' THEN substr(md5('graft|' || conv_id), 1, 12) < '${graft.sample.Sampling.hexThreshold(0.25)}'
          |  WHEN 'tool' THEN substr(md5('graft|' || conv_id), 1, 12) < '${graft.sample.Sampling.hexThreshold(0.1)}'
          |  WHEN 'invalid_role' THEN FALSE
-         |  ELSE TRUE END""".stripMargin
+         |  ELSE conv_id IS NOT NULL END""".stripMargin,
+
+    // session-gap constraint twin: the same lag/threshold chain as q66's
+    // boundary flags, microsecond-exact
+    "q70_session_gap_violations" ->
+      s"""WITH $T,
+         |lagged AS (
+         |  SELECT conv_id, turn_idx, ts,
+         |    lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx,
+         |  round((epoch_us(ts) - epoch_us(prev)) / 1000000.0, 6) AS gap_seconds
+         |FROM lagged
+         |WHERE epoch_us(ts) - epoch_us(prev) > 1800 * 1000000""".stripMargin,
+
+    // as-of-integrity twin: unresolved = native ASOF LEFT JOIN misses
+    // (no snapshot at or before the turn's ts); null roles skipped
+    // (nullOk); each role's first snapshot dropped like the Spark side
+    "q71_asof_integrity_violations" ->
+      s"""WITH $T,
+         |days AS (SELECT DISTINCT role, date_trunc('day', ts) AS valid_from
+         |  FROM transcripts),
+         |snaps AS (
+         |  SELECT role, valid_from,
+         |    CAST(row_number() OVER (PARTITION BY role ORDER BY valid_from) AS INT) AS version
+         |  FROM days
+         |  WHERE date_diff('day', DATE '2000-01-01', CAST(valid_from AS DATE)) % 3 = 0),
+         |snaps2 AS (SELECT * FROM snaps WHERE version >= 2),
+         |resolved AS (
+         |  SELECT t.conv_id, t.turn_idx, t.role, s.version
+         |  FROM (SELECT * FROM transcripts WHERE role IS NOT NULL) t
+         |  ASOF LEFT JOIN snaps2 s
+         |    ON t.role = s.role AND t.ts >= s.valid_from)
+         |SELECT conv_id, turn_idx, role FROM resolved WHERE version IS NULL""".stripMargin
   )
 }

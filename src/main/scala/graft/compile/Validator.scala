@@ -280,15 +280,19 @@ object Validator {
         val n = col(s"${columnName}_n")
         // std = 0 (constant window) ⇒ null z, not flagged — and the divide
         // never runs (ANSI DIVIDE_BY_ZERO applies to doubles in Spark 4)
+        // NaN guards mirror Windows.rollingZ: Spark SQL treats NaN > 0 (and
+        // abs(NaN) > t) as TRUE, so a NaN value in validated data would turn
+        // every window covering it into a false-positive violation
         val std = col(s"${columnName}_rolling_std")
-        val z = when(std > 0, (v - col(s"${columnName}_rolling_mean")) / std)
+        val z = when(!isnan(std) && std > 0,
+          (v - col(s"${columnName}_rolling_mean")) / std)
         // ONE explodeViolations pass emits BOTH the rolling flags and the
         // fused duplicate-key flags: two branches over `stats` would share
         // only the exchange (ReuseExchange) and re-run the 10^7-row
         // sort+window compute per branch — measured ~50 task-CPU-seconds
         // of pure waste per suite pass
         val checks = Seq(RowCheck(c, columnName,
-          coalesce(n >= window && abs(z) > t, lit(false)),
+          coalesce(n >= window && !isnan(z) && abs(z) > t, lit(false)),
           v.cast("string"), s"rolling|z|<=$t@$window")) ++
           fuseHere.map { u =>
             RowCheck(u, u.columns.mkString(","),
@@ -362,11 +366,61 @@ object Validator {
             "violation_rate")
     }
 
+    // ---- pass 7: session-gap bound (one pruned keyed window each) -----------
+    // same shuffle class as the rolling-z pass: only (key, ord, ts) ride
+    // the exchange, never text
+    val sessionViolations: Seq[DataFrame] = check.constraints.collect {
+      case c: MaxSessionGap =>
+        val pruned = df.select(key, ord, col(check.tsCol))
+        graft.series.Sessions
+          .withGap(pruned, check.keyCol, check.tsCol, check.orderCol)
+          .where(col("__gap_us") > c.maxGapSeconds * 1000000L)
+          .select(lit(c.name).as("constraint"),
+            key.cast("string").as("conv_id"),
+            ord.cast("int").as("turn_idx"),
+            lit(check.tsCol).as("column"),
+            (col("__gap_us") / lit(1e6)).cast("string").as("observed"),
+            lit(s"gap<=${c.maxGapSeconds}s").as("bound"),
+            lit(c.severity).as("severity"))
+    }
+
+    // ---- pass 8: point-in-time referential integrity ------------------------
+    // the as-of join resolves each turn against the newest snapshot at or
+    // before its ts; an unresolved marker is the violation. Fact side is
+    // pruned to 4 scalar columns before either tier (the shuffle tier
+    // repartitions the fact — text must never ride that exchange).
+    val asofViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ AsOfIntegrity(columnName, dimName, dimCol, dimTs, gran,
+          nullOk, bcast) =>
+        val dim = ctx.dims.getOrElse(dimName,
+          throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
+        val pruned0 = df.select(key, ord, col(check.tsCol), col(columnName))
+        val pruned = if (nullOk) pruned0.where(col(columnName).isNotNull)
+          else pruned0
+        // dim ts renamed: it may legitimately share the fact ts's name
+        val dimSnaps = dim.select(col(dimCol).as(columnName),
+          col(dimTs).as("__dim_ts"), lit(1).as("__asof_ok"))
+        val resolved =
+          if (bcast) graft.join.AsOf.joinAsOf(pruned, dimSnaps,
+            Seq(columnName), check.tsCol, "__dim_ts", gran, Seq("__asof_ok"))
+          else graft.join.AsOf.joinAsOfShuffle(pruned, dimSnaps,
+            Seq(columnName), check.tsCol, "__dim_ts", Seq("__asof_ok"))
+        resolved.where(col("__asof_ok").isNull)
+          .select(lit(c.name).as("constraint"),
+            key.cast("string").as("conv_id"),
+            ord.cast("int").as("turn_idx"),
+            lit(columnName).as("column"),
+            col(columnName).cast("string").as("observed"),
+            lit(s"as-of in $dimName.$dimCol@$dimTs").as("bound"),
+            lit(c.severity).as("severity"))
+    }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ windowViolations ++
-      uniqueViolations ++ refViolations ++
+      uniqueViolations ++ refViolations ++ sessionViolations ++
+      asofViolations ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -383,7 +437,9 @@ object Validator {
         case c: ReferentialIntegrity
             if inlineDimValues((c.dim, c.dimColumn)) == null =>
           (c.name, 0.0)
-      }
+      } ++
+      check.constraints.collect { case c: MaxSessionGap => (c.name, 0.0) } ++
+      check.constraints.collect { case c: AsOfIntegrity => (c.name, 0.0) }
 
     val convRows = df.groupBy(key.cast("string").as("conv_id"))
       .agg(count(lit(1)).as("rows"))

@@ -98,6 +98,21 @@ final case class MaxKeyShare(column: String, maxFrac: Double = 1.0 / 512,
     k: Int = 2048)
   extends Constraint { val name = s"max_key_share($column)" }
 
+/** Point-in-time referential integrity — the declarative face of
+  * [[graft.join.AsOf]]: the fact's `column` must resolve against a
+  * snapshot dimension AS OF the turn's ts (a snapshot row with
+  * `dimColumn` = the fact value and `dimTsColumn` ≤ ts must exist).
+  * Tiers mirror [[ReferentialIntegrity]]: `broadcastDim = true` rides the
+  * interval-bucket broadcast join (the fact side never shuffles), false
+  * the union-sentinel shuffle tier for dims too large to ship. A fact row
+  * whose ts is null can never resolve and is a violation; null fact keys
+  * follow `nullOk` like plain RI.
+  */
+final case class AsOfIntegrity(column: String, dim: String,
+    dimColumn: String, dimTsColumn: String, granularity: String = "day",
+    nullOk: Boolean = true, broadcastDim: Boolean = true)
+  extends Constraint { val name = s"asof($column->$dim)" }
+
 // ---- statistical outlier families (global stats → row flags) ---------------
 
 /** Modified z-score (MAD-based) outliers (A6). `approx` defaults to the
@@ -126,6 +141,17 @@ final case class GlobalZ(column: String, threshold: Double = 3.0)
 final case class RollingZDrift(column: String, window: Int = 24,
     threshold: Double = 3.0)
   extends Constraint { val name = s"rolling_z($column)" }
+
+/** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
+  * within each conversation (ordered by (ts, turn_idx) like
+  * Sessions.assign) the gap between consecutive turns must not exceed
+  * `maxGapSeconds`. Every violation row is exactly a session boundary
+  * Sessions.assign would open past each conversation's first turn, so a
+  * suite config can police "one conversation = one dense burst" without
+  * touching Scala. One pruned keyed window — text never shuffles.
+  */
+final case class MaxSessionGap(maxGapSeconds: Long)
+  extends Constraint { val name = s"session_gap(${maxGapSeconds}s)" }
 
 /** The north-star drift constraint: per-conversation ts-bucketed turn-rate
   * series, STL-style (or classical) decomposition, residual outliers (IQR

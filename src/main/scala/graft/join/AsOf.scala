@@ -68,6 +68,29 @@ object AsOf {
     val withEnd = dim.select((keys :+ dimTs) ++ dimCols map col: _*)
       .withColumn("__valid_to", lead(col(dimTs), 1).over(w))
 
+    // guard-rail: a granularity coarser than the dim's typical snapshot
+    // spacing is CORRECT but wasteful — every bucket then holds several
+    // intervals and each fact row joins against all of them before the
+    // range filter prunes to one (week buckets over daily snapshots = 7×
+    // join fan-out for nothing). Median positive spacing, not min: one
+    // tight snapshot pair in an otherwise-daily dim must not outlaw "day".
+    // One tiny agg job on the broadcast-small dim.
+    val granMicros = granularity match {
+      case "hour" => 3600L * 1000000L
+      case "day" => 86400L * 1000000L
+      case "week" => 7L * 86400L * 1000000L
+    }
+    val spacingUs = unix_micros(col("__valid_to")) - unix_micros(col(dimTs))
+    val medSpacing = withEnd
+      .where(col("__valid_to").isNotNull && spacingUs > 0)
+      .agg(percentile_approx(spacingUs, lit(0.5), lit(1000))).first()
+    if (!medSpacing.isNullAt(0))
+      require(granMicros <= medSpacing.getLong(0),
+        s"granularity '$granularity' is coarser than the dim's median " +
+          s"snapshot spacing (${medSpacing.getLong(0) / 1000000L}s): pick a " +
+          "finer granularity, or every bucket holds multiple intervals and " +
+          "each fact row joins against all of them")
+
     // the open last interval is clamped (caller horizon, or the fact's max
     // ts via one aggregate-only pass) so its bucket explosion is bounded
     val clamp: Option[Any] = clampTs.orElse {
@@ -124,9 +147,14 @@ object AsOf {
     // keys TOGETHER (unlike a join, where null never matches), so null-key
     // dim rows are dropped here and null-key fact rows get their payload
     // masked below — keeping this tier's output identical to the
-    // broadcast tier and to a native ASOF equi-join for dirty keys
+    // broadcast tier and to a native ASOF equi-join for dirty keys.
+    // Null-TIMESTAMP dim rows are dropped for the same reason: under
+    // nulls-first window ordering a null-ts snapshot would sort earliest
+    // and carry forward onto facts before the first real snapshot, while
+    // the broadcast tier and native ASOF never match it (ts >= NULL is
+    // never true)
     val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val dimSide = dim.where(keyNotNull).select(
+    val dimSide = dim.where(keyNotNull && col(dimTs).isNotNull).select(
       keys.map(col) ++ Seq(col(dimTs).as("__ts"), lit(0).as("__src"),
         payload.as("__payload")): _*)
     val factSide = fact.select(

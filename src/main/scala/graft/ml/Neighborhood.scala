@@ -204,14 +204,23 @@ object Neighborhood {
       .toDF(keyCol, ordCol, "cluster", "is_noise")
   }
 
-  /** Classic BFS DBSCAN over one in-memory group; returns labels, −1 noise. */
+  /** Classic BFS DBSCAN over one in-memory group; returns labels, −1 noise.
+    *
+    * Memory stays O(n): neighborhoods are never materialized — core flags
+    * come from a count-only pass and the BFS recomputes each dequeued core
+    * point's neighborhood on the fly. Each core point is dequeued at most
+    * once, so time stays O(n²·d) like the stored-list version, while a
+    * dense group at `maxGroup` no longer holds up to n² ints (~1.6 GB at
+    * 20k rows with large eps) in a single task.
+    */
   private[ml] def dbscanKernel(xs: Array[Array[Double]], eps: Double,
       minSamples: Int): Array[Int] = {
     val n = xs.length
-    val neigh = Array.tabulate(n) { i =>
-      (0 until n).filter(j => dist(xs(i), xs(j)) <= eps).toArray // incl. self
+    val core = Array.tabulate(n) { i =>
+      var c = 0; var j = 0
+      while (j < n) { if (dist(xs(i), xs(j)) <= eps) c += 1; j += 1 } // incl. self
+      c >= minSamples
     }
-    val core = Array.tabulate(n)(i => neigh(i).length >= minSamples)
     val label = Array.fill(n)(-2) // -2 unvisited, -1 noise, >=0 cluster
     var cluster = 0
     var i = 0
@@ -222,13 +231,16 @@ object Neighborhood {
           val queue = scala.collection.mutable.Queue(i)
           label(i) = cluster
           while (queue.nonEmpty) {
-            val p = queue.dequeue()
-            neigh(p).foreach { q =>
-              if (label(q) == -2 || label(q) == -1) {
+            val p = queue.dequeue() // invariant: only core points enqueue
+            var q = 0
+            while (q < n) {
+              if ((label(q) == -2 || label(q) == -1) &&
+                  dist(xs(p), xs(q)) <= eps) {
                 val wasUnvisited = label(q) == -2
                 label(q) = cluster // core expands, non-core becomes border
                 if (wasUnvisited && core(q)) queue.enqueue(q)
               }
+              q += 1
             }
           }
           cluster += 1

@@ -43,6 +43,20 @@ object Sessions {
         Window.currentRow)) - 1).cast("int"))
   }
 
+  /** Adds `__gap_us` — the microsecond gap from the previous turn (null
+    * for each key's first turn). Same window spec as [[assign]], so
+    * `__gap_us > g·10⁶` flags exactly the session boundaries assign()
+    * opens past the first; this is the row-level view the
+    * [[graft.dsl.MaxSessionGap]] constraint compiles to.
+    */
+  def withGap(df: DataFrame, keyCol: String, tsCol: String,
+      ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+    df.withColumn("__gap_us",
+      us(col(tsCol)) - us(lag(col(tsCol), 1).over(w)))
+  }
+
   /** Per-session summary: bounds, turn count, active span. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, ordCol: String,
       gapSeconds: Long): DataFrame =

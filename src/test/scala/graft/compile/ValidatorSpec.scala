@@ -172,6 +172,82 @@ class ValidatorSpec extends GraftSuite {
     assert(r.violations.count() == 0)
   }
 
+  test("MaxSessionGap flags exactly the boundaries Sessions.assign opens") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("c1", 0, ts("2024-01-01 00:00:00")),
+      ("c1", 1, ts("2024-01-01 00:10:00")),
+      ("c1", 2, ts("2024-01-01 03:00:00")), // 2h50m gap > 1h
+      ("c1", 3, ts("2024-01-01 03:20:00")),
+      ("c2", 0, ts("2024-01-02 00:00:00")), // first turn: never a violation
+      ("c2", 1, ts("2024-01-02 02:00:00"))) // 2h gap
+      .toDF("conv_id", "turn_idx", "ts")
+    val r = Validator.validate(df,
+      Check("t", Seq(MaxSessionGap(3600L))), dims)
+    val got = r.violations.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("c1", 2), ("c2", 1)))
+    // parity with the library operator: violations = session starts past
+    // each conversation's first (Σ max(session_idx))
+    val extraSessions = graft.series.Sessions
+      .assign(df, "conv_id", "ts", "turn_idx", 3600L)
+      .groupBy("conv_id").agg(max("session_idx").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    assert(extraSessions == got.size)
+    // per-conversation verdicts: both convs fail, with counts
+    val v = r.verdicts
+      .where(col("constraint").startsWith("session_gap") && !col("pass"))
+      .select("partition_key", "violations")
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("c1" -> 1L, "c2" -> 1L))
+  }
+
+  test("AsOfIntegrity resolves against snapshots as of ts, on both tiers") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val fact = Seq(
+      ("c1", 0, ts("2024-01-01 00:00:00"), "admin"), // before first snap → violation
+      ("c1", 1, ts("2024-01-02 12:00:00"), "admin"), // resolves to 01-02 snap
+      ("c1", 2, ts("2024-01-02 12:00:00"), "ghost"), // key not in dim → violation
+      ("c1", 3, ts("2024-01-02 12:00:00"), null),    // null key, nullOk → skipped
+      ("c1", 4, null.asInstanceOf[Timestamp], "admin")) // null ts → violation
+      .toDF("conv_id", "turn_idx", "ts", "role")
+    val snapDim = Seq(("admin", ts("2024-01-02 00:00:00"), 1))
+      .toDF("role", "valid_from", "v")
+    val ctx2 = Validator.Context(Map("role_snap" -> snapDim))
+    for (bcast <- Seq(true, false)) {
+      val r = Validator.validate(fact, Check("t", Seq(
+        AsOfIntegrity("role", "role_snap", "role", "valid_from",
+          broadcastDim = bcast))), ctx2)
+      val got = r.violations.select("conv_id", "turn_idx")
+        .as[(String, Int)].collect().toSet
+      assert(got == Set(("c1", 0), ("c1", 2), ("c1", 4)), s"bcast=$bcast")
+      val verdict = r.verdicts
+        .where(col("constraint").startsWith("asof(") &&
+          col("partition_key") === "c1").collect()(0)
+      assert(!verdict.getAs[Boolean]("pass") &&
+        verdict.getAs[Long]("violations") == 3L)
+    }
+  }
+
+  test("RollingZDrift with NaN values: windows covering the NaN never flag") {
+    // regression (ADVICE r5): Spark SQL treats NaN > 0 and abs(NaN) > t as
+    // TRUE, so without the !isnan guards one NaN in validated data turned
+    // every window covering it into a false-positive violation — diverging
+    // from Windows.rollingZ and the streaming kernel, which both guard
+    val rows = (0 until 20).map(i =>
+      ("c0", i, if (i == 10) Double.NaN else i.toDouble))
+    val df = rows.toDF("conv_id", "turn_idx", "v")
+    val r = Validator.validate(df, Check("t", Seq(
+      RollingZDrift("v", window = 5, threshold = 3.0))), dims)
+    assert(r.violations.count() == 0, "NaN windows must not flag")
+    // parity with the batch kernel on the same series
+    val kernel = graft.series.Windows.rollingZ(df, "v", 5, 3.0,
+      Seq("conv_id"), Seq("turn_idx"))
+    assert(kernel.where(col("v_z_anomaly")).count() == 0)
+  }
+
   test("fused UniqueKey emits duplicates ONCE with multiple RollingZDrift") {
     // regression (ADVICE r2): the fused duplicate-key check was appended
     // per RollingZDrift constraint, double-counting violations

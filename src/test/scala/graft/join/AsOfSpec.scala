@@ -104,6 +104,32 @@ class AsOfSpec extends GraftSuite {
     assert(s.count() == nullKeyFact.count() && toMap(s) == want)
   }
 
+  test("null dim timestamps never match on either tier (ts >= NULL is never true)") {
+    // regression (ADVICE r4): under nulls-first window ordering a null-ts
+    // snapshot sorts earliest on the shuffle tier and would carry its
+    // payload onto facts BEFORE the key's first real snapshot ("b-before"
+    // here), while the broadcast tier and a native ASOF join never match it
+    val dirtyDim = dim.union(Seq(
+      ("b", null.asInstanceOf[Timestamp], 500))
+      .toDF("k", "valid_from", "version"))
+    val b = AsOf.joinAsOf(fact, dirtyDim, Seq("k"), "ts", "valid_from",
+      "day", Seq("version"))
+    assert(toMap(b) == expected)
+    val s = AsOf.joinAsOfShuffle(fact, dirtyDim, Seq("k"), "ts",
+      "valid_from", Seq("version"))
+    assert(toMap(s) == expected)
+  }
+
+  test("granularity coarser than the dim's snapshot spacing is rejected") {
+    // week buckets over ~2.5-day-spaced snapshots: correct but a 7x join
+    // fan-out per fact row — the guard-rail rejects it up front
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from", "week",
+        Seq("version"))
+    }
+    assert(ex.getMessage.contains("coarser"))
+  }
+
   test("caller-supplied clamp horizon matches the computed one") {
     val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
       "day", Seq("version"), clampTs = Some(ts("2024-03-01 00:00:00")))

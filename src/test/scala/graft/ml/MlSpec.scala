@@ -304,6 +304,31 @@ class MlSpec extends GraftSuite {
     assert(labels.slice(16, 18).forall(_ == -1))
   }
 
+  test("dbscan kernel: dense 20k-point group stays O(n) memory, one cluster") {
+    // regression (VERDICT r4 item 3): the stored-neighbor-list kernel held
+    // up to n² ints (~1.6 GB at n=20k, every point within eps) in one
+    // task; the count-and-recompute kernel holds O(n). A dense group is
+    // the worst case — if lists were still materialized this allocates
+    // 20k arrays of 20k ints and blows past any sane per-task budget.
+    val n = 20000
+    val xs = Array.tabulate(n)(i => Array(i * 1e-6, 0.0)) // all within eps
+    val before = {
+      val rt = Runtime.getRuntime; rt.gc()
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val labels = Neighborhood.dbscanKernel(xs, eps = 0.5, minSamples = 5)
+    val after = {
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+    assert(labels.forall(_ == 0), "one dense cluster, no noise")
+    // generous bound: O(n) state is ~KBs; the old kernel needed ~1.6 GB.
+    // totalMemory-freeMemory is noisy (other allocations, GC timing), so
+    // assert only that we did not retain hundreds of MB
+    assert(after - before < 400L * 1024 * 1024,
+      s"dbscanKernel retained ${(after - before) / 1024 / 1024} MB")
+  }
+
   test("dbscan: noise ⟺ non-core with no core neighbor (oracle-checkable form)") {
     val xs = ((0 until 30).map(i => Array(u(i, 11) * 2)) ++
       Seq(Array(50.0), Array(80.0))).toArray
