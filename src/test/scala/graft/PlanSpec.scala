@@ -72,6 +72,49 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q70 session-gap constraint: text never rides the keyed-window shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q70_session_gap_violations")(spark, sfTiny)
+      // the Validator persists its violation union, so the window shuffle
+      // lives in the CACHED plan behind InMemoryTableScan — walk into it
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val plans = df.queryExecution.executedPlan +: df.queryExecution
+        .executedPlan.collect { case s: InMemoryTableScanExec =>
+          s.relation.cachedPlan }
+      val shuffledCols = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      }.flatten).toSet
+      assert(shuffledCols.nonEmpty, "expected the keyed window shuffle")
+      assert(!shuffledCols.exists(_.contains("text")),
+        s"text rides a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q71 as-of integrity: broadcast tier — the fact side is never shuffled") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry
+        .queries("q71_asof_integrity_violations")(spark, sfTiny)
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val plans = df.queryExecution.executedPlan +: df.queryExecution
+        .executedPlan.collect { case s: InMemoryTableScanExec =>
+          s.relation.cachedPlan }
+      assert(plans.exists(_.toString.contains("BroadcastHashJoin")),
+        "as-of resolution should be a broadcast hash join")
+      // the only exchanges allowed are on the (small) dim/violation side;
+      // the pruned fact projection (conv_id, turn_idx, ts, role) must not
+      // carry text through any exchange to resolve snapshots
+      val shuffledCols = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      }.flatten).toSet
+      assert(!shuffledCols.exists(_.contains("text")),
+        s"text rides a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q40 minhash: the reused signature subplan is persisted (scanned once)") {
     val df = SparkEntry.queries("q40_minhash_lsh")(spark, sfTiny)
     val s = finalPlan(df)
