@@ -385,8 +385,10 @@ object Bench {
     def emit(): Unit = {
       // 0.1ms precision: full-precision doubles made the one-line JSON
       // long enough that the driver's tail capture truncated it (r4)
+      // Locale.ROOT: a comma-decimal default locale would corrupt the
+      // one-line JSON the driver parses
       val qs = results.collect { case (k, Right(v)) =>
-        "\"" + k + "\":" + "%.4f".format(v) }
+        "\"" + k + "\":" + "%.4f".formatLocal(java.util.Locale.ROOT, v) }
         .mkString("{", ",", "}")
       val qErrs = results.collect { case (k, Left(e)) =>
         "\"" + k + "\":" + jStr(e) }.mkString("{", ",", "}")
@@ -458,7 +460,7 @@ object Bench {
         if (acceptedEffs.nonEmpty) "max_over_cpu_symmetric_rounds"
         else if (roundEffs.nonEmpty) "median_over_complete_rounds_fallback"
         else "none"
-      val jsonLine = s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"rounds_detail":$roundsDetail,"rounds_rejected":$roundsRejected,"efficiency_basis":${jStr(effBasis)},"scaling_efficiency":${num(efficiency)},"peak_partial_wall_sec":${num(peakPartialSec)},"bw_probe_mbps":${bwProbes.reverse.map { case (l, v) => s"${jStr(l)}:${"%.0f".format(v)}" }.mkString("{", ",", "}")},"bw_quiet_ref_mbps":${"%.0f".format(bwRef)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}"""
+      val jsonLine = s"""{"metric":"validated turns/sec (constraint-eval throughput)","value":${num(headline)},"unit":"turns/sec","total_query_sec":$total,"queries":$qs,"query_errors":$qErrs,"sf":${jStr(sfDir)},"bench_turns":$totalTurns,"scaling_pair":[$loN,$hiN],"throughput":$thrMap,"wall_sec":$wallMap,"all_walls":{"local$loN":${walls(loN).mkString("[", ",", "]")},"local$hiN":${walls(hiN).mkString("[", ",", "]")},"peak":${peakWalls.mkString("[", ",", "]")}},"all_proc_cpu_sec":{"local$loN":${cpus3(loN).mkString("[", ",", "]")},"local$hiN":${cpus3(hiN).mkString("[", ",", "]")}},"fork_loads":$loadsMap,"speed_factor":$speedFactor,"calibration_wall_sec":${num(Option(calWall).filterNot(_.isNaN))},"round_efficiencies":${roundEffs.mkString("[", ",", "]")},"rounds":${rounds.reverse.map { case (l, h) => s"[${num(l)},${num(h)}]" }.mkString("[", ",", "]")},"rounds_detail":$roundsDetail,"rounds_rejected":$roundsRejected,"efficiency_basis":${jStr(effBasis)},"scaling_efficiency":${num(efficiency)},"peak_partial_wall_sec":${num(peakPartialSec)},"bw_probe_mbps":${bwProbes.reverse.map { case (l, v) => s"${jStr(l)}:${"%.0f".formatLocal(java.util.Locale.ROOT, v)}" }.mkString("{", ",", "}")},"bw_quiet_ref_mbps":${"%.0f".formatLocal(java.util.Locale.ROOT, bwRef)},"host_load_avg":$load,"budget_sec":$budgetSec,"elapsed_sec":$elapsed,"incomplete":$incomplete,"errors":[${errors.map(jStr).mkString(",")}]}"""
       println(jsonLine)
       // the driver's stdout capture keeps only a bounded TAIL of the line
       // (r4 lost 52 of 68 per-query timings to the truncation), so the
@@ -555,11 +557,18 @@ object Bench {
       // persists across runs, so pay it ONCE here while the parent
       // session is live (count-only when the table is already cached).
       // A shrink round's genEst then prices at ~0 (see sizeNextRound).
-      if (nConvs > nConvsMin && remaining > 300) {
-        val floorPath = s"$scratchRoot/table_${nConvsMin}"
+      // The table pre-priced here MUST be the one sizeNextRound's
+      // last-chance path shrinks to (SPARK_GRAFT_MIN_ROUND_CONVS, the
+      // round floor) — pricing the SPARK_GRAFT_BENCH_CONVS_MIN table
+      // instead would leave the insurance pointing at a table the sizing
+      // logic never uses whenever the two knobs are overridden apart.
+      val floorConvs =
+        sys.env.getOrElse("SPARK_GRAFT_MIN_ROUND_CONVS", "100000").toLong
+      if (nConvs > floorConvs && remaining > 300) {
+        val floorPath = s"$scratchRoot/table_${floorConvs}"
         val have = new java.io.File(s"$floorPath/_SUCCESS").exists()
         if (!have && remaining > 450)
-          TranscriptGen.generate(spark, nConvsMin)
+          TranscriptGen.generate(spark, floorConvs)
             .write.mode("overwrite").parquet(floorPath)
         if (have || remaining > 450)
           turnsByPath(floorPath) = spark.read.parquet(floorPath).count()

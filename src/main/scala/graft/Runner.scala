@@ -72,9 +72,11 @@ object Runner {
         // engine and every run, so a sampled validation is reproducible)
         val sampleRate = {
           val i = restWithFmt.indexOf("--sample")
-          if (i >= 0 && i + 1 < restWithFmt.length)
+          if (i < 0) None
+          else if (i + 1 < restWithFmt.length)
             Some(restWithFmt(i + 1).toDouble)
-          else None
+          else sys.error("--sample requires a rate argument (e.g. " +
+            "--sample 0.01); refusing to silently run a FULL validation")
         }
         val rest = {
           val i = restWithFmt.indexOf("--sample")

@@ -84,7 +84,13 @@ object AsOf {
     val medSpacing = withEnd
       .where(col("__valid_to").isNotNull && spacingUs > 0)
       .agg(percentile_approx(spacingUs, lit(0.5), lit(1000))).first()
-    if (!medSpacing.isNullAt(0))
+    // "hour" (the finest supported unit) is always allowed: a dim
+    // snapshotted every 30 min violates the bound for EVERY unit, and
+    // rejecting all of them would turn this perf guard into a hard
+    // regression — there the modest fan-out is the best available plan.
+    // Coarser units stay rejected whenever they exceed the spacing,
+    // because "pick a finer granularity" is then actionable advice.
+    if (!medSpacing.isNullAt(0) && granularity != "hour")
       require(granMicros <= medSpacing.getLong(0),
         s"granularity '$granularity' is coarser than the dim's median " +
           s"snapshot spacing (${medSpacing.getLong(0) / 1000000L}s): pick a " +

@@ -55,7 +55,10 @@ class GoldenE2eSpec extends GraftSuite {
       fields.zipWithIndex.map { case (f, i) =>
         if (row.isNullAt(i)) "NULL"
         else f.dataType match {
-          case DoubleType => f"${row.getDouble(i)}%.6f"
+          // Locale.ROOT: golden bytes must not depend on the host JVM's
+          // default locale (comma-decimal locales would corrupt them)
+          case DoubleType =>
+            "%.6f".formatLocal(java.util.Locale.ROOT, row.getDouble(i))
           case _ => String.valueOf(row.get(i))
         }
       }.mkString(",")

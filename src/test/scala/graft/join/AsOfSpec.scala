@@ -130,6 +130,32 @@ class AsOfSpec extends GraftSuite {
     assert(ex.getMessage.contains("coarser"))
   }
 
+  test("sub-hour snapshot spacing: 'hour' still works, coarser still rejected") {
+    // regression: a dim snapshotted every 30 min violates the spacing
+    // bound for EVERY supported unit — the finest ("hour") must remain
+    // usable (perf guard, not a correctness guard), while "day" is still
+    // rejected because switching to "hour" is actionable
+    val denseDim = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1),
+      ("a", ts("2024-01-01 00:30:00"), 2),
+      ("a", ts("2024-01-01 01:00:00"), 3))
+      .toDF("k", "valid_from", "version")
+    val denseFact = Seq(
+      ("a", ts("2024-01-01 00:15:00"), "in-1"),
+      ("a", ts("2024-01-01 00:45:00"), "in-2"),
+      ("a", ts("2024-01-01 02:00:00"), "open"))
+      .toDF("k", "ts", "tag")
+    val got = AsOf.joinAsOf(denseFact, denseDim, Seq("k"), "ts",
+      "valid_from", "hour", Seq("version"))
+    assert(toMap(got) ==
+      Map("in-1" -> Some(1), "in-2" -> Some(2), "open" -> Some(3)))
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(denseFact, denseDim, Seq("k"), "ts", "valid_from",
+        "day", Seq("version"))
+    }
+    assert(ex.getMessage.contains("coarser"))
+  }
+
   test("caller-supplied clamp horizon matches the computed one") {
     val got = AsOf.joinAsOf(fact, dim, Seq("k"), "ts", "valid_from",
       "day", Seq("version"), clampTs = Some(ts("2024-03-01 00:00:00")))
