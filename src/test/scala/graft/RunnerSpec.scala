@@ -30,6 +30,18 @@ class RunnerSpec extends GraftSuite {
     assert(verdictConvs == sampledConvs)
   }
 
+  test("validate --sample with no rate argument refuses to run") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 5, baseTurns = 4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val ex = intercept[RuntimeException] {
+      Runner.main(Array("validate", s"$dir/in", s"$dir/out", "--sample"))
+    }
+    assert(ex.getMessage.contains("--sample requires a rate"))
+    assert(!new java.io.File(s"$dir/out/verdicts").exists(),
+      "a malformed --sample must not fall back to a full validation")
+  }
+
   test("dupgroups verb writes canonical duplicate groups") {
     val dir = tmp()
     val common = "the quick brown fox jumps over the lazy dog again and again today"
