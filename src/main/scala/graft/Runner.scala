@@ -12,6 +12,7 @@ import graft.sources.{Tables, TranscriptGen}
   *
   *   graft.Runner validate <transcripts-parquet> <out-dir>
   *       [--resumable <ckpt-dir> <P>] [--format csv] [--sample <rate>]
+  *       [--suite <yaml-or-json-file>]
   *   graft.Runner generate <n-convs> <out-parquet>
   *   graft.Runner dupgroups <docs-parquet> <out-dir>
   *       [--id doc_id] [--text text] [--threshold 0.7]
@@ -21,8 +22,12 @@ import graft.sources.{Tables, TranscriptGen}
   * transcript suite, writes violations/verdicts parquet + a JSON summary.
   * With --resumable it runs through the per-partition checkpoint (restart
   * the same command to resume after a kill); --sample validates a
-  * deterministic whole-conversation sample. `dupgroups` and `sessions`
-  * expose the dedup-grouping and sessionization pipelines without Scala.
+  * deterministic whole-conversation sample; --suite swaps the hardcoded
+  * suite for one parsed from a YAML/JSON config ([[graft.dsl.SuiteConfig]] —
+  * the reference's config-driven surface), whose `dims:` paths are loaded
+  * and registered on top of the built-in role/tool dims. `dupgroups` and
+  * `sessions` expose the dedup-grouping and sessionization pipelines
+  * without Scala.
   */
 object Runner {
 
@@ -78,13 +83,28 @@ object Runner {
           else sys.error("--sample requires a rate argument (e.g. " +
             "--sample 0.01); refusing to silently run a FULL validation")
         }
-        val rest = {
+        val restNoSample = {
           val i = restWithFmt.indexOf("--sample")
           if (i < 0) restWithFmt else restWithFmt.patch(i, Nil, 2)
         }
+        // --suite <file>: the config-driven surface — YAML/JSON parsed to
+        // the same Constraint ADT the Scala API uses, strict on typos
+        val suitePath = {
+          val i = restNoSample.indexOf("--suite")
+          if (i < 0) None
+          else if (i + 1 < restNoSample.length) Some(restNoSample(i + 1))
+          else sys.error("--suite requires a config-file path argument")
+        }
+        val rest = {
+          val i = restNoSample.indexOf("--suite")
+          if (i < 0) restNoSample else restNoSample.patch(i, Nil, 2)
+        }
+        val suite = suitePath.map(SuiteConfig.load).getOrElse(defaultSuite)
+        val configDims = suitePath.map(SuiteConfig.loadDims).getOrElse(Map.empty)
         val ctx = Validator.Context(Map(
           "role_dim" -> Tables.roleDim(spark),
-          "tool_dim" -> Tables.toolDim(spark)))
+          "tool_dim" -> Tables.toolDim(spark)) ++
+          configDims.view.mapValues(spark.read.parquet(_)).toMap)
         // snapshot-pin the input so a resumed run sees identical files;
         // `provider` is the catalog seam — swap in an Iceberg provider and
         // the pin becomes a snapshot id instead of a file list
@@ -94,20 +114,20 @@ object Runner {
         val pinnedAll = provider.readPinned(spark, manifest)
         val pinned = sampleRate match {
           case Some(r) => graft.sample.Sampling
-            .uniform(pinnedAll, defaultSuite.keyCol, r)
+            .uniform(pinnedAll, suite.keyCol, r)
           case None => pinnedAll
         }
         val t0 = System.nanoTime()
         val (violations, verdicts) = rest match {
           case "--resumable" :: ckpt :: p :: Nil =>
             val rv = new ResumableValidation(spark, ckpt, p.toInt)
-            val Some((vio, ver, metrics)) = rv.run(pinned, defaultSuite, ctx)
+            val Some((vio, ver, metrics)) = rv.run(pinned, suite, ctx)
             println(metrics.map(m =>
               s"""{"partition":${m.partition},"rows":${m.rows},"violations":${m.violations},"wall_ms":${m.wallMs}}""")
               .mkString("[", ",", "]"))
             (vio, ver)
           case _ =>
-            val r = Validator.validate(pinned, defaultSuite, ctx)
+            val r = Validator.validate(pinned, suite, ctx)
             (r.violations, r.verdicts)
         }
         violations.write.mode("overwrite").parquet(s"$out/violations")

@@ -1,0 +1,230 @@
+package graft.dsl
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import scala.jdk.CollectionConverters._
+
+/** Config-file face of the constraint DSL — the engine analog of the
+  * reference's YAML-driven configuration (`config/regions.yaml:54-58`
+  * parameterizes its detectors; `使用指南.md:207-214` documents config-first
+  * extension). A suite file is YAML or JSON (YAML 1.2 is a JSON superset,
+  * one parser handles both):
+  *
+  * {{{
+  * name: transcripts
+  * keyCol: conv_id          # defaults: conv_id / turn_idx / ts
+  * dims:                    # optional: dimension name -> parquet path
+  *   roles: /data/dims/roles
+  * constraints:
+  *   - {type: not_null, column: role}
+  *   - {type: unique_key, columns: [conv_id, turn_idx]}
+  *   - {type: referential, column: role, dim: roles, dimColumn: role}
+  *   - {type: rolling_z_drift, column: gap_sec, window: 24, threshold: 3}
+  *   - {type: max_session_gap, maxGapSeconds: 3600}
+  *   - {type: turn_rate_drift, method: classical, period: 24}
+  * }}}
+  *
+  * Parsing is STRICT: an unknown constraint type, an unknown field, or a
+  * missing required field fails immediately with the offending name — in a
+  * 10^12-turn run a silently-dropped typo ("colum") would surface as a
+  * wrong verdict hours later, so the config layer refuses it up front.
+  * Field names and defaults mirror the [[Constraint]] case classes
+  * one-for-one; `text_equals` takes `expectedSql`, compiled via
+  * `functions.expr` (per-turn text equality as ANSI SQL over the fact's
+  * own columns).
+  */
+object SuiteConfig {
+
+  // YAMLFactory parses both YAML and JSON; mapper only builds trees here
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** Parse a suite document (YAML or JSON) into a [[Check]]. */
+  def parse(text: String): Check = {
+    val root = mapper.readTree(text)
+    require(root != null && root.isObject, "suite config: top level must be a mapping")
+    known(root, "suite", Set("name", "keyCol", "orderCol", "tsCol", "dims",
+      "constraints"))
+    val cs = req(root, "constraints", "suite")
+    require(cs.isArray && cs.size > 0, "suite config: 'constraints' must be a non-empty list")
+    Check(
+      name = str(root, "name", "suite"),
+      constraints = cs.elements().asScala.map(constraint).toSeq,
+      keyCol = optStr(root, "keyCol", "conv_id"),
+      orderCol = optStr(root, "orderCol", "turn_idx"),
+      tsCol = optStr(root, "tsCol", "ts"))
+  }
+
+  /** Dimension-table paths declared by the config (name -> parquet path);
+    * the caller (e.g. [[graft.Runner]]) loads and registers them.
+    */
+  def dims(text: String): Map[String, String] = {
+    val root = mapper.readTree(text)
+    Option(root.get("dims")) match {
+      case None => Map.empty
+      case Some(d) =>
+        require(d.isObject, "suite config: 'dims' must be a mapping of name -> path")
+        d.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  /** Read + parse a suite file. */
+  def load(path: String): Check =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Dim paths from a suite file. */
+  def loadDims(path: String): Map[String, String] =
+    dims(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  // ---- per-constraint builders ----------------------------------------------
+
+  private def constraint(n: JsonNode): Constraint = {
+    require(n.isObject, "suite config: each constraint must be a mapping")
+    val t = str(n, "type", "constraint")
+    def ctx = s"constraint '$t'"
+    t match {
+      case "not_null" =>
+        known(n, ctx, Set("type", "column", "maxNullRate"))
+        NotNull(str(n, "column", ctx), optD(n, "maxNullRate", 0.0))
+      case "in_set" =>
+        known(n, ctx, Set("type", "column", "allowed"))
+        val a = req(n, "allowed", ctx)
+        require(a.isArray, s"$ctx: 'allowed' must be a list")
+        InSet(str(n, "column", ctx),
+          a.elements().asScala.map(_.asText()).toSeq)
+      case "matches_regex" =>
+        known(n, ctx, Set("type", "column", "regex"))
+        MatchesRegex(str(n, "column", ctx), str(n, "regex", ctx))
+      case "value_bounds" =>
+        known(n, ctx, Set("type", "column", "lo", "hi"))
+        val c = ValueBounds(str(n, "column", ctx),
+          Option(n.get("lo")).map(_.asDouble()),
+          Option(n.get("hi")).map(_.asDouble()))
+        require(c.lo.nonEmpty || c.hi.nonEmpty, s"$ctx: need 'lo' and/or 'hi'")
+        c
+      case "text_equals" =>
+        known(n, ctx, Set("type", "column", "expectedSql"))
+        TextEquals(str(n, "column", ctx),
+          org.apache.spark.sql.functions.expr(str(n, "expectedSql", ctx)))
+      case "unique_key" =>
+        known(n, ctx, Set("type", "columns"))
+        val c = req(n, "columns", ctx)
+        require(c.isArray && c.size > 0, s"$ctx: 'columns' must be a non-empty list")
+        UniqueKey(c.elements().asScala.map(_.asText()).toSeq)
+      case "referential" =>
+        known(n, ctx, Set("type", "column", "dim", "dimColumn", "nullOk",
+          "broadcastDim"))
+        ReferentialIntegrity(str(n, "column", ctx), str(n, "dim", ctx),
+          str(n, "dimColumn", ctx), optB(n, "nullOk", true),
+          optB(n, "broadcastDim", true))
+      case "asof_integrity" =>
+        known(n, ctx, Set("type", "column", "dim", "dimColumn", "dimTsColumn",
+          "granularity", "nullOk", "broadcastDim"))
+        AsOfIntegrity(str(n, "column", ctx), str(n, "dim", ctx),
+          str(n, "dimColumn", ctx), str(n, "dimTsColumn", ctx),
+          optStr(n, "granularity", "day"), optB(n, "nullOk", true),
+          optB(n, "broadcastDim", true))
+      case "min_rows" =>
+        known(n, ctx, Set("type", "n"))
+        MinRows(lng(n, "n", ctx))
+      case "mean_between" =>
+        known(n, ctx, Set("type", "column", "lo", "hi"))
+        MeanBetween(str(n, "column", ctx), dbl(n, "lo", ctx), dbl(n, "hi", ctx))
+      case "stddev_between" =>
+        known(n, ctx, Set("type", "column", "lo", "hi"))
+        StddevBetween(str(n, "column", ctx), dbl(n, "lo", ctx), dbl(n, "hi", ctx))
+      case "quantile_between" =>
+        known(n, ctx, Set("type", "column", "q", "lo", "hi", "approx"))
+        QuantileBetween(str(n, "column", ctx), dbl(n, "q", ctx),
+          dbl(n, "lo", ctx), dbl(n, "hi", ctx), optB(n, "approx", true))
+      case "distinct_count_between" =>
+        known(n, ctx, Set("type", "column", "lo", "hi"))
+        DistinctCountBetween(str(n, "column", ctx), lng(n, "lo", ctx),
+          lng(n, "hi", ctx))
+      case "max_key_share" =>
+        known(n, ctx, Set("type", "column", "maxFrac", "k"))
+        MaxKeyShare(str(n, "column", ctx), optD(n, "maxFrac", 1.0 / 512),
+          optI(n, "k", 2048))
+      case "robust_z" =>
+        known(n, ctx, Set("type", "column", "threshold", "approx"))
+        RobustZ(str(n, "column", ctx), optD(n, "threshold", 3.5),
+          optB(n, "approx", true))
+      case "iqr_outliers" =>
+        known(n, ctx, Set("type", "column", "k", "approx"))
+        IqrOutliers(str(n, "column", ctx), optD(n, "k", 2.0),
+          optB(n, "approx", true))
+      case "global_z" =>
+        known(n, ctx, Set("type", "column", "threshold"))
+        GlobalZ(str(n, "column", ctx), optD(n, "threshold", 3.0))
+      case "rolling_z_drift" =>
+        known(n, ctx, Set("type", "column", "window", "threshold"))
+        RollingZDrift(str(n, "column", ctx), optI(n, "window", 24),
+          optD(n, "threshold", 3.0))
+      case "max_session_gap" =>
+        known(n, ctx, Set("type", "maxGapSeconds"))
+        MaxSessionGap(lng(n, "maxGapSeconds", ctx))
+      case "turn_rate_drift" =>
+        known(n, ctx, Set("type", "bucket", "period", "method", "seasonal",
+          "residMethod", "residThreshold", "psiThreshold", "ksThreshold"))
+        TurnRateDrift(optStr(n, "bucket", "1 hour"), optI(n, "period", 24),
+          optStr(n, "method", "stl"), optI(n, "seasonal", 7),
+          optStr(n, "residMethod", "iqr"), optD(n, "residThreshold", 2.0),
+          optD(n, "psiThreshold", 0.25), optD(n, "ksThreshold", 0.5))
+      case other => throw new IllegalArgumentException(
+        s"suite config: unknown constraint type '$other' (supported: " +
+          "not_null, in_set, matches_regex, value_bounds, text_equals, " +
+          "unique_key, referential, asof_integrity, min_rows, mean_between, " +
+          "stddev_between, quantile_between, distinct_count_between, " +
+          "max_key_share, robust_z, iqr_outliers, global_z, " +
+          "rolling_z_drift, max_session_gap, turn_rate_drift)")
+    }
+  }
+
+  // ---- strict field access ----------------------------------------------------
+
+  private def known(n: JsonNode, ctx: String, allowed: Set[String]): Unit = {
+    val unknown = n.fieldNames().asScala.filterNot(allowed).toSeq
+    require(unknown.isEmpty,
+      s"suite config: $ctx has unknown field(s) ${unknown.mkString("'", "', '", "'")} " +
+        s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+  }
+
+  private def req(n: JsonNode, f: String, ctx: String): JsonNode = {
+    val v = n.get(f)
+    require(v != null && !v.isNull, s"suite config: $ctx is missing required field '$f'")
+    v
+  }
+
+  private def str(n: JsonNode, f: String, ctx: String): String = {
+    val v = req(n, f, ctx)
+    require(v.isTextual, s"suite config: $ctx field '$f' must be a string")
+    v.asText()
+  }
+
+  private def dbl(n: JsonNode, f: String, ctx: String): Double = {
+    val v = req(n, f, ctx)
+    require(v.isNumber, s"suite config: $ctx field '$f' must be a number")
+    v.asDouble()
+  }
+
+  private def lng(n: JsonNode, f: String, ctx: String): Long = {
+    val v = req(n, f, ctx)
+    require(v.canConvertToLong, s"suite config: $ctx field '$f' must be an integer")
+    v.asLong()
+  }
+
+  private def optStr(n: JsonNode, f: String, dflt: String): String =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse(dflt)
+
+  private def optD(n: JsonNode, f: String, dflt: Double): Double =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asDouble()).getOrElse(dflt)
+
+  private def optI(n: JsonNode, f: String, dflt: Int): Int =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asInt()).getOrElse(dflt)
+
+  private def optB(n: JsonNode, f: String, dflt: Boolean): Boolean =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean()).getOrElse(dflt)
+}

@@ -61,6 +61,62 @@ class RunnerSpec extends GraftSuite {
     assert(groups(3L)._2 == 1L && groups(4L)._2 == 1L, "singletons stay alone")
   }
 
+  test("validate --suite runs the configured suite, incl. a config-declared dim") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 30, baseTurns = 24)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    // a config-declared dimension that EXCLUDES 'tool' role rows, so the
+    // configured referential check must find violations the default
+    // suite's role_dim (which includes 'tool') never would
+    Seq("system", "user", "assistant").toDF("role")
+      .write.mode("overwrite").parquet(s"$dir/roles3")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/suite.yaml"),
+      s"""name: configured
+         |dims: {roles3: $dir/roles3}
+         |constraints:
+         |  - {type: not_null, column: conv_id}
+         |  - {type: referential, column: role, dim: roles3, dimColumn: role}
+         |  - {type: max_session_gap, maxGapSeconds: 86400}
+         |""".stripMargin.getBytes("UTF-8"))
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+      "--suite", s"$dir/suite.yaml"))
+    val verdicts = spark.read.parquet(s"$dir/out/verdicts")
+    val names = verdicts.select("constraint").distinct().as[String]
+      .collect().toSet
+    assert(names.contains("ref(role->roles3)") &&
+      names.contains("session_gap(86400s)"),
+      s"configured constraints missing from verdicts: $names")
+    assert(!names.exists(_.startsWith("unique(")),
+      "default-suite constraints must not leak into a --suite run")
+    // violations = every row outside the 3-role dim: the generator's
+    // 'tool' rows plus its injected 'invalid_role' rows (nullOk default)
+    val expectedRefViol = spark.read.parquet(s"$dir/in")
+      .where(col("role").isNotNull &&
+        !col("role").isin("system", "user", "assistant")).count()
+    val actualRefViol = spark.read.parquet(s"$dir/out/violations")
+      .where(col("constraint") === "ref(role->roles3)").count()
+    assert(expectedRefViol > 0 && actualRefViol == expectedRefViol,
+      s"config dim should flag the $expectedRefViol 'tool' rows, got $actualRefViol")
+  }
+
+  test("validate --suite with a typo'd field refuses to run") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 5, baseTurns = 4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/suite.yaml"),
+      """name: s
+        |constraints:
+        |  - {type: not_null, colum: conv_id}
+        |""".stripMargin.getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+        "--suite", s"$dir/suite.yaml"))
+    }
+    assert(ex.getMessage.contains("'colum'"))
+    assert(!new java.io.File(s"$dir/out/verdicts").exists(),
+      "a malformed suite must not fall back to the default suite")
+  }
+
   test("sessions verb writes per-session summaries at the given gap") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -1,0 +1,150 @@
+package graft.dsl
+
+import graft.GraftSuite
+
+/** The config-file face of the DSL: every constraint type parses to the
+  * exact case-class value (defaults included), YAML and JSON are the same
+  * document, and typos fail fast instead of silently dropping a check.
+  */
+class SuiteConfigSpec extends GraftSuite {
+
+  test("parses every constraint type to the exact ADT value") {
+    val check = SuiteConfig.parse(
+      """name: full
+        |keyCol: k
+        |orderCol: o
+        |tsCol: t
+        |constraints:
+        |  - {type: not_null, column: a, maxNullRate: 0.1}
+        |  - {type: in_set, column: b, allowed: [x, y]}
+        |  - {type: matches_regex, column: c, regex: "^x$"}
+        |  - {type: value_bounds, column: d, lo: 1.5}
+        |  - {type: unique_key, columns: [k, o]}
+        |  - {type: referential, column: e, dim: dims1, dimColumn: v,
+        |     nullOk: false, broadcastDim: false}
+        |  - {type: asof_integrity, column: f, dim: snaps, dimColumn: v,
+        |     dimTsColumn: valid_from, granularity: hour}
+        |  - {type: min_rows, n: 100}
+        |  - {type: mean_between, column: g, lo: 0, hi: 1}
+        |  - {type: stddev_between, column: h, lo: 0, hi: 2}
+        |  - {type: quantile_between, column: i, q: 0.9, lo: 0, hi: 5,
+        |     approx: false}
+        |  - {type: distinct_count_between, column: j, lo: 1, hi: 10}
+        |  - {type: max_key_share, column: k, maxFrac: 0.01, k: 512}
+        |  - {type: robust_z, column: l, threshold: 4.0}
+        |  - {type: iqr_outliers, column: m}
+        |  - {type: global_z, column: n2}
+        |  - {type: rolling_z_drift, column: p, window: 12, threshold: 2.5}
+        |  - {type: max_session_gap, maxGapSeconds: 3600}
+        |  - {type: turn_rate_drift, method: classical, period: 6,
+        |     bucket: 10 minutes}
+        |""".stripMargin)
+    assert(check.name == "full" && check.keyCol == "k" &&
+      check.orderCol == "o" && check.tsCol == "t")
+    val cs = check.constraints
+    assert(cs(0) == NotNull("a", 0.1))
+    assert(cs(1) == InSet("b", Seq("x", "y")))
+    assert(cs(2) == MatchesRegex("c", "^x$"))
+    assert(cs(3) == ValueBounds("d", Some(1.5), None))
+    assert(cs(4) == UniqueKey(Seq("k", "o")))
+    assert(cs(5) == ReferentialIntegrity("e", "dims1", "v",
+      nullOk = false, broadcastDim = false))
+    assert(cs(6) == AsOfIntegrity("f", "snaps", "v", "valid_from", "hour"))
+    assert(cs(7) == MinRows(100))
+    assert(cs(8) == MeanBetween("g", 0, 1))
+    assert(cs(9) == StddevBetween("h", 0, 2))
+    assert(cs(10) == QuantileBetween("i", 0.9, 0, 5, approx = false))
+    assert(cs(11) == DistinctCountBetween("j", 1, 10))
+    assert(cs(12) == MaxKeyShare("k", 0.01, 512))
+    assert(cs(13) == RobustZ("l", 4.0))
+    assert(cs(14) == IqrOutliers("m")) // defaults k=2.0, approx=true
+    assert(cs(15) == GlobalZ("n2"))
+    assert(cs(16) == RollingZDrift("p", 12, 2.5))
+    assert(cs(17) == MaxSessionGap(3600))
+    assert(cs(18) == TurnRateDrift(bucket = "10 minutes", period = 6,
+      method = "classical"))
+  }
+
+  test("JSON and YAML documents parse identically; defaults fill in") {
+    val yaml = SuiteConfig.parse(
+      """name: s
+        |constraints:
+        |  - {type: not_null, column: a}
+        |""".stripMargin)
+    val json = SuiteConfig.parse(
+      """{"name": "s", "constraints": [{"type": "not_null", "column": "a"}]}""")
+    assert(yaml == json)
+    assert(yaml.keyCol == "conv_id" && yaml.orderCol == "turn_idx" &&
+      yaml.tsCol == "ts")
+  }
+
+  test("text_equals compiles expectedSql via expr (needs an active session)") {
+    spark // force session init so functions.expr can parse
+    val check = SuiteConfig.parse(
+      """name: s
+        |constraints:
+        |  - {type: text_equals, column: text,
+        |     expectedSql: "concat('turn_', cast(turn_idx as string))"}
+        |""".stripMargin)
+    val TextEquals(colName, expected) = check.constraints.head
+    assert(colName == "text")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bad = Seq(("turn_0", 0), ("WRONG", 1)).toDF("text", "turn_idx")
+      .where(col("text") =!= expected).collect()
+    assert(bad.length == 1 && bad(0).getString(0) == "WRONG")
+  }
+
+  test("unknown constraint type fails fast and lists the supported set") {
+    val ex = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: not_nul, column: a}
+          |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("unknown constraint type 'not_nul'"))
+    assert(ex.getMessage.contains("not_null"))
+  }
+
+  test("unknown field (typo) fails fast with the offending name") {
+    val ex = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: not_null, colum: a}
+          |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("'colum'"))
+  }
+
+  test("missing required field fails fast") {
+    val ex = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: referential, column: a, dim: d}
+          |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("'dimColumn'"))
+  }
+
+  test("dims map parses; absent dims is empty") {
+    val d = SuiteConfig.dims(
+      """name: s
+        |dims: {roles: /tmp/roles, tools: /tmp/tools}
+        |constraints: [{type: min_rows, n: 1}]
+        |""".stripMargin)
+    assert(d == Map("roles" -> "/tmp/roles", "tools" -> "/tmp/tools"))
+    assert(SuiteConfig.dims("""{"name":"s","constraints":[]}""").isEmpty)
+  }
+
+  test("empty or missing constraints list is rejected") {
+    intercept[IllegalArgumentException] {
+      SuiteConfig.parse("""{"name":"s","constraints":[]}""")
+    }
+    intercept[IllegalArgumentException] {
+      SuiteConfig.parse("""{"name":"s"}""")
+    }
+  }
+}
