@@ -944,6 +944,31 @@ object SparkEntry {
         AsOfIntegrity("role", "role_snap", "role", "valid_from"))), ctx)
       r.violations.select(col("conv_id"), col("turn_idx"),
         col("observed").as("role"))
+    }),
+
+    // Schema conformance — the "schema" half of the engine, differential
+    // against DuckDB's independent DESCRIBE of the same parquet. The
+    // declared schema deliberately mis-types user_id (int vs bigint),
+    // declares an absent column (amount), and disallows extras, so all
+    // three violation classes appear. The Spark side is pure driver
+    // metadata (zero jobs at any table size).
+    "q72_schema_check" -> ((s, dir) => {
+      // ts declares timestamp_ntz: the testdata parquet carries
+      // isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ and
+      // DuckDB as its (equally wall-clock) TIMESTAMP — the twin maps the
+      // two spellings of the same semantics together
+      val declared = Seq(
+        "event_id" -> "bigint", "ts" -> "timestamp_ntz", "user_id" -> "int",
+        "event_type" -> "string", "amount" -> "double")
+      val r = Validator.validate(Tables.events(s, dir),
+        Check("events_schema",
+          Seq(ExpectedSchema(declared, allowExtra = false)),
+          keyCol = "event_id", orderCol = "event_id", tsCol = "ts"))
+      // safe to release immediately: the schema violation rows are local
+      // (createDataFrame on the driver), so recompute after unpersist is free
+      r.unpersistAll()
+      r.violations.select(col("column").as("col_name"),
+        col("observed"), col("bound"))
     })
   )
 
@@ -2029,6 +2054,26 @@ object SparkEntry {
          |  FROM (SELECT * FROM transcripts WHERE role IS NOT NULL) t
          |  ASOF LEFT JOIN snaps2 s
          |    ON t.role = s.role AND t.ts >= s.valid_from)
-         |SELECT conv_id, turn_idx, role FROM resolved WHERE version IS NULL""".stripMargin
+         |SELECT conv_id, turn_idx, role FROM resolved WHERE version IS NULL""".stripMargin,
+
+    // schema-conformance twin: DuckDB's own DESCRIBE of the same parquet,
+    // type names mapped to Spark simpleStrings, full-outer-joined against
+    // the identical declared list
+    "q72_schema_check" ->
+      """WITH actual AS (
+        |  SELECT column_name AS col_name,
+        |    CASE column_type
+        |      WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'bigint'
+        |      WHEN 'INTEGER' THEN 'int' WHEN 'DOUBLE' THEN 'double'
+        |      WHEN 'TIMESTAMP' THEN 'timestamp_ntz' ELSE lower(column_type) END AS typ
+        |  FROM (DESCRIBE events)),
+        |declared(col_name, typ) AS (VALUES
+        |  ('event_id','bigint'),('ts','timestamp_ntz'),('user_id','int'),
+        |  ('event_type','string'),('amount','double'))
+        |SELECT coalesce(d.col_name, a.col_name) AS col_name,
+        |  CASE WHEN a.col_name IS NULL THEN '(missing)' ELSE a.typ END AS observed,
+        |  CASE WHEN d.col_name IS NULL THEN '(not declared)' ELSE d.typ END AS bound
+        |FROM declared d FULL OUTER JOIN actual a ON d.col_name = a.col_name
+        |WHERE a.col_name IS NULL OR d.col_name IS NULL OR d.typ <> a.typ""".stripMargin
   )
 }

@@ -415,12 +415,26 @@ object Validator {
             lit(c.severity).as("severity"))
     }
 
+    // ---- pass 0: schema conformance (pure metadata — zero Spark jobs) -------
+    // evaluated from df.schema on the driver; violation rows are local
+    val schemaResults: Seq[(ExpectedSchema, Seq[(String, String, String)])] =
+      check.constraints.collect { case c: ExpectedSchema =>
+        c -> schemaMismatches(df, c)
+      }
+    val schemaViolationDfs: Seq[DataFrame] = schemaResults.map { case (c, ms) =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        ms.map { case (n, obs, bnd) =>
+          Row(c.name, null, null, n, obs, bnd, c.severity) }.asJava,
+        violationSchema)
+    }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ windowViolations ++
       uniqueViolations ++ refViolations ++ sessionViolations ++
-      asofViolations ++
+      asofViolations ++ schemaViolationDfs ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -475,6 +489,11 @@ object Validator {
           val rate = stat(s"__nulls__$columnName") / math.max(1.0, totalRows.toDouble)
           (s"${c.name}[global]", rate <= maxRate, totalRows,
             stat(s"__nulls__$columnName").toLong, rate)
+      } ++
+      // schema conformance: pass iff zero mismatches (already computed,
+      // driver-side, in pass 0)
+      schemaResults.map { case (c, ms) =>
+        (c.name, ms.isEmpty, totalRows, ms.size.toLong, 0.0)
       }
     val globalVerdictDf = globalVerdicts
       .toDF("constraint", "pass", "rows", "violations", "violation_rate")
@@ -487,6 +506,41 @@ object Validator {
 
     Result(allViolations, allVerdicts,
       cached = allViolations +: driftResults.flatMap(_._3))
+  }
+
+  /** Declared (name, DDL type) vs the DataFrame's resolved schema — pure
+    * driver-side metadata, no jobs. Returns (column, observed, bound)
+    * triples: a declared column that is absent observes "(missing)"; a
+    * type mismatch observes the actual `simpleString`; with
+    * `allowExtra = false` every undeclared observed column is bound
+    * "(not declared)". Types compare as parsed DataTypes ("int" ==
+    * "integer"); nullability is deliberately ignored (see
+    * [[graft.dsl.ExpectedSchema]]).
+    */
+  private[graft] def schemaMismatches(df: DataFrame, c: ExpectedSchema)
+      : Seq[(String, String, String)] = {
+    val actualMap = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val declared = c.columns.map { case (n, t) =>
+      (n, org.apache.spark.sql.types.DataType.fromDDL(t))
+    }
+    // simpleString comparison: describes the full type structure but drops
+    // nullability at EVERY level — a parquet writer's containsNull=false on
+    // array<float> must not fail a declared "array<float>" (top-level
+    // nullability is likewise ignored; NotNull is the data-level check)
+    val mismatches = declared.flatMap { case (n, want) =>
+      actualMap.get(n) match {
+        case None => Some((n, "(missing)", want.simpleString))
+        case Some(got) if got.simpleString != want.simpleString =>
+          Some((n, got.simpleString, want.simpleString))
+        case _ => None
+      }
+    }
+    val declaredNames = c.columns.map(_._1).toSet
+    val extras =
+      if (c.allowExtra) Nil
+      else df.schema.fields.filterNot(f => declaredNames.contains(f.name))
+        .map(f => (f.name, f.dataType.simpleString, "(not declared)")).toSeq
+    mismatches ++ extras
   }
 
   /** Turn-rate drift: bucket per (conv, window(ts)) → decompose → residual

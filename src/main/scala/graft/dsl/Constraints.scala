@@ -43,6 +43,26 @@ final case class TextEquals(column: String,
     expected: org.apache.spark.sql.Column)
   extends Constraint { val name = s"text_equals($column)" }
 
+// ---- table-level (pure metadata) --------------------------------------------
+
+/** Schema conformance — the "schema" half of a schema + constraint
+  * validation engine, as a first-class constraint (the reference pins
+  * expected columns per table in its `table_info` registry,
+  * `src/hive_data_loader.py:180-225`). `columns` is the declared
+  * (name, Spark DDL type) list — e.g. `("ts", "timestamp")`,
+  * `("emb", "array<float>")`; comparison is by parsed DataType, so
+  * "int" and "integer" agree. `allowExtra = false` additionally flags
+  * observed columns that were never declared (a silently-added column
+  * is how upstream schema drift usually lands). Nullability is NOT
+  * checked — parquet writers disagree about it; NotNull is the
+  * data-level check. Evaluates on the driver from plan metadata: ZERO
+  * Spark jobs regardless of table size, so it belongs in every
+  * 10^12-turn suite as a free early tripwire.
+  */
+final case class ExpectedSchema(columns: Seq[(String, String)],
+    allowExtra: Boolean = true)
+  extends Constraint { val name = "expected_schema" }
+
 // ---- key-level -------------------------------------------------------------
 
 /** Uniqueness of a key tuple; violations are the extra copies. */

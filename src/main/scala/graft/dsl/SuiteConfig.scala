@@ -109,6 +109,18 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "expectedSql"))
         TextEquals(str(n, "column", ctx),
           org.apache.spark.sql.functions.expr(str(n, "expectedSql", ctx)))
+      case "expected_schema" =>
+        known(n, ctx, Set("type", "columns", "allowExtra"))
+        val c = req(n, "columns", ctx)
+        require(c.isObject && c.size > 0,
+          s"$ctx: 'columns' must be a non-empty mapping of name -> DDL type")
+        // sorted by name: the check is order-insensitive and Jackson's
+        // object nodes don't guarantee document order, so sorting keeps the
+        // parsed constraint deterministic across parser versions
+        ExpectedSchema(
+          c.properties().asScala.map(e => e.getKey -> e.getValue.asText())
+            .toSeq.sortBy(_._1),
+          optB(n, "allowExtra", true))
       case "unique_key" =>
         known(n, ctx, Set("type", "columns"))
         val c = req(n, "columns", ctx)
@@ -176,6 +188,7 @@ object SuiteConfig {
       case other => throw new IllegalArgumentException(
         s"suite config: unknown constraint type '$other' (supported: " +
           "not_null, in_set, matches_regex, value_bounds, text_equals, " +
+          "expected_schema, " +
           "unique_key, referential, asof_integrity, min_rows, mean_between, " +
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +

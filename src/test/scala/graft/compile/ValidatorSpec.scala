@@ -336,4 +336,52 @@ class ValidatorSpec extends GraftSuite {
     val global = verd.find(_._1 == "(global)").get
     assert(global._2 == false && global._3 == 700L)
   }
+
+  test("ExpectedSchema: conforming schema passes with zero violations and zero jobs") {
+    val declared = Seq("conv_id" -> "string", "turn_idx" -> "int",
+      "role" -> "string", "text" -> "string", "tool" -> "string",
+      "ts" -> "timestamp")
+    val c = ExpectedSchema(declared, allowExtra = false)
+    val mismatches = Validator.schemaMismatches(transcripts, c)
+    assert(mismatches.isEmpty, s"conforming schema must have no mismatches: $mismatches")
+    // zero-execution proof: a DataFrame that THROWS if any task ever runs
+    // still schema-checks fine — the check is pure plan metadata
+    val poisoned = spark.range(1)
+      .map(_ => sys.error("schema check must not execute tasks"): Long)
+      .toDF("id")
+    assert(Validator.schemaMismatches(poisoned,
+      ExpectedSchema(Seq("id" -> "bigint"))).isEmpty)
+    val r = Validator.validate(transcripts, Check("t", Seq(c)), dims)
+    val verdict = r.verdicts.where($"constraint" === "expected_schema").collect()
+    assert(verdict.length == 1 && verdict(0).getAs[Boolean]("pass"))
+    assert(r.violations.where($"constraint" === "expected_schema").count() == 0)
+  }
+
+  test("ExpectedSchema: missing / mistyped / undeclared columns each violate") {
+    val c = ExpectedSchema(Seq(
+      "conv_id" -> "string",
+      "turn_idx" -> "bigint",   // actual is int → type mismatch
+      "absent" -> "double",     // not in the table → missing
+      "role" -> "string", "text" -> "string", "tool" -> "string"),
+      allowExtra = false)        // ts undeclared → extra
+    val r = Validator.validate(transcripts, Check("t", Seq(c)), dims)
+    val viol = r.violations.where($"constraint" === "expected_schema")
+      .select("column", "observed", "bound").as[(String, String, String)]
+      .collect().toSet
+    assert(viol == Set(
+      ("turn_idx", "int", "bigint"),
+      ("absent", "(missing)", "double"),
+      ("ts", "timestamp", "(not declared)")), s"got $viol")
+    val verdict = r.verdicts.where($"constraint" === "expected_schema").collect()
+    assert(verdict.length == 1 && !verdict(0).getAs[Boolean]("pass") &&
+      verdict(0).getAs[Long]("violations") == 3L)
+  }
+
+  test("ExpectedSchema: DDL aliases compare as parsed types; extras tolerated by default") {
+    // "integer" == int, complex types parse too
+    import org.apache.spark.sql.functions.{array, lit}
+    val df = transcripts.withColumn("emb", array(lit(1.0f)))
+    val ok = ExpectedSchema(Seq("turn_idx" -> "integer", "emb" -> "array<float>"))
+    assert(Validator.schemaMismatches(df, ok).isEmpty)
+  }
 }

@@ -65,6 +65,25 @@ class SuiteConfigSpec extends GraftSuite {
       method = "classical"))
   }
 
+  test("expected_schema parses the column mapping (name-sorted — order-insensitive)") {
+    val check = SuiteConfig.parse(
+      """name: s
+        |constraints:
+        |  - {type: expected_schema, allowExtra: false,
+        |     columns: {conv_id: string, turn_idx: int, ts: timestamp,
+        |               emb: "array<float>"}}
+        |""".stripMargin)
+    assert(check.constraints.head == ExpectedSchema(Seq(
+      "conv_id" -> "string", "emb" -> "array<float>", "ts" -> "timestamp",
+      "turn_idx" -> "int"), allowExtra = false))
+    intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints: [{type: expected_schema, columns: {}}]
+          |""".stripMargin)
+    }
+  }
+
   test("JSON and YAML documents parse identically; defaults fill in") {
     val yaml = SuiteConfig.parse(
       """name: s
