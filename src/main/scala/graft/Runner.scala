@@ -32,6 +32,11 @@ import graft.sources.{Tables, TranscriptGen}
 object Runner {
 
   def defaultSuite: Check = Check("transcripts", Seq(
+    // schema tripwire first: pure driver metadata, zero jobs — upstream
+    // drift (renamed/retyped/added columns) fails loudly before any scan
+    ExpectedSchema(Seq("conv_id" -> "string", "turn_idx" -> "int",
+      "role" -> "string", "text" -> "string", "tool" -> "string",
+      "ts" -> "timestamp")),
     NotNull("conv_id"), NotNull("text"),
     UniqueKey(Seq("conv_id", "turn_idx")),
     ReferentialIntegrity("role", "role_dim", "role"),
