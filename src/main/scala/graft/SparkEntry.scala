@@ -969,6 +969,18 @@ object SparkEntry {
       r.unpersistAll()
       r.violations.select(col("column").as("col_name"),
         col("observed"), col("bound"))
+    }),
+
+    // One-permutation MinHash (densified OPH, Shrivastava-Li 2014): the
+    // 10^12-doc signature path — ONE hash per shingle instead of one per
+    // position. The engine-portable md5-prefix hash lets DuckDB recompute
+    // the EXACT signatures (bucketing, mins, and the rotation
+    // densification) independently.
+    "q73_minhash_oph_signatures" -> ((s, dir) => {
+      graft.dedup.Dedup.minhashSignaturesOph(
+          Tables.documents(s, dir), "doc_id", "text",
+          shingleK = 3, buckets = 64)
+        .select(col("doc_id"), col("signature"))
     })
   )
 
@@ -2074,6 +2086,30 @@ object SparkEntry {
         |  CASE WHEN a.col_name IS NULL THEN '(missing)' ELSE a.typ END AS observed,
         |  CASE WHEN d.col_name IS NULL THEN '(not declared)' ELSE d.typ END AS bound
         |FROM declared d FULL OUTER JOIN actual a ON d.col_name = a.col_name
-        |WHERE a.col_name IS NULL OR d.col_name IS NULL OR d.typ <> a.typ""".stripMargin
+        |WHERE a.col_name IS NULL OR d.col_name IS NULL OR d.typ <> a.typ""".stripMargin,
+
+    // densified-OPH twin: identical portable shingle hash (60-bit md5
+    // prefix), identical h-mod-64 bucketing and per-bucket mins, and the
+    // rotation densification re-derived relationally (nearest non-empty
+    // bucket at forward cyclic distance, row_number over the distance) —
+    // the EXACT signature arrays must agree element-for-element
+    "q73_minhash_oph_signatures" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+         |    i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
+         |  FROM d WHERE len(tk) >= 3),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+         |mins AS (SELECT doc_id, h % 64 AS b, min(h) AS mh FROM h GROUP BY 1, 2),
+         |pos AS (SELECT DISTINCT doc_id FROM mins),
+         |cand AS (
+         |  SELECT p.doc_id, pb.b AS pos, m.mh,
+         |    row_number() OVER (PARTITION BY p.doc_id, pb.b
+         |      ORDER BY ((m.b - pb.b) % 64 + 64) % 64) AS rn
+         |  FROM pos p
+         |  CROSS JOIN (SELECT unnest(range(64)) AS b) pb
+         |  JOIN mins m ON m.doc_id = p.doc_id),
+         |filled AS (SELECT doc_id, pos, mh FROM cand WHERE rn = 1)
+         |SELECT doc_id, list(mh ORDER BY pos) AS signature
+         |FROM filled GROUP BY doc_id""".stripMargin
   )
 }

@@ -59,6 +59,59 @@ object Dedup {
         .as("signature"))
   }
 
+  /** One-permutation MinHash signatures (Shrivastava & Li 2014, "densified
+    * OPH") — the 10^12-document path: each shingle is hashed ONCE (vs
+    * once per signature position in [[minhashSignatures]], a `buckets`×
+    * per-shingle CPU reduction at identical signature length and the same
+    * shuffle shape), the hash space is split into `buckets` bins by
+    * h mod buckets, the min hash per bin is kept, and empty bins are
+    * densified by cyclic rotation (bin b borrows the first non-empty bin
+    * at b, b+1, … mod buckets) — the rotation keeps position agreement an
+    * unbiased Jaccard estimator where plain OPH's empty bins would bias
+    * it. The shingle hash is the engine-portable 60-bit md5 prefix (the
+    * [[simhashReproducible]] family), so an independent engine recomputes
+    * the exact signatures (q73's DuckDB twin does). Duplicate shingles
+    * cannot affect a min, so set semantics hold without a distinct.
+    *
+    * Output (idCol, signature array<long>) is drop-in compatible with
+    * [[minhashLshCandidates]] banding; docs with zero shingles (empty
+    * normalized text, or fewer than `shingleK` tokens) emit no row, like
+    * the SQL shingle pipeline. Scale shape: one explode + two
+    * map-side-combined aggregations whose post-combine state is
+    * O(buckets)/doc — the shuffle never carries more than the signature.
+    */
+  def minhashSignaturesOph(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, buckets: Int = 64): DataFrame = {
+    require(shingleK >= 1, s"shingle k must be >= 1, got $shingleK")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val s = TextAnalysis.normalized(col(textCol))
+    val toks = split(s, " ")
+    val n = size(toks)
+    // ONE portable hash per shingle (empty-normalized guard as in
+    // TextAnalysis.shingleHashes: split("", " ") is [""], a phantom)
+    val shingles = when(length(s) > 0 && n >= shingleK,
+      transform(sequence(lit(0), n - shingleK),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(toks, i + 1, lit(shingleK)))), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val mins = df.select(col(idCol), explode(shingles).as("h"))
+      .groupBy(col(idCol), pmod(col("h"), lit(buckets)).cast("int").as("b"))
+      .agg(min(col("h")).as("mh"))
+    val raw = transform(sequence(lit(0), lit(buckets - 1)),
+      b => element_at(col("__m"), b))
+    mins.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("mh"))))
+        .as("__m"))
+      .withColumn("__raw", raw)
+      // rotation densify: first non-null at cyclic distance 0,1,… — the
+      // doubled array makes the wrap-around a plain slice
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(buckets - 1)),
+          b => element_at(
+            filter(slice(concat(col("__raw"), col("__raw")), b + 1, lit(buckets)),
+              x => x.isNotNull), 1)).as("signature"))
+  }
+
   /** LSH banding over minhash signatures → candidate pairs with estimated
     * Jaccard (= fraction of agreeing signature positions). `bands` ×
     * `rowsPerBand` must equal the signature length. Same-band-equal docs

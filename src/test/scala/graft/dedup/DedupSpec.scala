@@ -50,6 +50,55 @@ class DedupSpec extends GraftSuite {
     assert(math.abs(est(0) - exact(0)) < 0.25, s"est=${est(0)} exact=${exact(0)}")
   }
 
+  test("OPH signatures: dense, deterministic, repartition-invariant, LSH-compatible") {
+    val sig = Dedup.minhashSignaturesOph(docs, "doc_id", "text").cache()
+    val rows = sig.select("doc_id", "signature")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(rows.length == 5)
+    // the Seq[Long] encoder itself proves density: a null (undensified)
+    // element would fail the collect
+    assert(rows.forall(_._2.length == 64), "fixed signature length")
+    // identical text → identical signature; determinism across partitioning
+    val byId = rows.toMap
+    assert(byId(1L) == byId(2L))
+    val re = Dedup.minhashSignaturesOph(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "signature").as[(Long, Seq[Long])].collect().toMap
+    assert(re == byId, "partitioning must not change signatures")
+    // the near-dup pair agrees on far more positions than the unrelated one
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(byId(1L), byId(3L)) > agree(byId(1L), byId(4L)) + 10,
+      s"near-dup ${agree(byId(1L), byId(3L))} vs unrelated ${agree(byId(1L), byId(4L))}")
+    // drop-in banding compatibility: the SAME LSH candidate generator
+    // finds the exact-dup and near-dup pairs over OPH signatures
+    val cand = Dedup.minhashLshCandidates(sig, "doc_id", bands = 16,
+      estJaccardMin = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)) && cand.contains((1L, 3L)))
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("OPH est tracks exact jaccard at one hash per shingle") {
+    val sig = Dedup.minhashSignaturesOph(docs, "doc_id", "text")
+    val est = Dedup.minhashLshCandidates(sig, "doc_id", bands = 16,
+      estJaccardMin = 0.0)
+      .where(col("a_id") === 1 && col("b_id") === 3)
+      .select("est_jaccard").as[Double].collect()
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .where(col("a_id") === 1 && col("b_id") === 3)
+      .select("jaccard").as[Double].collect()
+    assert(est.nonEmpty && exact.nonEmpty)
+    assert(math.abs(est(0) - exact(0)) < 0.3, s"est=${est(0)} exact=${exact(0)}")
+  }
+
+  test("OPH: zero-shingle docs emit no signature row") {
+    val weird = Seq((1L, "one two three four"), (2L, "two tokens"),
+      (3L, ""), (4L, "...!!!"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ids = Dedup.minhashSignaturesOph(weird, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"only the >=3-token doc signs, got $ids")
+  }
+
   test("simhash near-dups: small hamming for near-dups, pairs found") {
     val sims = Dedup.simhash(docs, "doc_id", "text").cache()
     val m = sims.as[(Long, Long)].collect().toMap
