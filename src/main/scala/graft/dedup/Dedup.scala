@@ -76,9 +76,10 @@ object Dedup {
     * Output (idCol, signature array<long>) is drop-in compatible with
     * [[minhashLshCandidates]] banding; docs with zero shingles (empty
     * normalized text, or fewer than `shingleK` tokens) emit no row, like
-    * the SQL shingle pipeline. Scale shape: one explode + two
-    * map-side-combined aggregations whose post-combine state is
-    * O(buckets)/doc — the shuffle never carries more than the signature.
+    * the SQL shingle pipeline. Scale shape: one explode + ONE
+    * map-side-combined aggregation whose post-combine state is
+    * O(buckets)/doc — the single exchange never carries more than the
+    * signature.
     */
   def minhashSignaturesOph(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, buckets: Int = 64): DataFrame = {
@@ -94,15 +95,17 @@ object Dedup {
         i => conv(substring(md5(concat_ws(" ",
           slice(toks, i + 1, lit(shingleK)))), 1, 15), 16, 10).cast("long")))
       .otherwise(array().cast("array<bigint>"))
-    val mins = df.select(col(idCol), explode(shingles).as("h"))
-      .groupBy(col(idCol), pmod(col("h"), lit(buckets)).cast("int").as("b"))
-      .agg(min(col("h")).as("mh"))
-    val raw = transform(sequence(lit(0), lit(buckets - 1)),
-      b => element_at(col("__m"), b))
-    mins.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("mh"))))
-        .as("__m"))
-      .withColumn("__raw", raw)
+    // ONE groupBy with `buckets` bin-conditional mins (same single-exchange
+    // shape as minhashSignatures, but each input row costs `buckets` int
+    // comparisons instead of `buckets` hashes — the bucket id is computed
+    // once per shingle)
+    val aggs = (0 until buckets).map(b =>
+      min(when(col("__b") === b, col("h"))).as(s"m_$b"))
+    df.select(col(idCol), explode(shingles).as("h"))
+      .withColumn("__b", pmod(col("h"), lit(buckets)).cast("int"))
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__raw",
+        array((0 until buckets).map(b => col(s"m_$b")): _*))
       // rotation densify: first non-null at cyclic distance 0,1,… — the
       // doubled array makes the wrap-around a plain slice
       .select(col(idCol),

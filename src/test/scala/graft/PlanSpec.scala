@@ -115,6 +115,25 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q73 OPH signatures: partial agg, exactly ONE exchange, of doc-id+mins only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry
+        .queries("q73_minhash_oph_signatures")(spark, sfTiny)
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.length == 1,
+        s"OPH is a single-exchange plan, saw ${exchanges.length}:\n$plan")
+      // map-side combine: the exchange input is one combined row per
+      // (partition, doc) — doc_id + bucket mins, never shingle rows
+      val cols = exchanges.head.child.output.map(_.name)
+      assert(cols.contains("doc_id") && !cols.contains("h") &&
+        cols.length >= 64, s"exchange carries ${cols.length} cols: $cols")
+      assert(plan.toString.contains("HashAggregate"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q40 minhash: the reused signature subplan is persisted (scanned once)") {
     val df = SparkEntry.queries("q40_minhash_lsh")(spark, sfTiny)
     val s = finalPlan(df)
