@@ -61,8 +61,10 @@ object Dedup {
 
   /** One-permutation MinHash signatures (Shrivastava & Li 2014, "densified
     * OPH") — the 10^12-document path: each shingle is hashed ONCE (vs
-    * once per signature position in [[minhashSignatures]], a `buckets`×
-    * per-shingle CPU reduction at identical signature length and the same
+    * once per signature position in [[minhashSignatures]] — a `buckets`×
+    * cut in hash invocations; the net CPU saving is smaller because the
+    * engine-portable md5 costs more per call than xxhash64, but remains a
+    * multiple at the committed 64 — at identical signature length and
     * shuffle shape), the hash space is split into `buckets` bins by
     * h mod buckets, the min hash per bin is kept, and empty bins are
     * densified by cyclic rotation (bin b borrows the first non-empty bin
