@@ -32,11 +32,14 @@ import graft.sources.{Tables, TranscriptGen}
 object Runner {
 
   def defaultSuite: Check = Check("transcripts", Seq(
-    // schema tripwire first: pure driver metadata, zero jobs — upstream
-    // drift (renamed/retyped/added columns) fails loudly before any scan
+    // schema tripwire first: pure plan metadata, zero data scans —
+    // upstream drift (renamed/retyped/ADDED columns: allowExtra = false)
+    // fails loudly before anything is read; a rename short-circuits the
+    // whole suite to the schema verdict instead of an unresolved-column
+    // crash. Users validating enriched tables override via --suite.
     ExpectedSchema(Seq("conv_id" -> "string", "turn_idx" -> "int",
       "role" -> "string", "text" -> "string", "tool" -> "string",
-      "ts" -> "timestamp")),
+      "ts" -> "timestamp"), allowExtra = false),
     NotNull("conv_id"), NotNull("text"),
     UniqueKey(Seq("conv_id", "turn_idx")),
     ReferentialIntegrity("role", "role_dim", "role"),
@@ -104,8 +107,8 @@ object Runner {
           val i = restNoSample.indexOf("--suite")
           if (i < 0) restNoSample else restNoSample.patch(i, Nil, 2)
         }
-        val suite = suitePath.map(SuiteConfig.load).getOrElse(defaultSuite)
-        val configDims = suitePath.map(SuiteConfig.loadDims).getOrElse(Map.empty)
+        val (suite, configDims) = suitePath.map(SuiteConfig.loadWithDims)
+          .getOrElse((defaultSuite, Map.empty[String, String]))
         val ctx = Validator.Context(Map(
           "role_dim" -> Tables.roleDim(spark),
           "tool_dim" -> Tables.toolDim(spark)) ++
@@ -131,9 +134,14 @@ object Runner {
               s"""{"partition":${m.partition},"rows":${m.rows},"violations":${m.violations},"wall_ms":${m.wallMs}}""")
               .mkString("[", ",", "]"))
             (vio, ver)
-          case _ =>
+          case Nil =>
             val r = Validator.validate(pinned, suite, ctx)
             (r.violations, r.verdicts)
+          // a typo'd flag (--suit, --samle) must not silently run a FULL
+          // default-suite validation in place of what the user asked for
+          case other => sys.error("unrecognized validate arguments: " +
+            other.mkString(" ") + " (supported: --resumable <ckpt> <P>, " +
+            "--format csv, --sample <rate>, --suite <file>)")
         }
         violations.write.mode("overwrite").parquet(s"$out/violations")
         verdicts.write.mode("overwrite").parquet(s"$out/verdicts")

@@ -179,7 +179,20 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       Files.write(doneMarker(p), Array.emptyByteArray,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    if ((0 until partitions).forall(isDone)) Some(collectResults(check)) else None
+    if ((0 until partitions).forall(isDone)) {
+      val (vio, ver, metrics) = collectResults(check)
+      // schema conformance (stripped from every slice above) re-joins the
+      // merged output here, evaluated once against the FULL input's
+      // schema — pure plan metadata, so a resumed run pays nothing extra
+      val schemaOnly = check.constraints.collect {
+        case c: graft.dsl.ExpectedSchema => c }
+      if (schemaOnly.isEmpty) Some((vio, ver, metrics))
+      else {
+        val r = Validator.validate(df, check.copy(constraints = schemaOnly), ctx)
+        Some((vio.unionByName(r.violations), ver.unionByName(r.verdicts),
+          metrics))
+      }
+    } else None
   }
 
   /** Per-slice check: aggregate-level constraints are evaluated from the
@@ -193,6 +206,10 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case _: graft.dsl.StddevBetween => true
       case _: graft.dsl.QuantileBetween => true
       case _: graft.dsl.DistinctCountBetween => true
+      // table-global schema conformance: evaluated ONCE in run() against
+      // the full input — per-slice evaluation would union P duplicate
+      // "(global)" verdicts and P copies of every schema violation row
+      case _: graft.dsl.ExpectedSchema => true
       case _ => false
     })
 

@@ -59,6 +59,34 @@ object Validator {
     val key = col(check.keyCol)
     val ord = col(check.orderCol)
 
+    // ---- pass 0: schema conformance (pure plan metadata, zero scans) -------
+    // evaluated FIRST: when a declared column is MISSING, any later pass
+    // that references it would die in analysis with a raw
+    // UNRESOLVED_COLUMN — so on missing columns the suite SHORT-CIRCUITS
+    // to the schema verdict + violation rows (the "fails loudly before any
+    // scan" contract; `rows` is 0 on that path, nothing was read). Type
+    // mismatches and undeclared extras don't block analysis, so the rest
+    // of the suite still runs and reports alongside them.
+    val schemaResults: Seq[(ExpectedSchema, Seq[(String, String, String)])] =
+      check.constraints.collect { case c: ExpectedSchema =>
+        c -> schemaMismatches(df, c)
+      }
+    val schemaViolationDfs: Seq[DataFrame] = schemaResults.map { case (c, ms) =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        ms.map { case (n, obs, bnd) =>
+          Row(c.name, null, null, n, obs, bnd, c.severity) }.asJava,
+        violationSchema)
+    }
+    if (schemaResults.exists(_._2.exists(_._2 == "(missing)"))) {
+      import spark.implicits._
+      val verdicts = schemaResults.map { case (c, ms) =>
+        ("(global)", c.name, ms.isEmpty, 0L, ms.size.toLong, 0.0)
+      }.toDF("partition_key", "constraint", "pass", "rows", "violations",
+        "violation_rate")
+      return Result(schemaViolationDfs.reduce(_ unionByName _), verdicts)
+    }
+
     // ---- pass 1: fused global aggregation --------------------------------
     val numericCols = (check.constraints.collect {
       case c: MeanBetween => c.column
@@ -101,7 +129,14 @@ object Validator {
           else percentile(col(c), lit(q))
         fn.as(s"__q${q}__$c") }
 
-    val statsRow: Row = df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+    // the collect is skipped when NO constraint consumes a global stat —
+    // a schema-only suite stays metadata-only (zero scans of the table);
+    // every stat()/totalRows consumer below implies needsStats = true
+    val needsStats = aggExprs.size > 1 ||
+      check.constraints.exists { case _: MinRows => true; case _ => false }
+    val statsRow: Row =
+      if (needsStats) df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+      else null
     def stat(name: String): Double = statsRow.getAs[Any](name) match {
       case null => Double.NaN
       case d: Double => d
@@ -111,7 +146,8 @@ object Validator {
       case other => throw new IllegalStateException(
         s"non-numeric stat $name: ${other.getClass}")
     }
-    val totalRows = statsRow.getAs[Long]("__rows")
+    val totalRows: Long =
+      if (needsStats) statsRow.getAs[Long]("__rows") else 0L
 
     // ---- pass 1b: MAD for RobustZ ----------------------------------------
     val madCols = check.constraints.collect { case c: RobustZ => (c.column, c.approx) }
@@ -415,20 +451,6 @@ object Validator {
             lit(c.severity).as("severity"))
     }
 
-    // ---- pass 0: schema conformance (pure metadata — zero Spark jobs) -------
-    // evaluated from df.schema on the driver; violation rows are local
-    val schemaResults: Seq[(ExpectedSchema, Seq[(String, String, String)])] =
-      check.constraints.collect { case c: ExpectedSchema =>
-        c -> schemaMismatches(df, c)
-      }
-    val schemaViolationDfs: Seq[DataFrame] = schemaResults.map { case (c, ms) =>
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        ms.map { case (n, obs, bnd) =>
-          Row(c.name, null, null, n, obs, bnd, c.severity) }.asJava,
-        violationSchema)
-    }
-
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
@@ -455,18 +477,27 @@ object Validator {
       check.constraints.collect { case c: MaxSessionGap => (c.name, 0.0) } ++
       check.constraints.collect { case c: AsOfIntegrity => (c.name, 0.0) }
 
-    val convRows = df.groupBy(key.cast("string").as("conv_id"))
-      .agg(count(lit(1)).as("rows"))
-    val cDf = perConvConstraints.toDF("constraint", "max_rate")
-    val vCounts = allViolations.groupBy(col("conv_id"), col("constraint"))
-      .agg(count(lit(1)).as("violations"))
-    val perConvVerdicts = convRows.crossJoin(broadcast(cDf))
-      .join(vCounts, Seq("conv_id", "constraint"), "left")
-      .na.fill(0L, Seq("violations"))
-      .withColumn("violation_rate", col("violations") / col("rows"))
-      .withColumn("pass", col("violation_rate") <= col("max_rate"))
-      .select(col("conv_id").as("partition_key"), col("constraint"),
-        col("pass"), col("rows"), col("violations"), col("violation_rate"))
+    // guarded, not left to PropagateEmptyRelation: a suite with no
+    // per-conversation constraints (e.g. schema-only) must not even PLAN a
+    // groupBy over the data
+    val perConvVerdicts = if (perConvConstraints.isEmpty) {
+      Seq.empty[(String, String, Boolean, Long, Long, Double)]
+        .toDF("partition_key", "constraint", "pass", "rows", "violations",
+          "violation_rate")
+    } else {
+      val convRows = df.groupBy(key.cast("string").as("conv_id"))
+        .agg(count(lit(1)).as("rows"))
+      val cDf = perConvConstraints.toDF("constraint", "max_rate")
+      val vCounts = allViolations.groupBy(col("conv_id"), col("constraint"))
+        .agg(count(lit(1)).as("violations"))
+      convRows.crossJoin(broadcast(cDf))
+        .join(vCounts, Seq("conv_id", "constraint"), "left")
+        .na.fill(0L, Seq("violations"))
+        .withColumn("violation_rate", col("violations") / col("rows"))
+        .withColumn("pass", col("violation_rate") <= col("max_rate"))
+        .select(col("conv_id").as("partition_key"), col("constraint"),
+          col("pass"), col("rows"), col("violations"), col("violation_rate"))
+    }
 
     // global verdicts for aggregate constraints, straight from the stats row
     val globalVerdicts: Seq[(String, Boolean, Long, Long, Double)] =

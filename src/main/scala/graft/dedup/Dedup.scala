@@ -85,18 +85,12 @@ object Dedup {
     */
   def minhashSignaturesOph(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, buckets: Int = 64): DataFrame = {
-    require(shingleK >= 1, s"shingle k must be >= 1, got $shingleK")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val s = TextAnalysis.normalized(col(textCol))
-    val toks = split(s, " ")
-    val n = size(toks)
-    // ONE portable hash per shingle (empty-normalized guard as in
-    // TextAnalysis.shingleHashes: split("", " ") is [""], a phantom)
-    val shingles = when(length(s) > 0 && n >= shingleK,
-      transform(sequence(lit(0), n - shingleK),
-        i => conv(substring(md5(concat_ws(" ",
-          slice(toks, i + 1, lit(shingleK)))), 1, 15), 16, 10).cast("long")))
-      .otherwise(array().cast("array<bigint>"))
+    // ONE portable hash per shingle — the shared shingle pipeline with the
+    // cross-engine hash swapped in (guards and normalization stay in one
+    // place: TextAnalysis)
+    val shingles = TextAnalysis.shingleHashesWith(col(textCol), shingleK,
+      TextAnalysis.portableHash60)
     // ONE groupBy with `buckets` bin-conditional mins (same single-exchange
     // shape as minhashSignatures, but each input row costs `buckets` int
     // comparisons instead of `buckets` hashes — the bucket id is computed
@@ -187,8 +181,7 @@ object Dedup {
     * narrowing is the price of md5-anchored reproducibility.
     */
   def simhashReproducible(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashWith(df, idCol, textCol,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), bits = 60)
+    simhashWith(df, idCol, textCol, TextAnalysis.portableHash60, bits = 60)
 
   private def simhashWith(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column, bits: Int): DataFrame = {

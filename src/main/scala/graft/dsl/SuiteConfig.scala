@@ -51,9 +51,9 @@ object SuiteConfig {
     Check(
       name = str(root, "name", "suite"),
       constraints = cs.elements().asScala.map(constraint).toSeq,
-      keyCol = optStr(root, "keyCol", "conv_id"),
-      orderCol = optStr(root, "orderCol", "turn_idx"),
-      tsCol = optStr(root, "tsCol", "ts"))
+      keyCol = optStr(root, "keyCol", "conv_id", "suite"),
+      orderCol = optStr(root, "orderCol", "turn_idx", "suite"),
+      tsCol = optStr(root, "tsCol", "ts", "suite"))
   }
 
   /** Dimension-table paths declared by the config (name -> parquet path);
@@ -70,14 +70,23 @@ object SuiteConfig {
   }
 
   /** Read + parse a suite file. */
-  def load(path: String): Check =
-    parse(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"))
+  def load(path: String): Check = parse(readFile(path))
 
   /** Dim paths from a suite file. */
-  def loadDims(path: String): Map[String, String] =
-    dims(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"))
+  def loadDims(path: String): Map[String, String] = dims(readFile(path))
+
+  /** One read of the file for both the Check and its dims map — two
+    * separate load calls could observe different documents if the file is
+    * swapped between them.
+    */
+  def loadWithDims(path: String): (Check, Map[String, String]) = {
+    val text = readFile(path)
+    (parse(text), dims(text))
+  }
+
+  private def readFile(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
 
   // ---- per-constraint builders ----------------------------------------------
 
@@ -88,7 +97,7 @@ object SuiteConfig {
     t match {
       case "not_null" =>
         known(n, ctx, Set("type", "column", "maxNullRate"))
-        NotNull(str(n, "column", ctx), optD(n, "maxNullRate", 0.0))
+        NotNull(str(n, "column", ctx), optD(n, "maxNullRate", 0.0, ctx))
       case "in_set" =>
         known(n, ctx, Set("type", "column", "allowed"))
         val a = req(n, "allowed", ctx)
@@ -101,8 +110,8 @@ object SuiteConfig {
       case "value_bounds" =>
         known(n, ctx, Set("type", "column", "lo", "hi"))
         val c = ValueBounds(str(n, "column", ctx),
-          Option(n.get("lo")).map(_.asDouble()),
-          Option(n.get("hi")).map(_.asDouble()))
+          opt(n, "lo", ctx)(_.isNumber, "a number").map(_.asDouble()),
+          opt(n, "hi", ctx)(_.isNumber, "a number").map(_.asDouble()))
         require(c.lo.nonEmpty || c.hi.nonEmpty, s"$ctx: need 'lo' and/or 'hi'")
         c
       case "text_equals" =>
@@ -117,10 +126,20 @@ object SuiteConfig {
         // sorted by name: the check is order-insensitive and Jackson's
         // object nodes don't guarantee document order, so sorting keeps the
         // parsed constraint deterministic across parser versions
-        ExpectedSchema(
-          c.properties().asScala.map(e => e.getKey -> e.getValue.asText())
-            .toSeq.sortBy(_._1),
-          optB(n, "allowExtra", true))
+        val cols = c.properties().asScala.map { e =>
+          require(e.getValue.isTextual,
+            s"$ctx: column '${e.getKey}' type must be a DDL string")
+          e.getKey -> e.getValue.asText()
+        }.toSeq.sortBy(_._1)
+        // typo'd DDL fails HERE with the column name, not hours later as
+        // a bare ParseException inside the validator
+        cols.foreach { case (name, t) =>
+          try org.apache.spark.sql.types.DataType.fromDDL(t)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"suite config: $ctx column '$name' has unparseable DDL type " +
+              s"'$t'", e) }
+        }
+        ExpectedSchema(cols, optB(n, "allowExtra", true, ctx))
       case "unique_key" =>
         known(n, ctx, Set("type", "columns"))
         val c = req(n, "columns", ctx)
@@ -130,15 +149,15 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "nullOk",
           "broadcastDim"))
         ReferentialIntegrity(str(n, "column", ctx), str(n, "dim", ctx),
-          str(n, "dimColumn", ctx), optB(n, "nullOk", true),
-          optB(n, "broadcastDim", true))
+          str(n, "dimColumn", ctx), optB(n, "nullOk", true, ctx),
+          optB(n, "broadcastDim", true, ctx))
       case "asof_integrity" =>
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "dimTsColumn",
           "granularity", "nullOk", "broadcastDim"))
         AsOfIntegrity(str(n, "column", ctx), str(n, "dim", ctx),
           str(n, "dimColumn", ctx), str(n, "dimTsColumn", ctx),
-          optStr(n, "granularity", "day"), optB(n, "nullOk", true),
-          optB(n, "broadcastDim", true))
+          optStr(n, "granularity", "day", ctx), optB(n, "nullOk", true, ctx),
+          optB(n, "broadcastDim", true, ctx))
       case "min_rows" =>
         known(n, ctx, Set("type", "n"))
         MinRows(lng(n, "n", ctx))
@@ -151,40 +170,40 @@ object SuiteConfig {
       case "quantile_between" =>
         known(n, ctx, Set("type", "column", "q", "lo", "hi", "approx"))
         QuantileBetween(str(n, "column", ctx), dbl(n, "q", ctx),
-          dbl(n, "lo", ctx), dbl(n, "hi", ctx), optB(n, "approx", true))
+          dbl(n, "lo", ctx), dbl(n, "hi", ctx), optB(n, "approx", true, ctx))
       case "distinct_count_between" =>
         known(n, ctx, Set("type", "column", "lo", "hi"))
         DistinctCountBetween(str(n, "column", ctx), lng(n, "lo", ctx),
           lng(n, "hi", ctx))
       case "max_key_share" =>
         known(n, ctx, Set("type", "column", "maxFrac", "k"))
-        MaxKeyShare(str(n, "column", ctx), optD(n, "maxFrac", 1.0 / 512),
-          optI(n, "k", 2048))
+        MaxKeyShare(str(n, "column", ctx), optD(n, "maxFrac", 1.0 / 512, ctx),
+          optI(n, "k", 2048, ctx))
       case "robust_z" =>
         known(n, ctx, Set("type", "column", "threshold", "approx"))
-        RobustZ(str(n, "column", ctx), optD(n, "threshold", 3.5),
-          optB(n, "approx", true))
+        RobustZ(str(n, "column", ctx), optD(n, "threshold", 3.5, ctx),
+          optB(n, "approx", true, ctx))
       case "iqr_outliers" =>
         known(n, ctx, Set("type", "column", "k", "approx"))
-        IqrOutliers(str(n, "column", ctx), optD(n, "k", 2.0),
-          optB(n, "approx", true))
+        IqrOutliers(str(n, "column", ctx), optD(n, "k", 2.0, ctx),
+          optB(n, "approx", true, ctx))
       case "global_z" =>
         known(n, ctx, Set("type", "column", "threshold"))
-        GlobalZ(str(n, "column", ctx), optD(n, "threshold", 3.0))
+        GlobalZ(str(n, "column", ctx), optD(n, "threshold", 3.0, ctx))
       case "rolling_z_drift" =>
         known(n, ctx, Set("type", "column", "window", "threshold"))
-        RollingZDrift(str(n, "column", ctx), optI(n, "window", 24),
-          optD(n, "threshold", 3.0))
+        RollingZDrift(str(n, "column", ctx), optI(n, "window", 24, ctx),
+          optD(n, "threshold", 3.0, ctx))
       case "max_session_gap" =>
         known(n, ctx, Set("type", "maxGapSeconds"))
         MaxSessionGap(lng(n, "maxGapSeconds", ctx))
       case "turn_rate_drift" =>
         known(n, ctx, Set("type", "bucket", "period", "method", "seasonal",
           "residMethod", "residThreshold", "psiThreshold", "ksThreshold"))
-        TurnRateDrift(optStr(n, "bucket", "1 hour"), optI(n, "period", 24),
-          optStr(n, "method", "stl"), optI(n, "seasonal", 7),
-          optStr(n, "residMethod", "iqr"), optD(n, "residThreshold", 2.0),
-          optD(n, "psiThreshold", 0.25), optD(n, "ksThreshold", 0.5))
+        TurnRateDrift(optStr(n, "bucket", "1 hour", ctx), optI(n, "period", 24, ctx),
+          optStr(n, "method", "stl", ctx), optI(n, "seasonal", 7, ctx),
+          optStr(n, "residMethod", "iqr", ctx), optD(n, "residThreshold", 2.0, ctx),
+          optD(n, "psiThreshold", 0.25, ctx), optD(n, "ksThreshold", 0.5, ctx))
       case other => throw new IllegalArgumentException(
         s"suite config: unknown constraint type '$other' (supported: " +
           "not_null, in_set, matches_regex, value_bounds, text_equals, " +
@@ -229,15 +248,32 @@ object SuiteConfig {
     v.asLong()
   }
 
-  private def optStr(n: JsonNode, f: String, dflt: String): String =
-    Option(n.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse(dflt)
+  // optional fields type-check like the required ones: asDouble()/asInt()/
+  // asBoolean() silently coerce a mistyped value to 0.0/0/false (e.g. a
+  // stray word in a boolean field), which is exactly the hours-later
+  // wrong verdict strict parsing exists to prevent. (This Jackson YAML
+  // build speaks YAML 1.1, so unquoted yes/no ARE booleans and pass.)
+  private def opt(n: JsonNode, f: String, ctx: String)(
+      ok: JsonNode => Boolean, what: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull).map { v =>
+      require(ok(v), s"suite config: $ctx field '$f' must be $what")
+      v
+    }
 
-  private def optD(n: JsonNode, f: String, dflt: Double): Double =
-    Option(n.get(f)).filterNot(_.isNull).map(_.asDouble()).getOrElse(dflt)
+  private def optStr(n: JsonNode, f: String, dflt: String,
+      ctx: String): String =
+    opt(n, f, ctx)(_.isTextual, "a string").map(_.asText()).getOrElse(dflt)
 
-  private def optI(n: JsonNode, f: String, dflt: Int): Int =
-    Option(n.get(f)).filterNot(_.isNull).map(_.asInt()).getOrElse(dflt)
+  private def optD(n: JsonNode, f: String, dflt: Double,
+      ctx: String): Double =
+    opt(n, f, ctx)(_.isNumber, "a number").map(_.asDouble()).getOrElse(dflt)
 
-  private def optB(n: JsonNode, f: String, dflt: Boolean): Boolean =
-    Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean()).getOrElse(dflt)
+  private def optI(n: JsonNode, f: String, dflt: Int, ctx: String): Int =
+    opt(n, f, ctx)(v => v.isNumber && v.canConvertToInt, "an integer")
+      .map(_.asInt()).getOrElse(dflt)
+
+  private def optB(n: JsonNode, f: String, dflt: Boolean,
+      ctx: String): Boolean =
+    opt(n, f, ctx)(_.isBoolean, "a boolean (unquoted true/false)")
+      .map(_.asBoolean()).getOrElse(dflt)
 }

@@ -131,7 +131,15 @@ object TextAnalysis {
     * per consecutive k-token window of the normalized text. The input to
     * minhash/jaccard dedup.
     */
-  def shingleHashes(text: Column, k: Int): Column = {
+  def shingleHashes(text: Column, k: Int): Column =
+    shingleHashesWith(text, k, xxhash64(_))
+
+  /** [[shingleHashes]] with a caller-chosen shingle-string hash — e.g. the
+    * engine-portable [[portableHash60]] for signatures an independent
+    * engine must reproduce (q73's OPH twin).
+    */
+  def shingleHashesWith(text: Column, k: Int,
+      hash: Column => Column): Column = {
     require(k >= 1, s"shingle k must be >= 1, got $k")
     val s = normalized(text)
     val toks = split(s, " ")
@@ -141,10 +149,18 @@ object TextAnalysis {
     // every punctuation-only/empty doc — spurious duplicate clusters
     when(length(s) > 0 && n >= k,
       transform(sequence(lit(0), n - k),
-        i => xxhash64(concat_ws(" ",
-          slice(toks, i + 1, lit(k))))))
+        i => hash(concat_ws(" ",
+          slice(toks, i + 1, lit(k)))).cast("long")))
       .otherwise(array().cast("array<bigint>"))
   }
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, a value
+    * both Spark (`conv`) and e.g. DuckDB (`('0x' || …)::BIGINT`) compute
+    * identically — the cross-engine-reproducibility family shared by
+    * simhashReproducible and the OPH signatures.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Character n-gram hashes (for short/CJK-ish text where token shingles
     * are too coarse).

@@ -117,6 +117,34 @@ class RunnerSpec extends GraftSuite {
       "a malformed suite must not fall back to the default suite")
   }
 
+  test("validate with a typo'd flag refuses instead of silently running the default suite") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 5, baseTurns = 4)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val ex = intercept[RuntimeException] {
+      Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+        "--suit", "whatever.yaml"))
+    }
+    assert(ex.getMessage.contains("unrecognized validate arguments"), ex.getMessage)
+    assert(!new java.io.File(s"$dir/out/verdicts").exists(),
+      "a typo'd flag must not fall back to a full default-suite validation")
+  }
+
+  test("resumable validate evaluates ExpectedSchema once, not per slice") {
+    val dir = tmp()
+    val df = TranscriptGen.generate(spark, nConvs = 24, baseTurns = 8)
+    val check = graft.dsl.Check("t", Seq(
+      graft.dsl.NotNull("conv_id"),
+      graft.dsl.ExpectedSchema(Seq("conv_id" -> "string",
+        "turn_idx" -> "bigint")))) // deliberate type mismatch (int actual)
+    val rv = new graft.checkpoint.ResumableValidation(spark, s"$dir/ckpt", 3)
+    val Some((vio, ver, _)) = rv.run(df, check, withStatsState = false)
+    assert(ver.where(col("constraint") === "expected_schema").count() == 1,
+      "one global schema verdict, not one per slice")
+    assert(vio.where(col("constraint") === "expected_schema").count() == 1,
+      "one schema violation row, not one per slice")
+  }
+
   test("sessions verb writes per-session summaries at the given gap") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

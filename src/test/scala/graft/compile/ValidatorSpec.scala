@@ -377,6 +377,35 @@ class ValidatorSpec extends GraftSuite {
       verdict(0).getAs[Long]("violations") == 3L)
   }
 
+  test("ExpectedSchema: a MISSING declared column short-circuits the suite to the schema verdict") {
+    // without the short-circuit, NotNull("gone") would die in analysis
+    // with a raw UNRESOLVED_COLUMN before the schema violation surfaced
+    val r = Validator.validate(transcripts, Check("t", Seq(
+      ExpectedSchema(Seq("conv_id" -> "string", "gone" -> "double")),
+      NotNull("gone"), RollingZDrift("gone"))), dims)
+    val viol = r.violations.select("column", "observed", "bound")
+      .as[(String, String, String)].collect().toSet
+    assert(viol == Set(("gone", "(missing)", "double")), s"got $viol")
+    val verd = r.verdicts.collect()
+    assert(verd.length == 1 && verd(0).getAs[String]("constraint") == "expected_schema"
+      && !verd(0).getAs[Boolean]("pass"),
+      s"short-circuit must emit ONLY the schema verdict: ${verd.toList}")
+  }
+
+  test("ExpectedSchema: a schema-only suite never scans the data") {
+    // the poisoned frame throws from any task — validate() must stay
+    // metadata-only end-to-end when nothing needs the fused stats pass
+    val poisoned = spark.range(3)
+      .map(_ => sys.error("schema-only suite must not scan"): Long)
+      .toDF("conv_id")
+    val r = Validator.validate(poisoned, Check("t",
+      Seq(ExpectedSchema(Seq("conv_id" -> "bigint"), allowExtra = false)),
+      keyCol = "conv_id", orderCol = "conv_id", tsCol = "conv_id"))
+    val verd = r.verdicts.collect() // forces the whole verdict plan
+    assert(verd.length == 1 && verd(0).getAs[Boolean]("pass"))
+    assert(r.violations.count() == 0)
+  }
+
   test("ExpectedSchema: DDL aliases compare as parsed types; extras tolerated by default") {
     // "integer" == int, complex types parse too
     import org.apache.spark.sql.functions.{array, lit}

@@ -148,6 +148,60 @@ class SuiteConfigSpec extends GraftSuite {
     assert(ex.getMessage.contains("'dimColumn'"))
   }
 
+  test("mistyped optional fields are rejected, never coerced to 0/false") {
+    // asDouble() on a TextNode would silently yield 0.0 → every point
+    // flagged as drift; the strict layer must refuse instead
+    val e1 = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: rolling_z_drift, column: v, threshold: high}
+          |""".stripMargin)
+    }
+    assert(e1.getMessage.contains("'threshold'") &&
+      e1.getMessage.contains("number"), e1.getMessage)
+    // this Jackson YAML build speaks YAML 1.1: unquoted yes IS boolean
+    // true — accepted, not coerced
+    val yes = SuiteConfig.parse(
+      """name: s
+        |constraints:
+        |  - {type: referential, column: a, dim: d, dimColumn: v, nullOk: yes}
+        |""".stripMargin)
+    assert(yes.constraints.collect {
+      case r: graft.dsl.ReferentialIntegrity => r.nullOk } == Seq(true))
+    // ...but a non-boolean word would hit asBoolean() = false and
+    // silently flip nullOk without the strict layer
+    val e2 = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: referential, column: a, dim: d, dimColumn: v, nullOk: maybe}
+          |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("'nullOk'") &&
+      e2.getMessage.contains("boolean"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: value_bounds, column: v, lo: low}
+          |""".stripMargin)
+    }
+    assert(e3.getMessage.contains("'lo'"), e3.getMessage)
+  }
+
+  test("expected_schema: a typo'd DDL type fails at parse time with the column name") {
+    val ex = intercept[IllegalArgumentException] {
+      SuiteConfig.parse(
+        """name: s
+          |constraints:
+          |  - {type: expected_schema, columns: {ts: timestmap}}
+          |""".stripMargin)
+    }
+    assert(ex.getMessage.contains("'ts'") &&
+      ex.getMessage.contains("timestmap"), ex.getMessage)
+  }
+
   test("dims map parses; absent dims is empty") {
     val d = SuiteConfig.dims(
       """name: s
