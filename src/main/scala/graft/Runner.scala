@@ -17,6 +17,8 @@ import graft.sources.{Tables, TranscriptGen}
   *   graft.Runner dupgroups <docs-parquet> <out-dir>
   *       [--id doc_id] [--text text] [--threshold 0.7]
   *   graft.Runner sessions <transcripts-parquet> <out-parquet> <gap-seconds>
+  *   graft.Runner pack <docs-parquet> <out-dir> <capacity-tokens>
+  *       [--id doc_id] [--text text] [--shards 8]
   *
   * `validate` pins the input file set (snapshot manifest), runs the default
   * transcript suite, writes violations/verdicts parquet + a JSON summary.
@@ -25,9 +27,9 @@ import graft.sources.{Tables, TranscriptGen}
   * deterministic whole-conversation sample; --suite swaps the hardcoded
   * suite for one parsed from a YAML/JSON config ([[graft.dsl.SuiteConfig]] —
   * the reference's config-driven surface), whose `dims:` paths are loaded
-  * and registered on top of the built-in role/tool dims. `dupgroups` and
-  * `sessions` expose the dedup-grouping and sessionization pipelines
-  * without Scala.
+  * and registered on top of the built-in role/tool dims. `dupgroups`,
+  * `sessions` and `pack` expose the dedup-grouping, sessionization and
+  * sequence-packing pipelines without Scala.
   */
 object Runner {
 
@@ -193,6 +195,32 @@ object Runner {
           .write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).count()
         println(s"""{"sessions":$n,"out":"$out"}""")
+
+      // token-budget sequence packing as a verb: documents next-fit packed
+      // into `capacity`-token context windows per shard (id mod shards),
+      // whitespace-token counts from the text column
+      case "pack" :: in :: out :: capacity :: rest =>
+        def flag(name: String, dflt: String): String = {
+          val i = rest.indexOf(name)
+          if (i >= 0 && i + 1 < rest.size) rest(i + 1) else dflt
+        }
+        val id = flag("--id", "doc_id")
+        val cap = capacity.toLong
+        val shards = flag("--shards", "8").toInt
+        require(shards >= 1, s"--shards must be >= 1, got $shards")
+        val d = spark.read.parquet(in)
+          .withColumn("shard", (col(id) % shards).cast("int"))
+          .withColumn("__tok",
+            graft.text.TextAnalysis.tokenCount(col(flag("--text", "text"))))
+        graft.pack.Packing.nextFitPack(d, "shard", id, "__tok", cap)
+          .drop("__tok")
+          .write.mode("overwrite").parquet(s"$out/packed")
+        val fill = graft.pack.Packing.packSummary(d, "shard", id, "__tok", cap)
+        fill.write.mode("overwrite").parquet(s"$out/packs")
+        val Array(nPacks, meanFill) = spark.read.parquet(s"$out/packs")
+          .agg(count(lit(1)).cast("double"), avg(col("fill_ratio")))
+          .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+        println(s"""{"packs":${nPacks.toLong},"mean_fill":$meanFill,"out":"$out"}""")
 
       case other =>
         System.err.println(s"unknown args: $other")

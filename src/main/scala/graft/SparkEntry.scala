@@ -981,6 +981,32 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text",
           shingleK = 3, buckets = 64)
         .select(col("doc_id"), col("signature"))
+    }),
+
+    // Token-budget sequence packing (next-fit at 256 whitespace tokens):
+    // the training-sequence assembly step after dedup/sampling — documents
+    // greedily packed into fixed context windows per shard (doc_id mod 8,
+    // the per-shard parallel unit real 100-TB packing uses). One keyed
+    // Exchange + streaming O(1)-state pass; the oracle replays the exact
+    // greedy recurrence as a recursive CTE.
+    "q74_pack_assign" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .withColumn("tok", TextAnalysis.tokenCount(col("text")))
+        .select("shard", "doc_id", "tok")
+      graft.pack.Packing.nextFitPack(d, "shard", "doc_id", "tok", 256L)
+        .select("shard", "doc_id", "pack_idx")
+    }),
+
+    // Per-pack utilization census over the same assignment — the padding-
+    // waste report a packing run is judged by (oversize packs read > 1).
+    "q75_pack_fill" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+        .withColumn("tok", TextAnalysis.tokenCount(col("text")))
+        .select("shard", "doc_id", "tok")
+      graft.pack.Packing.packSummary(d, "shard", "doc_id", "tok", 256L)
+        .select("shard", "pack_idx", "n_rows", "pack_tokens", "fill_ratio")
     })
   )
 
@@ -2110,6 +2136,48 @@ object SparkEntry {
          |  JOIN mins m ON m.doc_id = p.doc_id),
          |filled AS (SELECT doc_id, pos, mh FROM cand WHERE rn = 1)
          |SELECT doc_id, list(mh ORDER BY pos) AS signature
-         |FROM filled GROUP BY doc_id""".stripMargin
+         |FROM filled GROUP BY doc_id""".stripMargin,
+
+    // next-fit packing twin: the greedy recurrence (pack_idx, acc) replayed
+    // exactly as a recursive CTE stepping through each shard's documents
+    // in doc_id order
+    "q74_pack_assign" ->
+      """WITH RECURSIVE tok AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, rn, tok, 0 AS pack_idx, tok AS acc
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.doc_id, t.rn, t.tok,
+        |    CASE WHEN p.acc > 0 AND p.acc + t.tok > 256
+        |         THEN p.pack_idx + 1 ELSE p.pack_idx END,
+        |    CASE WHEN p.acc > 0 AND p.acc + t.tok > 256
+        |         THEN t.tok ELSE p.acc + t.tok END
+        |  FROM tok t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, doc_id, pack_idx FROM p""".stripMargin,
+
+    "q75_pack_fill" ->
+      """WITH RECURSIVE tok AS (SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, rn, tok, 0 AS pack_idx, tok AS acc
+        |  FROM tok WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.doc_id, t.rn, t.tok,
+        |    CASE WHEN p.acc > 0 AND p.acc + t.tok > 256
+        |         THEN p.pack_idx + 1 ELSE p.pack_idx END,
+        |    CASE WHEN p.acc > 0 AND p.acc + t.tok > 256
+        |         THEN t.tok ELSE p.acc + t.tok END
+        |  FROM tok t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, pack_idx, count(*) AS n_rows,
+        |  sum(tok) AS pack_tokens,
+        |  round(sum(tok) / 256.0, 6) AS fill_ratio
+        |FROM p GROUP BY 1, 2""".stripMargin
   )
 }

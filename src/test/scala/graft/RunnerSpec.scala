@@ -162,4 +162,24 @@ class RunnerSpec extends GraftSuite {
       .as[(String, Int, Long)].collect().toSet
     assert(sess == Set(("c1", 0, 2L), ("c1", 1, 1L), ("c2", 0, 1L)))
   }
+
+  test("pack verb writes per-shard pack assignments and fill census") {
+    val dir = tmp()
+    // one shard (--shards 1), capacity 4 ws-tokens: docs of 2/3/4 tokens
+    // pack next-fit as [d0], [d1], [d2]... 2+3 > 4 splits, 4 fits alone
+    Seq((0L, "a b"), (1L, "a b c"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Runner.main(Array("pack", s"$dir/in", s"$dir/out", "4", "--shards", "1"))
+    val packed = spark.read.parquet(s"$dir/out/packed")
+      .select("doc_id", "pack_idx").as[(Long, Int)].collect().toMap
+    assert(packed == Map(0L -> 0, 1L -> 1, 2L -> 2), s"got $packed")
+    assert(!packed.isEmpty && !spark.read.parquet(s"$dir/out/packed")
+      .columns.contains("__tok"), "internal token column must not leak")
+    val fills = spark.read.parquet(s"$dir/out/packs")
+      .select("pack_idx", "n_rows", "pack_tokens", "fill_ratio")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(fills == Set((0, 1L, 2L, 0.5), (1, 1L, 3L, 0.75), (2, 1L, 4L, 1.0)),
+      s"got $fills")
+  }
 }
