@@ -154,6 +154,18 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     // fires even when every slice under the NEW count looks done (a
     // resume at partitions=4 of an 8-slice staging must not "complete")
     requireStagedPartitions()
+    // schema drift short-circuit, matching the direct Validator path: a
+    // MISSING declared column would otherwise crash some slice mid-run
+    // with a raw UNRESOLVED_COLUMN (slices strip ExpectedSchema, so the
+    // schema verdict would never surface). Pure plan metadata — costs
+    // nothing and stages nothing.
+    val schemaCs = check.constraints.collect {
+      case c: graft.dsl.ExpectedSchema => c }
+    if (schemaCs.exists(c =>
+        Validator.schemaMismatches(df, c).exists(_._2 == "(missing)"))) {
+      val r = Validator.validate(df, check.copy(constraints = schemaCs), ctx)
+      return Some((r.violations, r.verdicts, Seq.empty))
+    }
     val todo = (0 until partitions).filterNot(isDone).take(maxPartitionsThisRun)
     val staged = if (todo.nonEmpty) stage(df, check) else null
     todo.foreach { p =>
@@ -184,11 +196,9 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       // schema conformance (stripped from every slice above) re-joins the
       // merged output here, evaluated once against the FULL input's
       // schema — pure plan metadata, so a resumed run pays nothing extra
-      val schemaOnly = check.constraints.collect {
-        case c: graft.dsl.ExpectedSchema => c }
-      if (schemaOnly.isEmpty) Some((vio, ver, metrics))
+      if (schemaCs.isEmpty) Some((vio, ver, metrics))
       else {
-        val r = Validator.validate(df, check.copy(constraints = schemaOnly), ctx)
+        val r = Validator.validate(df, check.copy(constraints = schemaCs), ctx)
         Some((vio.unionByName(r.violations), ver.unionByName(r.verdicts),
           metrics))
       }

@@ -130,6 +130,22 @@ class RunnerSpec extends GraftSuite {
       "a typo'd flag must not fall back to a full default-suite validation")
   }
 
+  test("resumable validate short-circuits a MISSING declared column before any slice") {
+    val dir = tmp()
+    val df = TranscriptGen.generate(spark, nConvs = 8, baseTurns = 4)
+    val check = graft.dsl.Check("t", Seq(
+      graft.dsl.NotNull("gone"), // would crash slice analysis if reached
+      graft.dsl.ExpectedSchema(Seq("conv_id" -> "string", "gone" -> "double"))))
+    val rv = new graft.checkpoint.ResumableValidation(spark, s"$dir/ckpt", 3)
+    val Some((vio, ver, metrics)) = rv.run(df, check, withStatsState = false)
+    assert(metrics.isEmpty, "no slice may run under schema drift")
+    assert(ver.collect().map(_.getAs[String]("constraint")).toSeq ==
+      Seq("expected_schema"))
+    assert(vio.where(col("observed") === "(missing)").count() == 1)
+    assert(!new java.io.File(s"$dir/ckpt").exists(),
+      "short-circuit must not stage a checkpoint")
+  }
+
   test("resumable validate evaluates ExpectedSchema once, not per slice") {
     val dir = tmp()
     val df = TranscriptGen.generate(spark, nConvs = 24, baseTurns = 8)
