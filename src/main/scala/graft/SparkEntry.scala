@@ -1007,6 +1007,67 @@ object SparkEntry {
         .select("shard", "doc_id", "tok")
       graft.pack.Packing.packSummary(d, "shard", "doc_id", "tok", 256L)
         .select("shard", "pack_idx", "n_rows", "pack_tokens", "fill_ratio")
+    }),
+
+    // Sequence grammar as a CONSTRAINT: each (prev→curr) role transition
+    // must be in the declared alternation set and conversations must open
+    // with user/system. Rides the FUSED sequence pass — one exchange
+    // shared by every adjacency constraint in the suite (plan-gated).
+    "q76_transition_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("grammar", Seq(AllowedTransitions("role",
+          Seq("user" -> "assistant", "assistant" -> "user",
+            "assistant" -> "tool", "tool" -> "assistant"),
+          firstIn = Some(Seq("user", "system"))))))
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        col("observed").as("transition"))
+    }),
+
+    // Order invariant as a CONSTRAINT: the per-turn measure must be
+    // non-decreasing within a conversation — violations observe the value
+    // that ran backwards. Same fused sequence pass.
+    "q77_monotonic_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("mono", Seq(Monotonic("value"))))
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        col("observed").cast("double").as("value"))
+    }),
+
+    // Stutter detector as a CONSTRAINT: consecutive turns must not carry
+    // identical text. Compared via a MAP-SIDE md5 digest — the text
+    // payload never rides the exchange; the oracle recomputes the same
+    // digests independently.
+    "q78_repeat_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("stutter", Seq(NoConsecutiveRepeats("text"))))
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        col("observed").as("text_md5"))
+    }),
+
+    // Functional dependency as a CONSTRAINT: a conversation must sit on
+    // one calendar day (conv_id → day). One hash aggregation; violations
+    // observe the distinct-day census per offending conversation.
+    "q79_fd_violations" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      val r = Validator.validate(t,
+        Check("fd", Seq(FunctionalDependency(Seq("conv_id"), "day"))))
+      r.violations.select(col("conv_id"),
+        col("observed").cast("int").as("n_days"))
+    }),
+
+    // Referential integrity, KEY-CENSUS tier: the 10^12-row-fact × huge-dim
+    // shape — the fact's DISTINCT keys anti-join the dim (key values only
+    // ride the shuffle) and the violating keys broadcast back onto the
+    // fact, which never shuffles. Identical violation set to q08's
+    // broadcast anti-join; the oracle is the same plain anti-join SQL.
+    "q80_ref_census_violations" -> ((s, dir) => {
+      val ctx = Validator.Context(Map("roles" -> Tables.roleDim(s)))
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("ref_census", Seq(ReferentialIntegrity("role", "roles", "role",
+          keyCensus = true))), ctx)
+      r.violations.select(col("conv_id"), col("turn_idx"),
+        col("observed").as("role"))
     })
   )
 
@@ -2178,6 +2239,64 @@ object SparkEntry {
         |SELECT shard, pack_idx, count(*) AS n_rows,
         |  sum(tok) AS pack_tokens,
         |  round(sum(tok) / 256.0, 6) AS fill_ratio
-        |FROM p GROUP BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // sequence-grammar twin: the same lag/row_number chain; the pair
+    // membership spelled out as the equivalent boolean
+    "q76_transition_violations" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT conv_id, turn_idx, role,
+         |    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS rn
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN rn = 1 THEN role ELSE prev || '->' || role END AS transition
+         |FROM l
+         |WHERE CASE WHEN rn = 1 THEN role IS NOT NULL AND role NOT IN ('user','system')
+         |  ELSE prev IS NOT NULL AND role IS NOT NULL AND NOT (
+         |    (prev = 'user' AND role = 'assistant') OR
+         |    (prev = 'assistant' AND role = 'user') OR
+         |    (prev = 'assistant' AND role = 'tool') OR
+         |    (prev = 'tool' AND role = 'assistant')) END""".stripMargin,
+
+    // monotonic twin: rows where the measure runs backwards in turn order
+    "q77_monotonic_violations" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT conv_id, turn_idx, value,
+         |    lag(value) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx, value FROM l
+         |WHERE prev IS NOT NULL AND value IS NOT NULL AND value < prev""".stripMargin,
+
+    // stutter twin: DuckDB recomputes the md5 digests independently and
+    // compares consecutive ones, exactly as the engine's map-side digests
+    "q78_repeat_violations" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT conv_id, turn_idx, md5(text) AS h,
+         |    lag(md5(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS ph
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx, h AS text_md5 FROM l
+         |WHERE ph IS NOT NULL AND h IS NOT NULL AND h = ph""".stripMargin,
+
+    // functional-dependency twin: offending determinant groups with the
+    // distinct-dependent census
+    "q79_fd_violations" ->
+      s"""WITH $T
+         |SELECT conv_id,
+         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS INT) AS n_days
+         |FROM transcripts
+         |WHERE conv_id IS NOT NULL
+         |GROUP BY conv_id
+         |HAVING count(DISTINCT CAST(ts AS DATE)) > 1""".stripMargin,
+
+    // key-census RI twin: the violation SET is tier-independent — the same
+    // plain anti-join as q08
+    "q80_ref_census_violations" ->
+      s"""WITH $T
+         |SELECT conv_id, turn_idx, role FROM transcripts
+         |WHERE role NOT IN ('user','assistant','system','tool')""".stripMargin
   )
 }

@@ -33,6 +33,17 @@ object Validator {
 
   final case class Context(dims: Map[String, DataFrame] = Map.empty)
 
+  /** Key-census RI tier fallback bound: violating keys above this count
+    * are no longer "rare" — the broadcast-back would strain the driver,
+    * so the tier falls back to the plain anti-join (~tens of MB of key
+    * strings at the default; same order as Spark's own broadcast budget).
+    * Tunable per session via `spark.graft.ri.censusMaxKeys`.
+    */
+  private[graft] def maxCensusBroadcastKeys(
+      spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ri.censusMaxKeys")
+      .map(_.toLong).getOrElse(1000000L)
+
   /** `cached` lists every DataFrame validate() persisted (violations plus
     * drift intermediates). Long-running callers (resumable slice loops,
     * benchmark reps) MUST call [[Result.unpersistAll]] once the outputs are
@@ -185,21 +196,23 @@ object Validator {
     // Keyed by (dim, dimColumn): two RI constraints probing DIFFERENT
     // columns of the same dimension must not collide on the dim name alone.
     val inlineDimValues: Map[(String, String), Seq[Any]] = check.constraints.collect {
-      case ReferentialIntegrity(_, dimName, dimCol, _, bcast) => (dimName, dimCol, bcast)
-    }.groupBy { case (d, c, _) => (d, c) }.map { case ((dimName, dimCol), uses) =>
+      case ReferentialIntegrity(_, dimName, dimCol, _, bcast, census) =>
+        (dimName, dimCol, bcast, census)
+    }.groupBy { case (d, c, _, _) => (d, c) }.map { case ((dimName, dimCol), uses) =>
       val dim = ctx.dims.getOrElse(dimName,
         throw new IllegalArgumentException(s"dimension '$dimName' not registered"))
-      // broadcastDim=false declares the dim too large to ship — don't pay
-      // a full distinct shuffle probing for <=1024 values it cannot have
-      val probe = if (uses.forall(!_._3)) null
+      // broadcastDim=false (and likewise keyCensus=true) declares the dim
+      // too large to ship — don't pay a full distinct shuffle probing for
+      // <=1024 values it cannot have
+      val probe = if (uses.forall { case (_, _, bcast, census) => !bcast || census }) null
         else dim.select(col(dimCol)).distinct().limit(1025).collect()
       (dimName, dimCol) ->
         (if (probe != null && probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
     }
 
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
-      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, _)
-          if inlineDimValues((dimName, dimCol)) != null =>
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, _, census)
+          if !census && inlineDimValues((dimName, dimCol)) != null =>
         val values = inlineDimValues((dimName, dimCol))
         // coalesce in BOTH branches: a NULL in the dim's value list makes
         // isin yield null for non-members, which `!` would swallow and the
@@ -349,16 +362,39 @@ object Validator {
 
     // ---- pass 4: referential integrity (broadcast anti-join; big dims
     // only — small dims were compiled into the row-flags pass above) ------
+    val censusCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val refViolations: Seq[DataFrame] = check.constraints.collect {
-      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, bcast)
-          if inlineDimValues((dimName, dimCol)) == null =>
+      case c @ ReferentialIntegrity(columnName, dimName, dimCol, nullOk, bcast,
+          census)
+          if census || inlineDimValues((dimName, dimCol)) == null =>
         val dim = ctx.dims(dimName)
         val base = if (nullOk) df.where(col(columnName).isNotNull) else df
         // broadcastDim=false: the dim is too large to ship to every
         // executor -- shuffle both sides and let the planner sort-merge
         val dimKeys = dim.select(col(dimCol).as(columnName)).distinct()
-        base.join(if (bcast) broadcast(dimKeys) else dimKeys,
+        def antiJoin(left: DataFrame): DataFrame =
+          left.join(if (bcast) broadcast(dimKeys) else dimKeys,
             Seq(columnName), "left_anti")
+        val joined = if (!census) antiJoin(base) else {
+          // key-census tier: at 10^12 fact rows × huge dim with RARE
+          // violations, anti-joining full fact rows shuffles the fact.
+          // Instead anti-join the fact's DISTINCT keys (map-side combined
+          // — only key values ride the exchange) and broadcast the
+          // violating keys back as an inner join: the fact never shuffles.
+          val badKeys = antiJoin(base.select(col(columnName)).distinct())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (badKeys.count() <= maxCensusBroadcastKeys(spark)) {
+            censusCached += badKeys
+            base.join(broadcast(badKeys), Seq(columnName), "inner")
+          } else {
+            // mass violation — the rare-violation premise is void; fall
+            // back to the plain anti-join tier (still correct, and the
+            // broadcast that would have OOM'd the driver never builds)
+            badKeys.unpersist()
+            antiJoin(base)
+          }
+        }
+        joined
           .select(lit(c.name).as("constraint"),
             key.cast("string").as("conv_id"),
             ord.cast("int").as("turn_idx"),
@@ -402,21 +438,115 @@ object Validator {
             "violation_rate")
     }
 
-    // ---- pass 7: session-gap bound (one pruned keyed window each) -----------
-    // same shuffle class as the rolling-z pass: only (key, ord, ts) ride
-    // the exchange, never text
-    val sessionViolations: Seq[DataFrame] = check.constraints.collect {
-      case c: MaxSessionGap =>
-        val pruned = df.select(key, ord, col(check.tsCol))
-        graft.series.Sessions
-          .withGap(pruned, check.keyCol, check.tsCol, check.orderCol)
-          .where(col("__gap_us") > c.maxGapSeconds * 1000000L)
+    // ---- pass 7: fused sequence pass (ONE shared exchange) ------------------
+    // MaxSessionGap / AllowedTransitions / Monotonic / NoConsecutiveRepeats
+    // all read per-conversation adjacency, so every one of them rides ONE
+    // pruned projection through ONE exchange on the key: the gap check
+    // sorts by (ts, ord) (time order, as Sessions.assign), the grammar /
+    // order / repeat checks by (ord, ts) — two Sort operators over the same
+    // partitioning, zero extra shuffles. Text never rides the exchange:
+    // NoConsecutiveRepeats compares a map-side md5 digest computed BEFORE
+    // the shuffle (32 hex chars vs kilobytes of payload at 10^12 turns).
+    // Tie-break note: duplicate (key, ord) rows in this domain are exact
+    // copies (uniqueness's finding), so either tie order yields the same
+    // violation multiset.
+    val gapCs = check.constraints.collect { case c: MaxSessionGap => c }
+    val transCs = check.constraints.collect { case c: AllowedTransitions => c }
+    val monoCs = check.constraints.collect { case c: Monotonic => c }
+    val repCs = check.constraints.collect { case c: NoConsecutiveRepeats => c }
+    val sequenceViolations: Seq[DataFrame] =
+      if (gapCs.isEmpty && transCs.isEmpty && monoCs.isEmpty && repCs.isEmpty)
+        Nil
+      else {
+        val valueCols = (transCs.map(_.column) ++ monoCs.map(_.column))
+          .distinct.filterNot(Set(check.keyCol, check.orderCol, check.tsCol))
+        val digestAlias = repCs.map(_.column).distinct
+          .map(c => c -> s"__seq_md5_$c").toMap
+        val pruned = df.select(
+          (Seq(key, ord, col(check.tsCol)) ++ valueCols.map(col) ++
+            digestAlias.toSeq.map { case (c, a) =>
+              md5(col(c).cast("string")).as(a)
+            }): _*)
+        val withGap = if (gapCs.nonEmpty)
+          graft.series.Sessions.withGap(pruned, check.keyCol, check.tsCol,
+            check.orderCol)
+        else pruned
+        val wOrd = Window.partitionBy(key).orderBy(ord, col(check.tsCol))
+        val lagAlias: Map[String, String] =
+          ((transCs.map(_.column) ++ monoCs.map(_.column)).distinct ++
+            digestAlias.values)
+            .map(c => c -> s"__seq_prev_$c").toMap
+        val aug0 = lagAlias.foldLeft(withGap) { case (d, (c, a)) =>
+          d.withColumn(a, lag(col(c), 1).over(wOrd))
+        }
+        val aug = if (transCs.nonEmpty)
+          aug0.withColumn("__seq_rn", row_number().over(wOrd))
+        else aug0
+        val checks: Seq[RowCheck] =
+          gapCs.map { c =>
+            RowCheck(c, check.tsCol,
+              coalesce(col("__gap_us") > c.maxGapSeconds * 1000000L,
+                lit(false)),
+              col("__gap_us") / lit(1e6), s"gap<=${c.maxGapSeconds}s")
+          } ++
+          transCs.map { c =>
+            val curr = col(c.column)
+            val prev = col(lagAlias(c.column))
+            val pairOk = c.allowed
+              .map { case (a, b) => prev === a && curr === b }
+              .reduceOption(_ || _).getOrElse(lit(false))
+            val midViol = prev.isNotNull && curr.isNotNull && !pairOk
+            val firstViol = c.firstIn match {
+              case Some(opening) =>
+                curr.isNotNull && !curr.isin(opening: _*)
+              case None => lit(false)
+            }
+            RowCheck(c, c.column,
+              coalesce(when(col("__seq_rn") === 1, firstViol)
+                .otherwise(midViol), lit(false)),
+              when(col("__seq_rn") === 1, curr)
+                .otherwise(concat_ws("->", prev, curr)),
+              s"in {${c.allowed.map { case (a, b) => s"$a->$b" }.mkString(",")}}" +
+                c.firstIn.map(o => s" first in {${o.mkString(",")}}")
+                  .getOrElse(""))
+          } ++
+          monoCs.map { c =>
+            val curr = col(c.column)
+            val prev = col(lagAlias(c.column))
+            val broke = if (c.strict) curr <= prev else curr < prev
+            RowCheck(c, c.column,
+              coalesce(prev.isNotNull && curr.isNotNull && broke, lit(false)),
+              curr, if (c.strict) "increasing" else "non-decreasing")
+          } ++
+          repCs.map { c =>
+            val h = col(digestAlias(c.column))
+            val ph = col(lagAlias(digestAlias(c.column)))
+            RowCheck(c, c.column,
+              coalesce(ph.isNotNull && h.isNotNull && h === ph, lit(false)),
+              h, "differs from previous")
+          }
+        Seq(explodeViolations(aug, checks))
+      }
+
+    // ---- pass 9: functional dependencies (one hash aggregation each) --------
+    // groupBy determinant → count(distinct dependent), partial-agg
+    // friendly; a group with >1 dependent value is one violation row with
+    // the census observed. Null determinant components are skipped (a null
+    // cannot "determine"; NotNull owns it), null dependents never count.
+    val fdViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ FunctionalDependency(dets, dep) =>
+        require(dets.nonEmpty, s"${c.name}: empty determinant")
+        df.where(dets.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(dets.map(col): _*)
+          .agg(countDistinct(col(dep)).as("__n_dep"))
+          .where(col("__n_dep") > 1)
           .select(lit(c.name).as("constraint"),
-            key.cast("string").as("conv_id"),
-            ord.cast("int").as("turn_idx"),
-            lit(check.tsCol).as("column"),
-            (col("__gap_us") / lit(1e6)).cast("string").as("observed"),
-            lit(s"gap<=${c.maxGapSeconds}s").as("bound"),
+            (if (dets.contains(check.keyCol)) key.cast("string")
+             else lit("(global)")).as("conv_id"),
+            lit(-1).as("turn_idx"),
+            lit(dep).as("column"),
+            col("__n_dep").cast("string").as("observed"),
+            lit(s"1 value of $dep per (${dets.mkString(",")})").as("bound"),
             lit(c.severity).as("severity"))
     }
 
@@ -455,8 +585,8 @@ object Validator {
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ windowViolations ++
-      uniqueViolations ++ refViolations ++ sessionViolations ++
-      asofViolations ++ schemaViolationDfs ++
+      uniqueViolations ++ refViolations ++ sequenceViolations ++
+      fdViolations ++ asofViolations ++ schemaViolationDfs ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -471,10 +601,19 @@ object Validator {
       // inlined RIs already ride rowChecks under the same constraint name
       check.constraints.collect {
         case c: ReferentialIntegrity
-            if inlineDimValues((c.dim, c.dimColumn)) == null =>
+            if c.keyCensus || inlineDimValues((c.dim, c.dimColumn)) == null =>
           (c.name, 0.0)
       } ++
       check.constraints.collect { case c: MaxSessionGap => (c.name, 0.0) } ++
+      check.constraints.collect { case c: AllowedTransitions => (c.name, 0.0) } ++
+      check.constraints.collect { case c: Monotonic => (c.name, 0.0) } ++
+      check.constraints.collect { case c: NoConsecutiveRepeats => (c.name, 0.0) } ++
+      // an FD whose determinant carries the conversation key attributes its
+      // groups to conversations; otherwise it verdicts globally (below)
+      check.constraints.collect {
+        case c: FunctionalDependency if c.determinant.contains(check.keyCol) =>
+          (c.name, 0.0)
+      } ++
       check.constraints.collect { case c: AsOfIntegrity => (c.name, 0.0) }
 
     // guarded, not left to PropagateEmptyRelation: a suite with no
@@ -532,11 +671,27 @@ object Validator {
       .select("partition_key", "constraint", "pass", "rows", "violations",
         "violation_rate")
 
+    // FDs whose determinant does NOT carry the conversation key verdict
+    // globally: one count over the (persisted) violation set — no rescan
+    val fdGlobalVerdicts: Seq[DataFrame] = check.constraints.collect {
+      case c: FunctionalDependency if !c.determinant.contains(check.keyCol) =>
+        allViolations.where(col("constraint") === c.name)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("(global)").as("partition_key"),
+            lit(c.name).as("constraint"),
+            (col("violations") === 0).as("pass"),
+            lit(totalRows).as("rows"), col("violations"),
+            (col("violations") / lit(math.max(1L, totalRows).toDouble))
+              .as("violation_rate"))
+    }
+
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
-      keyShareVerdicts ++ driftResults.map(_._2)).reduce(_ unionByName _)
+      keyShareVerdicts ++ fdGlobalVerdicts ++ driftResults.map(_._2))
+      .reduce(_ unionByName _)
 
     Result(allViolations, allVerdicts,
-      cached = allViolations +: driftResults.flatMap(_._3))
+      cached = (allViolations +: driftResults.flatMap(_._3)) ++
+        censusCached.toSeq)
   }
 
   /** Declared (name, DDL type) vs the DataFrame's resolved schema — pure

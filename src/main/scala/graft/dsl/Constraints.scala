@@ -78,9 +78,21 @@ final case class UniqueKey(columns: Seq[String])
   * `broadcastDim = false` a shuffled (sort-merge) anti-join for
   * dimensions too large to ship to every executor (a 10^9-key entity
   * dim cannot be broadcast; forcing it would OOM the executors).
+  *
+  * `keyCensus = true` selects a fourth tier for the 10^12-row fact ×
+  * huge-dim regime where violations are RARE (the normal state of a
+  * production pipeline): anti-join the fact's DISTINCT keys against the
+  * dim (two key-only shuffles, map-side-combined — the fact's full rows
+  * never ride an exchange), then broadcast the violating keys back onto
+  * the fact as an inner join to emit rows. Guarded: if the violating-key
+  * census exceeds the broadcast budget (mass violation — an upstream
+  * emergency, not a validation nicety) it falls back to the plain
+  * anti-join tier selected by `broadcastDim`. Identical violation set in
+  * all tiers.
   */
 final case class ReferentialIntegrity(column: String, dim: String,
-    dimColumn: String, nullOk: Boolean = true, broadcastDim: Boolean = true)
+    dimColumn: String, nullOk: Boolean = true, broadcastDim: Boolean = true,
+    keyCensus: Boolean = false)
   extends Constraint { val name = s"ref($column->$dim)" }
 
 // ---- aggregate-level (suite verdict, no row violations) --------------------
@@ -161,6 +173,64 @@ final case class GlobalZ(column: String, threshold: Double = 3.0)
 final case class RollingZDrift(column: String, window: Int = 24,
     threshold: Double = 3.0)
   extends Constraint { val name = s"rolling_z($column)" }
+
+/** Sequence grammar: each (previous → current) transition of `column`
+  * within a conversation (ordered by the suite's orderCol, ties broken by
+  * tsCol — duplicate-key rows in this engine's domain are exact copies,
+  * so the tie order is outcome-identical) must be in `allowed`. With
+  * `firstIn` set, the FIRST turn of each conversation must open with one
+  * of those values. The transcript-domain use: role alternation
+  * (user→assistant→…) — a corrupted merge or a replayed turn shows up as
+  * an illegal transition long before any statistical check fires. Null
+  * values never match a transition (they are NotNull's finding): a pair
+  * is only checked when both sides are non-null. Rides the fused
+  * sequence pass: ONE exchange shared with MaxSessionGap / Monotonic /
+  * NoConsecutiveRepeats, only (key, ord, ts, column) shuffle — never text.
+  */
+final case class AllowedTransitions(column: String,
+    allowed: Seq[(String, String)], firstIn: Option[Seq[String]] = None)
+  extends Constraint { val name = s"transitions($column)" }
+
+/** `column` must be non-decreasing (`strict = true`: strictly increasing)
+  * in turn order within each conversation — the transcript invariant that
+  * timestamps never run backwards. Null values are skipped (a null is
+  * NotNull's finding; the next non-null row compares against the last
+  * non-null predecessor would require gap-carry — instead each pair with
+  * a null side is simply not checked, mirroring SQL comparison
+  * semantics). Violations are the rows that break the order, with the
+  * offending value observed. Fused sequence pass (one shared exchange).
+  */
+final case class Monotonic(column: String, strict: Boolean = false)
+  extends Constraint { val name = s"monotonic($column)" }
+
+/** No two CONSECUTIVE turns of a conversation may carry identical
+  * `column` values — the stutter/replay detector (an agent loop stuck
+  * re-emitting the same reply is invisible to uniqueness on
+  * (conv_id, turn_idx) but jumps out here). Values are compared via a
+  * map-side md5 digest computed BEFORE the exchange, so the text payload
+  * itself never shuffles — at 10^12 turns the digest is 32 bytes vs
+  * kilobytes of text. Null values never match (null ≠ null, as in SQL).
+  * Fused sequence pass (one shared exchange).
+  */
+final case class NoConsecutiveRepeats(column: String)
+  extends Constraint { val name = s"no_repeats($column)" }
+
+/** Functional dependency: every distinct value of the `determinant`
+  * tuple must map to exactly ONE value of `dependent` (e.g. a
+  * conversation never spans two calendar days, a tool name never changes
+  * its category). Groups with a null determinant component are skipped
+  * (SQL GROUP BY would keep them, but a null determinant cannot
+  * "determine" anything — NotNull owns it); null dependents don't count
+  * as a value. Compiles to one hash aggregation
+  * (groupBy determinant → count(distinct dependent)), partial-agg
+  * friendly; violations are one row per offending determinant group with
+  * the distinct-value census observed.
+  */
+final case class FunctionalDependency(determinant: Seq[String],
+    dependent: String)
+  extends Constraint {
+  val name = s"fd(${determinant.mkString(",")}->$dependent)"
+}
 
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like

@@ -147,10 +147,11 @@ object SuiteConfig {
         UniqueKey(c.elements().asScala.map(_.asText()).toSeq)
       case "referential" =>
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "nullOk",
-          "broadcastDim"))
+          "broadcastDim", "keyCensus"))
         ReferentialIntegrity(str(n, "column", ctx), str(n, "dim", ctx),
           str(n, "dimColumn", ctx), optB(n, "nullOk", true, ctx),
-          optB(n, "broadcastDim", true, ctx))
+          optB(n, "broadcastDim", true, ctx),
+          optB(n, "keyCensus", false, ctx))
       case "asof_integrity" =>
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "dimTsColumn",
           "granularity", "nullOk", "broadcastDim"))
@@ -197,6 +198,43 @@ object SuiteConfig {
       case "max_session_gap" =>
         known(n, ctx, Set("type", "maxGapSeconds"))
         MaxSessionGap(lng(n, "maxGapSeconds", ctx))
+      case "allowed_transitions" =>
+        known(n, ctx, Set("type", "column", "allowed", "firstIn"))
+        val a = req(n, "allowed", ctx)
+        require(a.isArray && a.size > 0,
+          s"$ctx: 'allowed' must be a non-empty list of [from, to] pairs")
+        val pairs = a.elements().asScala.map { p =>
+          require(p.isArray && p.size == 2 && p.get(0).isTextual &&
+            p.get(1).isTextual,
+            s"$ctx: each 'allowed' entry must be a [from, to] string pair")
+          p.get(0).asText() -> p.get(1).asText()
+        }.toSeq
+        val firstIn = Option(n.get("firstIn")).filterNot(_.isNull).map { f =>
+          require(f.isArray && f.size > 0,
+            s"$ctx: 'firstIn' must be a non-empty list of strings")
+          f.elements().asScala.map { v =>
+            require(v.isTextual, s"$ctx: 'firstIn' entries must be strings")
+            v.asText()
+          }.toSeq
+        }
+        AllowedTransitions(str(n, "column", ctx), pairs, firstIn)
+      case "monotonic" =>
+        known(n, ctx, Set("type", "column", "strict"))
+        Monotonic(str(n, "column", ctx), optB(n, "strict", false, ctx))
+      case "no_consecutive_repeats" =>
+        known(n, ctx, Set("type", "column"))
+        NoConsecutiveRepeats(str(n, "column", ctx))
+      case "functional_dependency" =>
+        known(n, ctx, Set("type", "determinant", "dependent"))
+        val d = req(n, "determinant", ctx)
+        require(d.isArray && d.size > 0,
+          s"$ctx: 'determinant' must be a non-empty list of columns")
+        FunctionalDependency(
+          d.elements().asScala.map { v =>
+            require(v.isTextual, s"$ctx: 'determinant' entries must be strings")
+            v.asText()
+          }.toSeq,
+          str(n, "dependent", ctx))
       case "turn_rate_drift" =>
         known(n, ctx, Set("type", "bucket", "period", "method", "seasonal",
           "residMethod", "residThreshold", "psiThreshold", "ksThreshold"))
@@ -211,7 +249,9 @@ object SuiteConfig {
           "unique_key, referential, asof_integrity, min_rows, mean_between, " +
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +
-          "rolling_z_drift, max_session_gap, turn_rate_drift)")
+          "rolling_z_drift, max_session_gap, allowed_transitions, " +
+          "monotonic, no_consecutive_repeats, functional_dependency, " +
+          "turn_rate_drift)")
     }
   }
 

@@ -115,6 +115,24 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q76 sequence grammar: text never rides the fused sequence-pass shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q76_transition_violations")(spark, sfTiny)
+      val plans = df.queryExecution.executedPlan +: df.queryExecution
+        .executedPlan.collect { case s: InMemoryTableScanExec =>
+          s.relation.cachedPlan }
+      val shuffledCols = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s.child.output.map(_.name)
+      }.flatten).toSet
+      assert(shuffledCols.nonEmpty, "expected the keyed sequence shuffle")
+      assert(!shuffledCols.exists(_.contains("text")),
+        s"text rides a shuffle: $shuffledCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q73 OPH signatures: partial agg, exactly ONE exchange, of doc-id+mins only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -413,4 +413,173 @@ class ValidatorSpec extends GraftSuite {
     val ok = ExpectedSchema(Seq("turn_idx" -> "integer", "emb" -> "array<float>"))
     assert(Validator.schemaMismatches(df, ok).isEmpty)
   }
+
+  // ---- fused sequence pass -------------------------------------------------
+
+  import java.sql.Timestamp
+  private def t0(s: String) = Timestamp.valueOf(s)
+  private def seqFixture = Seq(
+    // c1: user → assistant → assistant (illegal) → user; null role at 4
+    ("c1", 0, "user", "hi", t0("2024-01-01 00:00:00"), 1.0),
+    ("c1", 1, "assistant", "yo", t0("2024-01-01 00:01:00"), 2.0),
+    ("c1", 2, "assistant", "yo", t0("2024-01-01 00:02:00"), 3.0), // repeat text too
+    ("c1", 3, "user", "ok", t0("2024-01-01 00:03:00"), 2.5), // value runs back
+    ("c1", 4, null, "x", t0("2024-01-01 00:04:00"), 2.5), // null role: no pair checked
+    ("c1", 5, "user", "y", t0("2024-01-01 00:05:00"), 2.5), // prev null: not checked
+    // c2: opens with assistant (illegal first), then fine
+    ("c2", 0, "assistant", "a", t0("2024-01-02 00:00:00"), 1.0),
+    ("c2", 1, "user", "b", t0("2024-01-02 00:01:00"), 1.0)) // equal value: ok non-strict
+    .toDF("conv_id", "turn_idx", "role", "text", "ts", "value")
+
+  test("AllowedTransitions: illegal pairs, illegal openings, null sides skipped") {
+    val r = Validator.validate(seqFixture, Check("t", Seq(
+      AllowedTransitions("role",
+        Seq("user" -> "assistant", "assistant" -> "user"),
+        firstIn = Some(Seq("user"))))))
+    val got = r.violations.select("conv_id", "turn_idx", "observed")
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(
+      ("c1", 2, "assistant->assistant"),
+      ("c2", 0, "assistant")), s"got $got")
+    // verdicts: c1 and c2 both fail, c1 attributes 1 violation
+    val v = r.verdicts.where(col("constraint").startsWith("transitions(") &&
+      !col("pass")).select("partition_key").as[String].collect().toSet
+    assert(v == Set("c1", "c2"))
+  }
+
+  test("AllowedTransitions without firstIn: openings are never violations") {
+    val r = Validator.validate(seqFixture, Check("t", Seq(
+      AllowedTransitions("role", Seq("user" -> "assistant",
+        "assistant" -> "user", "assistant" -> "assistant")))))
+    val got = r.violations.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(got.isEmpty, s"got $got")
+  }
+
+  test("Monotonic: non-strict flags decreases only; strict flags ties too") {
+    val r = Validator.validate(seqFixture,
+      Check("t", Seq(Monotonic("value"))))
+    val got = r.violations.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("c1", 3)), s"got $got")
+    val rs = Validator.validate(seqFixture,
+      Check("t", Seq(Monotonic("value", strict = true))))
+    val gotS = rs.violations.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(gotS == Set(("c1", 3), ("c1", 4), ("c1", 5), ("c2", 1)), s"got $gotS")
+  }
+
+  test("NoConsecutiveRepeats: flags the stutter; digests, not text, are observed") {
+    val r = Validator.validate(seqFixture,
+      Check("t", Seq(NoConsecutiveRepeats("text"))))
+    val got = r.violations
+      .select("conv_id", "turn_idx", "observed")
+      .as[(String, Int, String)].collect()
+    assert(got.map(g => (g._1, g._2)).toSet == Set(("c1", 2)), s"got ${got.toList}")
+    // observed is the md5 of the repeated value, never the payload
+    assert(got(0)._3 == org.apache.commons.codec.digest.DigestUtils.md5Hex("yo"))
+  }
+
+  test("sequence constraints fuse: ONE exchange serves gap+grammar+order+repeat") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r = Validator.validate(seqFixture, Check("t", Seq(
+        MaxSessionGap(3600L),
+        AllowedTransitions("role", Seq("user" -> "assistant")),
+        Monotonic("value"),
+        NoConsecutiveRepeats("text"))))
+      val plan = r.violations.queryExecution.executedPlan
+      val plans = plan +: plan.collect {
+        case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      val exchanges = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s })
+      assert(exchanges.length == 1,
+        s"fused sequence pass must shuffle ONCE, saw ${exchanges.length}")
+      // and the exchange carries digests, never the text payload
+      val cols = exchanges.flatMap(_.child.output.map(_.name)).toSet
+      assert(!cols.contains("text"), s"text rides the exchange: $cols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("FunctionalDependency: conv-keyed FD verdicts per conversation") {
+    val df = Seq(
+      ("c1", 0, "2024-01-01"), ("c1", 1, "2024-01-02"), // 2 days → violation
+      ("c2", 0, "2024-01-01"), ("c2", 1, "2024-01-01"),
+      (null, 0, "2024-01-05"), (null, 1, "2024-01-06")) // null determinant: skipped
+      .toDF("conv_id", "turn_idx", "day")
+    val r = Validator.validate(df, Check("t",
+      Seq(FunctionalDependency(Seq("conv_id"), "day")),
+      tsCol = "day"))
+    val got = r.violations.select("conv_id", "observed")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "2")), s"got $got")
+    val verd = r.verdicts.where(col("constraint").startsWith("fd("))
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(verd("c1") == false && verd("c2") == true)
+  }
+
+  test("FunctionalDependency: non-keyed determinant verdicts globally") {
+    val df = Seq(
+      ("c1", 0, "tool_a", "catX"), ("c2", 1, "tool_a", "catY"), // drifts
+      ("c3", 2, "tool_b", "catZ"))
+      .toDF("conv_id", "turn_idx", "tool", "cat")
+    val r = Validator.validate(df, Check("t",
+      Seq(FunctionalDependency(Seq("tool"), "cat")),
+      tsCol = "tool"))
+    val got = r.violations.select("conv_id", "column", "observed")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("(global)", "cat", "2")), s"got $got")
+    val verd = r.verdicts.where(col("constraint").startsWith("fd(")).collect()
+    assert(verd.length == 1 && verd(0).getAs[String]("partition_key") == "(global)"
+      && !verd(0).getAs[Boolean]("pass")
+      && verd(0).getAs[Long]("violations") == 1L)
+  }
+
+  test("RI key-census tier: same violations as the anti-join tiers; fact never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val expected = result.violations
+      .where(col("constraint") === "ref(role->role_dim)")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    val r = Validator.validate(transcripts, Check("t", Seq(
+      ReferentialIntegrity("role", "role_dim", "role", keyCensus = true))),
+      dims)
+    val got = r.violations.select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().toSet
+    assert(expected.nonEmpty && got == expected)
+    r.unpersistAll()
+    // plan shape: the only exchange is the distinct over KEY VALUES — the
+    // fact's full rows (text aboard) never shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val r2 = Validator.validate(transcripts, Check("t", Seq(
+        ReferentialIntegrity("role", "role_dim", "role", keyCensus = true))),
+        dims)
+      val plan = r2.violations.queryExecution.executedPlan
+      val plans = plan +: plan.collect {
+        case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      val shuffled = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s.child.output.map(_.name) }.flatten)
+      assert(shuffled.forall(_ == "role"), s"non-key columns shuffle: $shuffled")
+      r2.unpersistAll()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("RI key-census tier: mass violation falls back to the anti-join, still correct") {
+    val expected = result.violations
+      .where(col("constraint") === "ref(role->role_dim)")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    spark.conf.set("spark.graft.ri.censusMaxKeys", "0") // force the fallback
+    try {
+      val r = Validator.validate(transcripts, Check("t", Seq(
+        ReferentialIntegrity("role", "role_dim", "role", keyCensus = true))),
+        dims)
+      val got = r.violations.select("conv_id", "turn_idx")
+        .as[(String, Int)].collect().toSet
+      assert(got == expected)
+      r.unpersistAll()
+    } finally spark.conf.unset("spark.graft.ri.censusMaxKeys")
+  }
 }

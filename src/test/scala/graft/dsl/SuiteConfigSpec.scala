@@ -38,6 +38,14 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: max_session_gap, maxGapSeconds: 3600}
         |  - {type: turn_rate_drift, method: classical, period: 6,
         |     bucket: 10 minutes}
+        |  - {type: allowed_transitions, column: role,
+        |     allowed: [[user, assistant], [assistant, user]],
+        |     firstIn: [user]}
+        |  - {type: monotonic, column: t, strict: true}
+        |  - {type: no_consecutive_repeats, column: txt}
+        |  - {type: functional_dependency, determinant: [k], dependent: day}
+        |  - {type: referential, column: e2, dim: dims1, dimColumn: v,
+        |     keyCensus: true}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -63,6 +71,36 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(17) == MaxSessionGap(3600))
     assert(cs(18) == TurnRateDrift(bucket = "10 minutes", period = 6,
       method = "classical"))
+    assert(cs(19) == AllowedTransitions("role",
+      Seq("user" -> "assistant", "assistant" -> "user"),
+      firstIn = Some(Seq("user"))))
+    assert(cs(20) == Monotonic("t", strict = true))
+    assert(cs(21) == NoConsecutiveRepeats("txt"))
+    assert(cs(22) == FunctionalDependency(Seq("k"), "day"))
+    assert(cs(23) == ReferentialIntegrity("e2", "dims1", "v",
+      keyCensus = true))
+  }
+
+  test("allowed_transitions / functional_dependency reject malformed lists") {
+    def bad(doc: String): String =
+      intercept[IllegalArgumentException](SuiteConfig.parse(
+        s"""name: x
+           |constraints:
+           |  - $doc
+           |""".stripMargin)).getMessage
+    // a flat (non-pair) allowed list would silently validate nothing
+    assert(bad("{type: allowed_transitions, column: r, allowed: [user, assistant]}")
+      .contains("[from, to]"))
+    assert(bad("{type: allowed_transitions, column: r, allowed: []}")
+      .contains("non-empty"))
+    assert(bad("{type: allowed_transitions, column: r, " +
+      "allowed: [[user, assistant]], firstIn: []}").contains("non-empty"))
+    assert(bad("{type: functional_dependency, determinant: [], dependent: d}")
+      .contains("non-empty"))
+    assert(bad("{type: functional_dependency, determinant: [k]}")
+      .contains("dependent"))
+    assert(bad("{type: monotonic, column: t, strict: yep}")
+      .contains("boolean"))
   }
 
   test("expected_schema parses the column mapping (name-sorted — order-insensitive)") {
