@@ -1068,6 +1068,22 @@ object SparkEntry {
           keyCensus = true))), ctx)
       r.violations.select(col("conv_id"), col("turn_idx"),
         col("observed").as("role"))
+    }),
+
+    // Semi-structured payload extraction: agent tool payloads are JSON —
+    // schema-on-read via native from_json (codegen'd, no UDF), then a
+    // grouped rollup of the extracted field. The oracle extracts the same
+    // field with DuckDB's independent JSON reader.
+    "q81_json_field_stats" -> ((s, dir) => {
+      Tables.transcripts(s, dir)
+        .where(col("text").isNotNull)
+        .withColumn("k",
+          from_json(col("text"), "k INT",
+            Map.empty[String, String]).getField("k"))
+        .groupBy("role")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
     })
   )
 
@@ -2297,6 +2313,17 @@ object SparkEntry {
     "q80_ref_census_violations" ->
       s"""WITH $T
          |SELECT conv_id, turn_idx, role FROM transcripts
-         |WHERE role NOT IN ('user','assistant','system','tool')""".stripMargin
+         |WHERE role NOT IN ('user','assistant','system','tool')""".stripMargin,
+
+    // JSON-extraction twin via DuckDB's own JSON reader — an independent
+    // parser agreeing with Spark's from_json
+    "q81_json_field_stats" ->
+      s"""WITH $T
+         |SELECT role,
+         |  count(CAST(json_extract_string(text, '$$.k') AS INT)) AS n_k,
+         |  sum(CAST(json_extract_string(text, '$$.k') AS INT)) AS sum_k,
+         |  round(avg(CAST(json_extract_string(text, '$$.k') AS INT)), 6) AS avg_k
+         |FROM transcripts WHERE text IS NOT NULL
+         |GROUP BY role""".stripMargin
   )
 }

@@ -77,6 +77,13 @@ class RunnerSpec extends GraftSuite {
          |  - {type: not_null, column: conv_id}
          |  - {type: referential, column: role, dim: roles3, dimColumn: role}
          |  - {type: max_session_gap, maxGapSeconds: 86400}
+         |  - {type: allowed_transitions, column: role,
+         |     allowed: [[user, assistant], [assistant, system],
+         |               [system, tool], [tool, user]]}
+         |  - {type: monotonic, column: ts}
+         |  - {type: no_consecutive_repeats, column: text}
+         |  - {type: functional_dependency, determinant: [conv_id],
+         |     dependent: role}
          |""".stripMargin.getBytes("UTF-8"))
     Runner.main(Array("validate", s"$dir/in", s"$dir/out",
       "--suite", s"$dir/suite.yaml"))
@@ -86,6 +93,23 @@ class RunnerSpec extends GraftSuite {
     assert(names.contains("ref(role->roles3)") &&
       names.contains("session_gap(86400s)"),
       s"configured constraints missing from verdicts: $names")
+    // the round-5 sequence/FD constraint types are reachable from config
+    assert(names.contains("transitions(role)") &&
+      names.contains("monotonic(ts)") &&
+      names.contains("no_repeats(text)") &&
+      names.contains("fd(conv_id->role)"),
+      s"sequence/FD constraints missing from verdicts: $names")
+    // the generator's role cycle follows the declared grammar except at
+    // injected invalid_role rows — transitions must flag, monotonic(ts)
+    // must not (ts is monotone by construction; exact-copy dup rows tie)
+    val viol = spark.read.parquet(s"$dir/out/violations")
+    assert(viol.where(col("constraint") === "transitions(role)").count() > 0)
+    assert(viol.where(col("constraint") === "monotonic(ts)").count() == 0)
+    // duplicate-key rows are exact copies → consecutive identical text
+    assert(viol.where(col("constraint") === "no_repeats(text)").count() ===
+      spark.read.parquet(s"$dir/in")
+        .groupBy("conv_id", "turn_idx").count()
+        .where(col("count") > 1).count())
     assert(!names.exists(_.startsWith("unique(")),
       "default-suite constraints must not leak into a --suite run")
     // violations = every row outside the 3-role dim: the generator's
