@@ -222,6 +222,28 @@ object Runner {
           .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
         println(s"""{"packs":${nPacks.toLong},"mean_fill":$meanFill,"out":"$out"}""")
 
+      // keyed snapshot diff as a verb: what changed between the table
+      // version we validated and this one — change rows + the census
+      case "diff" :: oldIn :: newIn :: out :: flags =>
+        def flag(name: String, dflt: String): String = {
+          val i = flags.indexOf(name)
+          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
+        }
+        val keys = flag("--keys", "conv_id,turn_idx").split(",").toSeq
+        val oldDf = spark.read.parquet(oldIn)
+        val compare = flag("--compare",
+          oldDf.columns.filterNot(keys.contains).mkString(","))
+          .split(",").toSeq
+        graft.diff.SnapshotDiff.diff(oldDf, spark.read.parquet(newIn),
+            keys, compare)
+          .write.mode("overwrite").parquet(s"$out/changes")
+        val census = spark.read.parquet(s"$out/changes")
+          .groupBy("change").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"""{"added":${census.getOrElse("added", 0L)},"removed":${
+          census.getOrElse("removed", 0L)},"changed":${
+          census.getOrElse("changed", 0L)},"out":"$out/changes"}""")
+
       case other =>
         System.err.println(s"unknown args: $other")
         sys.exit(2)

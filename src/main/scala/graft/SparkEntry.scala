@@ -1084,6 +1084,50 @@ object SparkEntry {
         .agg(count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"),
           round(avg(col("k")), 6).as("avg_k"))
+    }),
+
+    // Index density as a CONSTRAINT: turn_idx within each conversation
+    // must be exactly {0..n-1} — the lost-turn detector uniqueness and
+    // monotonicity both miss (a partial ingest commit leaves indices that
+    // are still unique and still increasing). ONE hash aggregation over
+    // (conv_id, turn_idx); transcripts are dense by construction, so the
+    // fixture punches deterministic holes (an interior turn for conv
+    // digits % 7 == 0, the OPENING turn for digits % 11 == 3 — exercising
+    // both the max- and min-side failure) and the oracle replays the same
+    // min/max/distinct census.
+    "q82_contiguous_violations" -> ((s, dir) => {
+      val d = substring(col("conv_id"), 6, 18).cast("int")
+      val holed = Tables.transcripts(s, dir).where(
+        !(col("turn_idx") === 2 && pmod(d, lit(7)) === 0) &&
+          !(col("turn_idx") === 0 && pmod(d, lit(11)) === 3))
+      val r = Validator.validate(holed,
+        Check("dense", Seq(ContiguousIndex(0))))
+      r.violations.select(col("conv_id"), col("observed"))
+    }),
+
+    // Keyed snapshot diff — the Iceberg-snapshot regression check
+    // ("what changed since the version we validated?"). Both sides
+    // project MAP-SIDE to (key, md5 digest of compared columns), so the
+    // full-outer equi-join shuffles ~48 bytes/row no matter how wide the
+    // text payload is; classification is a null/equality check on the two
+    // digests. The fixture derives both versions deterministically from
+    // the same table (removed / added / changed slices keyed on the conv
+    // digits); the oracle re-derives the change set with DuckDB's own
+    // full-outer join comparing the raw columns — digest-free, so it
+    // independently proves the digests classify correctly.
+    "q83_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.transcripts(s, dir)
+        .where(col("conv_id").isNotNull)
+        .withColumn("d", substring(col("conv_id"), 6, 18).cast("int"))
+      val oldDf = base.where(!(pmod(col("d"), lit(19)) === 5 &&
+        col("turn_idx") === 0))
+      val newDf = base.where(!(pmod(col("d"), lit(13)) === 0 &&
+          col("turn_idx") === 1))
+        .withColumn("role",
+          when(pmod(col("d"), lit(17)) === 2 && col("turn_idx") === 0,
+            lit("assistant")).otherwise(col("role")))
+      graft.diff.SnapshotDiff.diff(oldDf, newDf,
+        Seq("conv_id", "turn_idx"), Seq("role", "text", "tool"))
     })
   )
 
@@ -2324,6 +2368,52 @@ object SparkEntry {
          |  sum(CAST(json_extract_string(text, '$$.k') AS INT)) AS sum_k,
          |  round(avg(CAST(json_extract_string(text, '$$.k') AS INT)), 6) AS avg_k
          |FROM transcripts WHERE text IS NOT NULL
-         |GROUP BY role""".stripMargin
+         |GROUP BY role""".stripMargin,
+
+    // index-density twin: the same hole-punched view, the same
+    // min/max/count-distinct census per conversation, the same
+    // dense-from-0 predicate
+    "q82_contiguous_violations" ->
+      s"""WITH $T,
+         |holed AS (
+         |  SELECT conv_id, turn_idx FROM transcripts
+         |  WHERE NOT (turn_idx = 2 AND CAST(substr(conv_id, 6) AS INT) % 7 = 0)
+         |    AND NOT (turn_idx = 0 AND CAST(substr(conv_id, 6) AS INT) % 11 = 3)),
+         |c AS (
+         |  SELECT conv_id, min(turn_idx) AS mn, max(turn_idx) AS mx,
+         |    count(DISTINCT turn_idx) AS nd
+         |  FROM holed WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+         |  GROUP BY conv_id)
+         |SELECT conv_id,
+         |  'min=' || mn || ',max=' || mx || ',distinct=' || nd AS observed
+         |FROM c WHERE mn <> 0 OR mx <> nd - 1""".stripMargin,
+
+    // snapshot-diff twin: DuckDB re-derives the change set with its own
+    // full-outer join comparing the RAW columns (IS DISTINCT FROM) — no
+    // digests involved, so a hash-set match independently proves the
+    // engine's map-side md5 classification correct
+    "q83_snapshot_diff" ->
+      s"""WITH $T,
+         |base AS (
+         |  SELECT conv_id, turn_idx, role, text, tool,
+         |    CAST(substr(conv_id, 6) AS INT) AS d
+         |  FROM transcripts WHERE conv_id IS NOT NULL),
+         |oldv AS (SELECT * FROM base WHERE NOT (d % 19 = 5 AND turn_idx = 0)),
+         |newv AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN d % 17 = 2 AND turn_idx = 0 THEN 'assistant' ELSE role END AS role,
+         |    text, tool
+         |  FROM base WHERE NOT (d % 13 = 0 AND turn_idx = 1))
+         |SELECT * FROM (
+         |  SELECT coalesce(o.conv_id, n.conv_id) AS conv_id,
+         |    coalesce(o.turn_idx, n.turn_idx) AS turn_idx,
+         |    CASE WHEN n.conv_id IS NULL THEN 'removed'
+         |         WHEN o.conv_id IS NULL THEN 'added'
+         |         WHEN o.role IS DISTINCT FROM n.role
+         |           OR o.text IS DISTINCT FROM n.text
+         |           OR o.tool IS DISTINCT FROM n.tool THEN 'changed' END AS change
+         |  FROM oldv o FULL OUTER JOIN newv n
+         |    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
+         |WHERE change IS NOT NULL""".stripMargin
   )
 }

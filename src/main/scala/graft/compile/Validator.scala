@@ -360,6 +360,33 @@ object Validator {
           col("__n"))
     }
 
+    // ---- pass 3b: index density (one hash aggregation each) -----------------
+    // groupBy key → min/max/count-distinct of the order column; a
+    // conversation passes iff its indices are exactly {base .. base+n−1}.
+    // Only (key, ord) ride the aggregation (map-side combined); duplicate
+    // indices are UniqueKey's finding and don't fail density, null indices
+    // are NotNull's finding and are skipped.
+    val contiguousViolations: Seq[DataFrame] = check.constraints.collect {
+      case c @ ContiguousIndex(base) =>
+        df.where(key.isNotNull && ord.isNotNull)
+          .groupBy(key)
+          .agg(min(ord).as("__min"), max(ord).as("__max"),
+            countDistinct(ord).as("__nd"))
+          .where(col("__min") =!= base ||
+            col("__max") =!= col("__nd") + lit(base - 1))
+          .select(lit(c.name).as("constraint"),
+            key.cast("string").as("conv_id"),
+            lit(-1).as("turn_idx"),
+            lit(check.orderCol).as("column"),
+            concat_ws(",",
+              concat(lit("min="), col("__min").cast("string")),
+              concat(lit("max="), col("__max").cast("string")),
+              concat(lit("distinct="), col("__nd").cast("string")))
+              .as("observed"),
+            lit(s"dense from $base").as("bound"),
+            lit(c.severity).as("severity"))
+    }
+
     // ---- pass 4: referential integrity (broadcast anti-join; big dims
     // only — small dims were compiled into the row-flags pass above) ------
     val censusCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -585,9 +612,9 @@ object Validator {
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ windowViolations ++
-      uniqueViolations ++ refViolations ++ sequenceViolations ++
-      fdViolations ++ asofViolations ++ schemaViolationDfs ++
-      driftResults.map(_._1)).reduce(_ unionByName _)
+      uniqueViolations ++ contiguousViolations ++ refViolations ++
+      sequenceViolations ++ fdViolations ++ asofViolations ++
+      schemaViolationDfs ++ driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- verdicts -----------------------------------------------------------
@@ -604,6 +631,7 @@ object Validator {
             if c.keyCensus || inlineDimValues((c.dim, c.dimColumn)) == null =>
           (c.name, 0.0)
       } ++
+      check.constraints.collect { case c: ContiguousIndex => (c.name, 0.0) } ++
       check.constraints.collect { case c: MaxSessionGap => (c.name, 0.0) } ++
       check.constraints.collect { case c: AllowedTransitions => (c.name, 0.0) } ++
       check.constraints.collect { case c: Monotonic => (c.name, 0.0) } ++

@@ -232,6 +232,21 @@ final case class FunctionalDependency(determinant: Seq[String],
   val name = s"fd(${determinant.mkString(",")}->$dependent)"
 }
 
+/** Index density: within each conversation the suite's order column must
+  * be exactly {base, base+1, …, base+n−1} — no gaps, no stray indices. A
+  * lost turn (failed ingest retry, a partial Iceberg commit) leaves a hole
+  * that uniqueness and monotonicity both miss: the remaining indices are
+  * still unique and still increasing. Compiles to ONE hash aggregation
+  * (groupBy key → min/max/count-distinct of the order column —
+  * partial-agg friendly, only (key, ord) ever aggregated); a conversation
+  * fails iff min ≠ base or max ≠ base + distinct − 1. Duplicate indices
+  * don't fail this check (exact-copy rows are UniqueKey's finding);
+  * null indices are skipped (NotNull owns them). Violations are one row
+  * per failing conversation with the (min, max, distinct) census observed.
+  */
+final case class ContiguousIndex(base: Int = 0)
+  extends Constraint { val name = s"contiguous_index($base)" }
+
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like
   * Sessions.assign) the gap between consecutive turns must not exceed

@@ -198,6 +198,9 @@ object SuiteConfig {
       case "max_session_gap" =>
         known(n, ctx, Set("type", "maxGapSeconds"))
         MaxSessionGap(lng(n, "maxGapSeconds", ctx))
+      case "contiguous_index" =>
+        known(n, ctx, Set("type", "base"))
+        ContiguousIndex(optI(n, "base", 0, ctx))
       case "allowed_transitions" =>
         known(n, ctx, Set("type", "column", "allowed", "firstIn"))
         val a = req(n, "allowed", ctx)
@@ -249,7 +252,8 @@ object SuiteConfig {
           "unique_key, referential, asof_integrity, min_rows, mean_between, " +
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +
-          "rolling_z_drift, max_session_gap, allowed_transitions, " +
+          "rolling_z_drift, max_session_gap, contiguous_index, " +
+          "allowed_transitions, " +
           "monotonic, no_consecutive_repeats, functional_dependency, " +
           "turn_rate_drift)")
     }

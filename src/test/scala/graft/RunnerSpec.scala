@@ -61,6 +61,22 @@ class RunnerSpec extends GraftSuite {
     assert(groups(3L)._2 == 1L && groups(4L)._2 == 1L, "singletons stay alone")
   }
 
+  test("diff verb censuses added/removed/changed between two table versions") {
+    val dir = tmp()
+    Seq((1, 0, "a", "t1"), (1, 1, "b", "t2"), (2, 0, "c", "t3"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+      .write.mode("overwrite").parquet(s"$dir/old")
+    Seq((1, 0, "a", "t1"), (1, 1, "b", "T2-EDITED"), (3, 0, "d", "t4"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+      .write.mode("overwrite").parquet(s"$dir/new")
+    Runner.main(Array("diff", s"$dir/old", s"$dir/new", s"$dir/out"))
+    val got = spark.read.parquet(s"$dir/out/changes")
+      .select("conv_id", "turn_idx", "change")
+      .as[(Int, Int, String)].collect().toSet
+    // --compare defaults to every non-key column (role, text)
+    assert(got == Set((1, 1, "changed"), (2, 0, "removed"), (3, 0, "added")))
+  }
+
   test("validate --suite runs the configured suite, incl. a config-declared dim") {
     val dir = tmp()
     TranscriptGen.generate(spark, nConvs = 30, baseTurns = 24)

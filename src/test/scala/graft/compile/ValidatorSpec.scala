@@ -582,4 +582,35 @@ class ValidatorSpec extends GraftSuite {
       r.unpersistAll()
     } finally spark.conf.unset("spark.graft.ri.censusMaxKeys")
   }
+
+  test("ContiguousIndex: holes and shifted bases fail; duplicates and nulls don't") {
+    val df = Seq(
+      ("a", 0), ("a", 1), ("a", 2),   // dense from 0 → pass
+      ("b", 0), ("b", 1), ("b", 3),   // interior hole → fail (max 3 ≠ 3−1)
+      ("c", 1), ("c", 2),             // missing base → fail (min 1 ≠ 0)
+      ("d", 0), ("d", 0), ("d", 1),   // duplicate index only → pass (UniqueKey's finding)
+      (null.asInstanceOf[String], 7), // null key → skipped entirely
+      ("e", 0)                        // singleton → pass
+    ).toDF("conv_id", "turn_idx")
+    val r = Validator.validate(df, Check("dense", Seq(ContiguousIndex(0))))
+    val bad = r.violations.select("conv_id", "observed")
+      .as[(String, String)].collect().toMap
+    assert(bad.keySet == Set("b", "c"))
+    assert(bad("b") == "min=0,max=3,distinct=3")
+    assert(bad("c") == "min=1,max=2,distinct=2")
+    // per-conversation verdict: exactly the two offenders fail
+    val failed = r.verdicts.where(col("constraint").startsWith("contiguous_index")
+      && !col("pass")).select("partition_key").as[String].collect().toSet
+    assert(failed == Set("b", "c"))
+    r.unpersistAll()
+  }
+
+  test("ContiguousIndex: non-zero base shifts the dense window") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 0), ("b", 1))
+      .toDF("conv_id", "turn_idx")
+    val r = Validator.validate(df, Check("dense1", Seq(ContiguousIndex(1))))
+    val bad = r.violations.select("conv_id").as[String].collect().toSet
+    assert(bad == Set("b")) // b starts at 0, not the declared base 1
+    r.unpersistAll()
+  }
 }

@@ -46,6 +46,8 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: functional_dependency, determinant: [k], dependent: day}
         |  - {type: referential, column: e2, dim: dims1, dimColumn: v,
         |     keyCensus: true}
+        |  - {type: contiguous_index, base: 1}
+        |  - {type: contiguous_index}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -79,6 +81,8 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(22) == FunctionalDependency(Seq("k"), "day"))
     assert(cs(23) == ReferentialIntegrity("e2", "dims1", "v",
       keyCensus = true))
+    assert(cs(24) == ContiguousIndex(1))
+    assert(cs(25) == ContiguousIndex()) // base defaults to 0
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
