@@ -1128,6 +1128,27 @@ object SparkEntry {
             lit("assistant")).otherwise(col("role")))
       graft.diff.SnapshotDiff.diff(oldDf, newDf,
         Seq("conv_id", "turn_idx"), Seq("role", "text", "tool"))
+    }),
+
+    // Distribution-level snapshot regression — the companion to q83's
+    // row-level diff: per-role PSI of the turn measure between the
+    // validated snapshot (baseline) and the new one (current), where the
+    // new version deterministically shifts a third of the conversations'
+    // values. Reuses Drift.psi unchanged (equal-frequency bins from the
+    // baseline side); the oracle recomputes the full quantile-edge →
+    // bin-census → PSI chain per role.
+    "q84_snapshot_value_drift" -> ((s, dir) => {
+      val base = Tables.transcripts(s, dir)
+        .where(col("conv_id").isNotNull && col("value").isNotNull)
+        .withColumn("d", substring(col("conv_id"), 6, 18).cast("int"))
+        .select("role", "value", "d")
+      val oldV = base.withColumn("side", lit("baseline"))
+      val newV = base.withColumn("value",
+          when(pmod(col("d"), lit(3)) === 0, col("value") * 1.25 + 0.5)
+            .otherwise(col("value")))
+        .withColumn("side", lit("current"))
+      Drift.psi(oldV.unionByName(newV), "value", "side", Seq("role"))
+        .select(col("role"), round(col("psi"), 6).as("psi"))
     })
   )
 
@@ -2414,6 +2435,36 @@ object SparkEntry {
          |           OR o.tool IS DISTINCT FROM n.tool THEN 'changed' END AS change
          |  FROM oldv o FULL OUTER JOIN newv n
          |    ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx)
-         |WHERE change IS NOT NULL""".stripMargin
+         |WHERE change IS NOT NULL""".stripMargin,
+
+    // snapshot-drift twin: the same per-role quantile edges (baseline
+    // side), the same bin census and epsilon-clamped PSI sum — q15's
+    // proven chain, grouped by role across two derived snapshot versions
+    "q84_snapshot_value_drift" ->
+      s"""WITH $T,
+         |base AS (SELECT role, value, CAST(substr(conv_id, 6) AS INT) AS d
+         |  FROM transcripts WHERE conv_id IS NOT NULL AND value IS NOT NULL),
+         |sided AS (
+         |  SELECT role, value, 'baseline' AS side FROM base
+         |  UNION ALL
+         |  SELECT role, CASE WHEN d % 3 = 0 THEN value * 1.25 + 0.5 ELSE value END,
+         |    'current' FROM base),
+         |e AS (SELECT role,
+         |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+         |  FROM sided WHERE side = 'baseline' GROUP BY role),
+         |binned AS (SELECT s.role, s.side,
+         |    (s.value > qs[1])::INT + (s.value > qs[2])::INT + (s.value > qs[3])::INT +
+         |    (s.value > qs[4])::INT + (s.value > qs[5])::INT + (s.value > qs[6])::INT +
+         |    (s.value > qs[7])::INT + (s.value > qs[8])::INT + (s.value > qs[9])::INT AS bin
+         |  FROM sided s JOIN e ON s.role = e.role),
+         |counts AS (SELECT role, bin,
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS nc
+         |  FROM binned GROUP BY role, bin),
+         |tot AS (SELECT role, sum(nb) AS tb, sum(nc) AS tc FROM counts GROUP BY role)
+         |SELECT c.role, round(sum((greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
+         |  ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4))), 6) AS psi
+         |FROM counts c JOIN tot t ON c.role = t.role
+         |GROUP BY c.role""".stripMargin
   )
 }

@@ -152,6 +152,28 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q82 contiguous index: one partial-agg pass; text never rides the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q82_contiguous_violations")(spark, sfTiny)
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val plans = df.queryExecution.executedPlan +: df.queryExecution
+        .executedPlan.collect { case s: InMemoryTableScanExec =>
+          s.relation.cachedPlan }
+      val exchanges = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s })
+      // map-side combine below every exchange, and only (key, ord)-derived
+      // columns ride it — never the text payload
+      val shuffled = exchanges.flatMap(_.child.output.map(_.name)).toSet
+      assert(shuffled.nonEmpty, "expected the census aggregation exchange")
+      assert(!shuffled.exists(_.contains("text")),
+        s"text rides a shuffle: $shuffled")
+      assert(plans.exists(_.toString.contains("HashAggregate")),
+        "expected a hash aggregation census")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q40 minhash: the reused signature subplan is persisted (scanned once)") {
     val df = SparkEntry.queries("q40_minhash_lsh")(spark, sfTiny)
     val s = finalPlan(df)
