@@ -1149,6 +1149,28 @@ object SparkEntry {
         .withColumn("side", lit("current"))
       Drift.psi(oldV.unionByName(newV), "value", "side", Seq("role"))
         .select(col("role"), round(col("psi"), 6).as("psi"))
+    }),
+
+    // Distribution drift as a CONSTRAINT — q84's check through the
+    // declarative path: the blessed snapshot's value distribution is
+    // registered as a dimension, the new version validates against it
+    // with DistributionDrift, and the emitted global violation row
+    // observes the measured PSI. Threshold set below the planted shift
+    // so the violation row (and its PSI) is the checked output.
+    "q85_distribution_drift_verdicts" -> ((s, dir) => {
+      val base = Tables.transcripts(s, dir)
+        .where(col("conv_id").isNotNull && col("value").isNotNull)
+        .withColumn("d", substring(col("conv_id"), 6, 18).cast("int"))
+      val blessed = base.select(col("value").as("ref_value"))
+      val current = base.withColumn("value",
+        when(pmod(col("d"), lit(3)) === 0, col("value") * 1.25 + 0.5)
+          .otherwise(col("value")))
+      val ctx = Validator.Context(Map("blessed" -> blessed))
+      val r = Validator.validate(current,
+        Check("drift", Seq(DistributionDrift("value", "blessed", "ref_value",
+          maxPsi = 0.001))), ctx)
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("psi"))
     })
   )
 
@@ -2465,6 +2487,35 @@ object SparkEntry {
          |SELECT c.role, round(sum((greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
          |  ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4))), 6) AS psi
          |FROM counts c JOIN tot t ON c.role = t.role
-         |GROUP BY c.role""".stripMargin
+         |GROUP BY c.role""".stripMargin,
+
+    // declarative-drift twin: the q15-proven single-key PSI chain over the
+    // same blessed-vs-shifted snapshot pair; the engine's violation row
+    // must observe exactly this PSI
+    "q85_distribution_drift_verdicts" ->
+      s"""WITH $T,
+         |base AS (SELECT value, CAST(substr(conv_id, 6) AS INT) AS d
+         |  FROM transcripts WHERE conv_id IS NOT NULL AND value IS NOT NULL),
+         |sided AS (
+         |  SELECT value, 'baseline' AS side FROM base
+         |  UNION ALL
+         |  SELECT CASE WHEN d % 3 = 0 THEN value * 1.25 + 0.5 ELSE value END,
+         |    'current' FROM base),
+         |e AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+         |  FROM sided WHERE side = 'baseline'),
+         |binned AS (SELECT side,
+         |    (value > qs[1])::INT + (value > qs[2])::INT + (value > qs[3])::INT +
+         |    (value > qs[4])::INT + (value > qs[5])::INT + (value > qs[6])::INT +
+         |    (value > qs[7])::INT + (value > qs[8])::INT + (value > qs[9])::INT AS bin
+         |  FROM sided, e),
+         |counts AS (SELECT bin,
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS nb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS nc
+         |  FROM binned GROUP BY bin),
+         |tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+         |SELECT 'value' AS "column",
+         |  round(sum((greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
+         |    ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4))), 6) AS psi
+         |FROM counts, tot""".stripMargin
   )
 }

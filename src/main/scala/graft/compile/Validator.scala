@@ -608,13 +608,62 @@ object Validator {
             lit(c.severity).as("severity"))
     }
 
+    // ---- pass 9: distribution drift vs a reference table --------------------
+    // PSI of the validated column against a blessed baseline dimension —
+    // the snapshot-regression check. One quantile pass over the baseline,
+    // a broadcast of its bins−1 edges, a codegen'd bin lambda over the
+    // current side; the single PSI row collects on the driver like the
+    // fused global stats (a 1-row aggregate, sanctioned).
+    val distDriftResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ DistributionDrift(columnName, dimName, dimCol, maxPsi, bins) =>
+          val dim = ctx.dims.getOrElse(dimName,
+            throw new IllegalArgumentException(
+              s"dimension '$dimName' not registered"))
+          val sided = dim
+            .select(col(dimCol).cast("double").as("__v"))
+            .where(col("__v").isNotNull && !isnan(col("__v")))
+            .withColumn("__side", lit("baseline"))
+            .unionByName(df
+              .select(col(columnName).cast("double").as("__v"))
+              .where(col("__v").isNotNull && !isnan(col("__v")))
+              .withColumn("__side", lit("current")))
+            .withColumn("__k", lit(1))
+          val psiRows = graft.series.Drift
+            .psi(sided, "__v", "__side", Seq("__k"), bins)
+            .select(col("psi")).collect()
+          // null / absent PSI = one side empty after null-scrub: "no
+          // signal", passes — emptiness is MinRows' finding
+          val psiVal: Option[Double] =
+            if (psiRows.isEmpty || psiRows(0).isNullAt(0)) None
+            else Some(psiRows(0).getDouble(0))
+          val failed = psiVal.exists(_ > maxPsi)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  psiVal.get.toString,
+                  s"psi<=$maxPsi vs $dimName.$dimCol", c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, 0.0))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
     val allViolations = (Seq(rowViolations) ++ windowViolations ++
       uniqueViolations ++ contiguousViolations ++ refViolations ++
       sequenceViolations ++ fdViolations ++ asofViolations ++
-      schemaViolationDfs ++ driftResults.map(_._1)).reduce(_ unionByName _)
+      schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
+      driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- verdicts -----------------------------------------------------------
@@ -714,7 +763,8 @@ object Validator {
     }
 
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
-      keyShareVerdicts ++ fdGlobalVerdicts ++ driftResults.map(_._2))
+      keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
+      driftResults.map(_._2))
       .reduce(_ unionByName _)
 
     Result(allViolations, allVerdicts,

@@ -247,6 +247,24 @@ final case class FunctionalDependency(determinant: Seq[String],
 final case class ContiguousIndex(base: Int = 0)
   extends Constraint { val name = s"contiguous_index($base)" }
 
+/** Distribution drift vs a REFERENCE table — "does this snapshot's column
+  * still look like the one we blessed?": PSI between the validated data's
+  * `column` (current side) and a registered dimension's `dimColumn`
+  * (baseline side), with equal-frequency bins taken from the baseline's
+  * exact quantiles ([[graft.series.Drift.psi]] unchanged). One global
+  * verdict: pass iff PSI ≤ `maxPsi`; a failing suite also emits ONE
+  * global violation row observing the measured PSI. Null PSI (either
+  * side empty after null-scrub) is "no signal" and passes — emptiness is
+  * MinRows' finding. The baseline table rides a quantile pass + a tiny
+  * broadcast of its `bins−1` edges; the validated side is binned by a
+  * codegen'd lambda, never shuffled wider than (bin) rows.
+  */
+final case class DistributionDrift(column: String, dim: String,
+    dimColumn: String, maxPsi: Double = 0.25, bins: Int = 10)
+  extends Constraint {
+  val name = s"dist_drift($column~$dim.$dimColumn)"
+}
+
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like
   * Sessions.assign) the gap between consecutive turns must not exceed

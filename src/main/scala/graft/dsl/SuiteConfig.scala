@@ -201,6 +201,12 @@ object SuiteConfig {
       case "contiguous_index" =>
         known(n, ctx, Set("type", "base"))
         ContiguousIndex(optI(n, "base", 0, ctx))
+      case "distribution_drift" =>
+        known(n, ctx, Set("type", "column", "dim", "dimColumn", "maxPsi",
+          "bins"))
+        DistributionDrift(str(n, "column", ctx), str(n, "dim", ctx),
+          str(n, "dimColumn", ctx), optD(n, "maxPsi", 0.25, ctx),
+          optI(n, "bins", 10, ctx))
       case "allowed_transitions" =>
         known(n, ctx, Set("type", "column", "allowed", "firstIn"))
         val a = req(n, "allowed", ctx)
@@ -253,7 +259,7 @@ object SuiteConfig {
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
-          "allowed_transitions, " +
+          "distribution_drift, allowed_transitions, " +
           "monotonic, no_consecutive_repeats, functional_dependency, " +
           "turn_rate_drift)")
     }

@@ -605,6 +605,46 @@ class ValidatorSpec extends GraftSuite {
     r.unpersistAll()
   }
 
+  test("DistributionDrift: shifted current fails observing the PSI; identical passes") {
+    val mk = (shift: Double) => (0 until 2000)
+      .map(i => (s"c${i % 20}", i / 20, (i % 100).toDouble + shift))
+      .toDF("conv_id", "turn_idx", "value")
+    val ctx = Validator.Context(Map("ref" -> mk(0.0).select(col("value").as("v"))))
+    val same = Validator.validate(mk(0.0), Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 0.05))), ctx)
+    assert(same.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    assert(same.violations
+      .where(col("constraint").startsWith("dist_drift")).count() == 0)
+    same.unpersistAll()
+    // half the mass shifted above the baseline's max → unambiguous drift
+    val r = Validator.validate(mk(75.0), Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 0.05))), ctx)
+    val viol = r.violations.where(col("constraint").startsWith("dist_drift"))
+    val rows = viol.select("conv_id", "observed", "bound").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "(global)")
+    assert(rows(0).getString(1).toDouble > 0.05, rows.mkString(","))
+    assert(r.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(false))
+    r.unpersistAll()
+  }
+
+  test("DistributionDrift: empty baseline is no signal — passes; missing dim throws") {
+    val cur = Seq(("a", 0, 1.0), ("a", 1, 2.0)).toDF("conv_id", "turn_idx", "value")
+    val ctx = Validator.Context(Map(
+      "ref" -> Seq.empty[Double].toDF("v")))
+    val r = Validator.validate(cur, Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 0.0))), ctx)
+    assert(r.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r.unpersistAll()
+    val ex = intercept[IllegalArgumentException] {
+      Validator.validate(cur, Check("dd", Seq(
+        DistributionDrift("value", "nope", "v"))), ctx)
+    }
+    assert(ex.getMessage.contains("not registered"))
+  }
+
   test("ContiguousIndex: non-zero base shifts the dense window") {
     val df = Seq(("a", 1), ("a", 2), ("b", 0), ("b", 1))
       .toDF("conv_id", "turn_idx")

@@ -48,6 +48,8 @@ class SuiteConfigSpec extends GraftSuite {
         |     keyCensus: true}
         |  - {type: contiguous_index, base: 1}
         |  - {type: contiguous_index}
+        |  - {type: distribution_drift, column: v, dim: blessed,
+        |     dimColumn: ref_v, maxPsi: 0.1, bins: 20}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -83,6 +85,7 @@ class SuiteConfigSpec extends GraftSuite {
       keyCensus = true))
     assert(cs(24) == ContiguousIndex(1))
     assert(cs(25) == ContiguousIndex()) // base defaults to 0
+    assert(cs(26) == DistributionDrift("v", "blessed", "ref_v", 0.1, 20))
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
