@@ -1171,6 +1171,22 @@ object SparkEntry {
           maxPsi = 0.001))), ctx)
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("psi"))
+    }),
+
+    // Duplicate-rate bound as a CONSTRAINT — exact/normalized dedup's
+    // declarative face: (n − distinct fingerprints)/n over non-null text,
+    // verdict + measured rate from the suite path. maxRate = 0 so any
+    // repeated normalized text fails and the verdict's rate is the
+    // hash-checked output (the oracle recomputes it over the raw strings,
+    // digest-free — independently proving the md5-identity reduction).
+    "q86_max_dup_rate_verdicts" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t,
+        Check("dups", Seq(MaxDuplicateRate("text", maxRate = 0.0,
+          normalized = true))), Validator.Context())
+      r.verdicts.where(col("constraint") === "max_dup_rate(text)")
+        .select(col("constraint"), col("pass"),
+          round(col("violation_rate"), 6).as("dup_rate"))
     })
   )
 
@@ -2516,6 +2532,19 @@ object SparkEntry {
          |SELECT 'value' AS "column",
          |  round(sum((greatest(nb/tb, 1e-4) - greatest(nc/tc, 1e-4)) *
          |    ln(greatest(nb/tb, 1e-4) / greatest(nc/tc, 1e-4))), 6) AS psi
-         |FROM counts, tot""".stripMargin
+         |FROM counts, tot""".stripMargin,
+
+    // dup-rate twin: DuckDB counts distinct NORMALIZED STRINGS while the
+    // engine counts distinct md5 fingerprints — agreement proves the
+    // digest reduction loses nothing (modulo md5 collisions)
+    "q86_max_dup_rate_verdicts" ->
+      s"""WITH $T,
+         |nn AS (SELECT $normSql AS norm FROM transcripts
+         |  WHERE text IS NOT NULL)
+         |SELECT 'max_dup_rate(text)' AS "constraint",
+         |  (count(*) - count(DISTINCT norm)) = 0 AS pass,
+         |  round((count(*) - count(DISTINCT norm)) / count(*)::DOUBLE, 6)
+         |    AS dup_rate
+         |FROM nn""".stripMargin
   )
 }

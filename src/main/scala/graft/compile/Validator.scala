@@ -656,6 +656,48 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 10: duplicate-rate bound ---------------------------------------
+    // (n − distinct)/n over non-null values of the column, the declarative
+    // face of exact/normalized dedup. Rows reduce map-side to a 16-byte
+    // digest (the value itself never rides the shuffle); the exact tier is
+    // a two-stage hash aggregation over digests, the approx tier a single
+    // HLL aggregate with O(1) state. One-row collect, like the fused stats.
+    val dupRateResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ MaxDuplicateRate(columnName, maxRate, normalized, approx) =>
+          val digest =
+            if (normalized)
+              graft.text.TextAnalysis.fingerprint(col(columnName).cast("string"))
+            else md5(col(columnName).cast("string"))
+          val base = df.where(col(columnName).isNotNull)
+            .select(digest.as("__digest"))
+          val distinctAgg =
+            if (approx) approx_count_distinct(col("__digest")).as("d")
+            else countDistinct(col("__digest")).as("d")
+          val row = base.agg(count(lit(1)).as("n"), distinctAgg).collect()(0)
+          val n = row.getLong(0)
+          val d = row.getLong(1)
+          // HLL can overshoot n on small inputs — a negative "rate" is noise
+          val rate = if (n == 0L) 0.0
+            else math.max(0.0, (n - d).toDouble / n.toDouble)
+          val failed = n > 0L && rate > maxRate
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  rate.toString, s"dup_rate<=$maxRate", c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, rate))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
@@ -663,6 +705,7 @@ object Validator {
       uniqueViolations ++ contiguousViolations ++ refViolations ++
       sequenceViolations ++ fdViolations ++ asofViolations ++
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
+      dupRateResults.flatMap(_._1) ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -764,6 +807,7 @@ object Validator {
 
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
+      dupRateResults.map(_._2) ++
       driftResults.map(_._2))
       .reduce(_ unionByName _)
 

@@ -265,6 +265,29 @@ final case class DistributionDrift(column: String, dim: String,
   val name = s"dist_drift($column~$dim.$dimColumn)"
 }
 
+/** Duplicate-rate bound — the declarative face of exact/normalized dedup
+  * ([[graft.dedup.Dedup.exactDuplicates]]): the fraction of non-null rows
+  * whose `column` value repeats an earlier row's value,
+  * (n − distinct) / n, must not exceed `maxRate`. `normalized = true`
+  * compares [[graft.text.TextAnalysis.fingerprint]] identities (lowercase,
+  * punctuation stripped, whitespace collapsed) instead of raw equality.
+  * One global verdict; a failing suite also emits ONE global violation row
+  * observing the measured rate. Null values have no content to compare and
+  * are excluded (their census is NotNull's finding); an all-null/empty
+  * column is "no signal" and passes. Scale: the value never rides a
+  * shuffle — rows reduce map-side to a 16-byte digest, and the exact tier's
+  * count-distinct is a two-stage hash aggregation over digests
+  * (partial-agg combined). `approx = true` swaps in HLL
+  * (`approx_count_distinct`, default 1.5% rsd) for fixed O(1) aggregation
+  * state when the distinct-digest cardinality itself is shuffle-hostile at
+  * 10^12 rows.
+  */
+final case class MaxDuplicateRate(column: String, maxRate: Double = 0.0,
+    normalized: Boolean = false, approx: Boolean = false)
+  extends Constraint {
+  val name = s"max_dup_rate($column)"
+}
+
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like
   * Sessions.assign) the gap between consecutive turns must not exceed

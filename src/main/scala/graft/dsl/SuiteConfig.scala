@@ -207,6 +207,10 @@ object SuiteConfig {
         DistributionDrift(str(n, "column", ctx), str(n, "dim", ctx),
           str(n, "dimColumn", ctx), optD(n, "maxPsi", 0.25, ctx),
           optI(n, "bins", 10, ctx))
+      case "max_duplicate_rate" =>
+        known(n, ctx, Set("type", "column", "maxRate", "normalized", "approx"))
+        MaxDuplicateRate(str(n, "column", ctx), optD(n, "maxRate", 0.0, ctx),
+          optB(n, "normalized", false, ctx), optB(n, "approx", false, ctx))
       case "allowed_transitions" =>
         known(n, ctx, Set("type", "column", "allowed", "firstIn"))
         val a = req(n, "allowed", ctx)
@@ -259,7 +263,7 @@ object SuiteConfig {
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
-          "distribution_drift, allowed_transitions, " +
+          "distribution_drift, max_duplicate_rate, allowed_transitions, " +
           "monotonic, no_consecutive_repeats, functional_dependency, " +
           "turn_rate_drift)")
     }

@@ -645,6 +645,63 @@ class ValidatorSpec extends GraftSuite {
     assert(ex.getMessage.contains("not registered"))
   }
 
+  test("MaxDuplicateRate: exact rate, normalized folding, null/empty handling") {
+    // 4 non-null texts, "hi" repeated once → rate (4-3)/4 = 0.25; null
+    // text excluded from both n and distinct
+    val df = Seq(("a", 0, "hi"), ("a", 1, "hi"), ("a", 2, "yo"),
+        ("b", 0, "bye"), ("b", 1, null: String))
+      .toDF("conv_id", "turn_idx", "text")
+    val r = Validator.validate(df, Check("dup", Seq(
+      MaxDuplicateRate("text", maxRate = 0.3))))
+    val v = r.verdicts.where(col("constraint") === "max_dup_rate(text)")
+      .select("pass", "violation_rate").collect()
+    assert(v.length == 1 && v(0).getBoolean(0) &&
+      math.abs(v(0).getDouble(1) - 0.25) < 1e-12, v.mkString(","))
+    assert(r.violations.where(col("constraint").startsWith("max_dup_rate"))
+      .count() == 0)
+    r.unpersistAll()
+    // tighter bound fails: ONE global violation row observing the rate
+    val r2 = Validator.validate(df, Check("dup", Seq(
+      MaxDuplicateRate("text", maxRate = 0.1))))
+    val viol = r2.violations
+      .where(col("constraint").startsWith("max_dup_rate"))
+      .select("conv_id", "observed", "bound").collect()
+    assert(viol.length == 1 && viol(0).getString(0) == "(global)" &&
+      viol(0).getString(1).toDouble == 0.25 &&
+      viol(0).getString(2) == "dup_rate<=0.1", viol.mkString(","))
+    r2.unpersistAll()
+    // normalized = true folds case/punctuation: replacing one of the two
+    // raw "hi"s with "Hi!" keeps the duplicate only under normalization
+    // (raw md5 would see 4 distinct texts → rate 0) → (4-3)/4 = 0.25
+    val r3 = Validator.validate(df.withColumn("text",
+        when(col("turn_idx") === 0 && col("conv_id") === "a", lit("Hi!"))
+          .otherwise(col("text"))),
+      Check("dup", Seq(MaxDuplicateRate("text", maxRate = 0.0,
+        normalized = true))))
+    assert(r3.verdicts.where(col("constraint") === "max_dup_rate(text)")
+      .select("violation_rate").as[Double].collect().toSeq == Seq(0.25))
+    r3.unpersistAll()
+    // all-null column: no signal, passes at rate 0
+    val r4 = Validator.validate(
+      Seq(("a", 0, null: String)).toDF("conv_id", "turn_idx", "text"),
+      Check("dup", Seq(MaxDuplicateRate("text"))))
+    assert(r4.verdicts.where(col("constraint") === "max_dup_rate(text)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r4.unpersistAll()
+  }
+
+  test("MaxDuplicateRate: approx tier agrees with exact on a clean fixture") {
+    val df = (0 until 3000).map(i => (s"c${i % 30}", i / 30, s"t${i % 1000}"))
+      .toDF("conv_id", "turn_idx", "text")
+    val r = Validator.validate(df, Check("dup", Seq(
+      MaxDuplicateRate("text", maxRate = 0.9, approx = true))))
+    val rate = r.verdicts.where(col("constraint") === "max_dup_rate(text)")
+      .select("violation_rate").as[Double].collect()(0)
+    // exact rate is (3000-1000)/3000 = 2/3; HLL at default rsd ~1.5%
+    assert(math.abs(rate - 2.0 / 3.0) < 0.02, s"approx rate $rate")
+    r.unpersistAll()
+  }
+
   test("ContiguousIndex: non-zero base shifts the dense window") {
     val df = Seq(("a", 1), ("a", 2), ("b", 0), ("b", 1))
       .toDF("conv_id", "turn_idx")

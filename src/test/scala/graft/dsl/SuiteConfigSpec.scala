@@ -50,6 +50,9 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: contiguous_index}
         |  - {type: distribution_drift, column: v, dim: blessed,
         |     dimColumn: ref_v, maxPsi: 0.1, bins: 20}
+        |  - {type: max_duplicate_rate, column: txt, maxRate: 0.05,
+        |     normalized: true, approx: true}
+        |  - {type: max_duplicate_rate, column: txt}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -86,6 +89,9 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(24) == ContiguousIndex(1))
     assert(cs(25) == ContiguousIndex()) // base defaults to 0
     assert(cs(26) == DistributionDrift("v", "blessed", "ref_v", 0.1, 20))
+    assert(cs(27) == MaxDuplicateRate("txt", 0.05, normalized = true,
+      approx = true))
+    assert(cs(28) == MaxDuplicateRate("txt")) // maxRate 0, exact, raw
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
