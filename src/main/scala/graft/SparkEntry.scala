@@ -1187,6 +1187,49 @@ object SparkEntry {
       r.verdicts.where(col("constraint") === "max_dup_rate(text)")
         .select(col("constraint"), col("pass"),
           round(col("violation_rate"), 6).as("dup_rate"))
+    }),
+
+    // Arbitrary-predicate compliance — the config-expressible business
+    // rule. Fails CLOSED (false OR null predicate both violate); the
+    // violation rows carry the predicate's raw truth value so the oracle
+    // independently re-evaluates the SQL predicate per row, null branch
+    // included.
+    "q87_compliance_violations" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t,
+        Check("comp", Seq(Compliance("value_floor",
+          "value BETWEEN -2.0 AND 2.0 OR role = 'system'",
+          maxFailRate = 0.001))), Validator.Context())
+      r.violations
+        .where(col("constraint") === "compliance(value_floor)")
+        .select(col("conv_id"), col("turn_idx"), col("observed"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // Pearson correlation bound, fused into the one-pass global agg.
+    // Bounds set above any real (value, turn_idx) correlation so the
+    // constraint FAILS and the emitted global violation row observes the
+    // measured r — hash-checked against DuckDB's native corr.
+    "q88_correlation_bound" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t,
+        Check("corr", Seq(CorrelationBetween("value", "turn_idx",
+          lo = 0.999, hi = 1.0))), Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("corr"))
+    }),
+
+    // Shannon entropy census over the role distribution. lo set far above
+    // ln(#roles) so the constraint FAILS and the violation row observes
+    // the measured H (nats) — the oracle recomputes −Σ p·ln p from the
+    // role frequencies.
+    "q89_entropy_census" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t,
+        Check("ent", Seq(EntropyBetween("role", lo = 99.0, hi = 100.0))),
+        Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("entropy"))
     })
   )
 
@@ -2545,6 +2588,37 @@ object SparkEntry {
          |  (count(*) - count(DISTINCT norm)) = 0 AS pass,
          |  round((count(*) - count(DISTINCT norm)) / count(*)::DOUBLE, 6)
          |    AS dup_rate
-         |FROM nn""".stripMargin
+         |FROM nn""".stripMargin,
+
+    // compliance twin: DuckDB re-evaluates the SAME SQL predicate per row
+    // — a failing row is one where the predicate is false OR null (fails
+    // closed), and `observed` is the predicate's raw truth value
+    "q87_compliance_violations" ->
+      s"""WITH $T
+         |SELECT conv_id, turn_idx,
+         |  CAST(value BETWEEN -2.0 AND 2.0 OR role = 'system' AS VARCHAR)
+         |    AS observed
+         |FROM transcripts
+         |WHERE NOT coalesce(value BETWEEN -2.0 AND 2.0 OR role = 'system',
+         |  FALSE)
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // correlation twin: DuckDB's native sample Pearson over the same
+    // (value, turn_idx) pairs — null pairs skipped on both engines
+    "q88_correlation_bound" ->
+      s"""WITH $T
+         |SELECT 'value,turn_idx' AS "column",
+         |  round(corr(value, turn_idx), 6) AS corr
+         |FROM transcripts""".stripMargin,
+
+    // entropy twin: −Σ p·ln p from the role frequency census (the engine
+    // computes the algebraically-equal ln N − Σ n·ln n / N)
+    "q89_entropy_census" ->
+      s"""WITH $T,
+         |freq AS (SELECT count(*)::DOUBLE AS n FROM transcripts
+         |  WHERE role IS NOT NULL GROUP BY role)
+         |SELECT 'role' AS "column",
+         |  round(-sum(p * ln(p)), 6) AS entropy
+         |FROM (SELECT n / (sum(n) OVER ()) AS p FROM freq)""".stripMargin
   )
 }

@@ -125,8 +125,34 @@ object Validator {
       .map { case ((c, q), needs) => (c, q, needs.forall(_._3)) }
       .toSeq.sortBy(t => (t._1, t._2))
 
+    // compliance fail counts and correlations fuse into the SAME one-pass
+    // aggregation: compliance is keyed by constraint position (two rules
+    // may share a label), correlation by the (x, y) column pair
+    val compCs: Seq[(Compliance, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: Compliance, i) => (c, i) }
+    val corrNeeds: Seq[(String, String)] = check.constraints.collect {
+      case c: CorrelationBetween => (c.x, c.y) }.distinct
+
     val aggExprs: Seq[Column] =
       Seq(count(lit(1)).as("__rows")) ++
+      compCs.map { case (c, i) =>
+        // fails CLOSED: false or null predicate both count as failures
+        count(when(!coalesce(expr(c.predicate), lit(false)), 1))
+          .as(s"__comp__$i") } ++
+      corrNeeds.flatMap { case (x, y) =>
+        // r assembled DRIVER-SIDE from covar_samp and the two stddevs:
+        // corr() itself divides in-plan and ANSI mode throws
+        // DIVIDE_BY_ZERO on a constant column — here a zero stddev
+        // degrades to the undefined-r "no signal" verdict instead.
+        // NaN scrub: the when() turns a NaN-or-null-side row into a null
+        // PAIR, which every moment then skips (complete-pairs semantics,
+        // parity with SQL corr)
+        val ok = !isnan(col(x).cast("double")) && !isnan(col(y).cast("double"))
+        val wx = when(ok, col(x).cast("double"))
+        val wy = when(ok, col(y).cast("double"))
+        Seq(covar_samp(wx, wy).as(s"__corrcv__${x}__${y}"),
+          stddev_samp(wx).as(s"__corrsx__${x}__${y}"),
+          stddev_samp(wy).as(s"__corrsy__${x}__${y}")) } ++
       nullCols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls__$c")) ++
       numericCols.flatMap { c => Seq(
         avg(col(c)).as(s"__mean__$c"),
@@ -241,6 +267,12 @@ object Validator {
       case c @ TextEquals(columnName, expected) =>
         Some(RowCheck(c, columnName, !(col(columnName) <=> expected),
           col(columnName), "closed-form text"))
+      case c @ Compliance(label, pred, _) =>
+        // same fail-closed semantics as the fused global count above; the
+        // observed column carries the predicate's raw truth value ("false"
+        // or null) so a violation row shows WHY it fired
+        Some(RowCheck(c, label, !coalesce(expr(pred), lit(false)),
+          expr(pred).cast("string"), s"satisfies $pred"))
       case c @ GlobalZ(columnName, t) =>
         val mu = stat(s"__mean__$columnName"); val sd = stat(s"__stdp__$columnName")
         val z = (col(columnName) - mu) / sd
@@ -698,6 +730,71 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 11: correlation bound (reads the fused stats row — no job) ----
+    val corrResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ CorrelationBetween(x, y, lo, hi) =>
+          val cv = stat(s"__corrcv__${x}__${y}")
+          val sx = stat(s"__corrsx__${x}__${y}")
+          val sy = stat(s"__corrsy__${x}__${y}")
+          val v = if (!cv.isNaN && sx > 0 && sy > 0) cv / (sx * sy)
+            else Double.NaN
+          // undefined r (constant column / <2 usable rows) is "no signal"
+          // and passes — constancy is StddevBetween's finding
+          val failed = !v.isNaN && (v < lo || v > hi)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, s"$x,$y", v.toString,
+                  s"corr in [$lo,$hi]", c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, 0.0))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
+    // ---- pass 12: entropy bound ---------------------------------------------
+    // one hash aggregation per constraint (groupBy value → count, map-side
+    // combined — only distinct values ride the exchange), then H = ln N −
+    // Σ n·ln n / N as a one-row reduction. Meant for category columns.
+    val entropyResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ EntropyBetween(columnName, lo, hi) =>
+          val row = df.where(col(columnName).isNotNull)
+            .groupBy(col(columnName)).agg(count(lit(1)).as("__n"))
+            .agg(sum(col("__n")).as("N"),
+              sum(col("__n").cast("double") * log(col("__n").cast("double")))
+                .as("S"))
+            .collect()(0)
+          val hOpt: Option[Double] =
+            if (row.isNullAt(0) || row.getLong(0) == 0L) None
+            else Some(math.log(row.getLong(0).toDouble) -
+              row.getDouble(1) / row.getLong(0).toDouble)
+          val failed = hOpt.exists(h => h < lo || h > hi)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  hOpt.get.toString, s"entropy in [$lo,$hi]", c.severity))
+                  .asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, 0.0))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // Violations feed BOTH the violation sink and the per-conversation
     // verdict counts — persist so the (typically small) violation set is
     // computed once instead of re-deriving every upstream pass per action.
@@ -706,6 +803,7 @@ object Validator {
       sequenceViolations ++ fdViolations ++ asofViolations ++
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
       dupRateResults.flatMap(_._1) ++
+      corrResults.flatMap(_._1) ++ entropyResults.flatMap(_._1) ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -713,6 +811,7 @@ object Validator {
     import spark.implicits._
     val perConvConstraints = rowChecks.map(rc => (rc.c.name, rc.c match {
       case NotNull(_, maxRate) => maxRate
+      case Compliance(_, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -780,6 +879,15 @@ object Validator {
           (s"${c.name}[global]", rate <= maxRate, totalRows,
             stat(s"__nulls__$columnName").toLong, rate)
       } ++
+      // compliance global rate bound, straight from the fused fail count
+      // (the per-conversation verdicts ride rowChecks under c.name; the
+      // [global] suffix keeps the two verdict rows distinct, like NotNull)
+      compCs.map { case (c, i) =>
+        val fails = stat(s"__comp__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
       // schema conformance: pass iff zero mismatches (already computed,
       // driver-side, in pass 0)
       schemaResults.map { case (c, ms) =>
@@ -808,6 +916,7 @@ object Validator {
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
       dupRateResults.map(_._2) ++
+      corrResults.map(_._2) ++ entropyResults.map(_._2) ++
       driftResults.map(_._2))
       .reduce(_ unionByName _)
 

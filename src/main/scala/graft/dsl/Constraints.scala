@@ -288,6 +288,52 @@ final case class MaxDuplicateRate(column: String, maxRate: Double = 0.0,
   val name = s"max_dup_rate($column)"
 }
 
+/** Arbitrary-predicate compliance — the workhorse "business rule" check
+  * (Deequ's `Compliance` shape): every row must satisfy `predicate`, a SQL
+  * boolean expression over the table's own columns (config-expressible —
+  * no Scala needed to add a rule). A row where the predicate is false OR
+  * null fails (fails closed: an unevaluable rule is a finding, not a
+  * pass). `maxFailRate > 0` turns the per-conversation verdict into a
+  * rate bound while still emitting per-row violations, exactly like
+  * [[NotNull]]. Scale: the predicate compiles into the SAME fused
+  * row-flags projection as every other row check (one scan, zero extra
+  * jobs), and the global fail count rides the fused one-pass aggregation.
+  */
+final case class Compliance(label: String, predicate: String,
+    maxFailRate: Double = 0.0)
+  extends Constraint { val name = s"compliance($label)" }
+
+/** Pearson correlation bound between two numeric columns — "these two
+  * measures must (or must not) move together" (a broken join or a unit
+  * change upstream shows up as a correlation collapse long before value
+  * bounds fire). Sample correlation over rows where BOTH sides are
+  * non-null and non-NaN (SQL corr semantics; NaN is scrubbed, not
+  * propagated). Pass iff lo ≤ r ≤ hi; an undefined r (constant column,
+  * <2 usable rows) is "no signal" and passes — constancy is
+  * StddevBetween's finding. A failing suite emits ONE global violation
+  * row observing the measured r. Scale: fused into the one-pass global
+  * aggregation (Spark's corr is a single mergeable moment aggregate) —
+  * zero extra scans.
+  */
+final case class CorrelationBetween(x: String, y: String, lo: Double = -1.0,
+    hi: Double = 1.0)
+  extends Constraint { val name = s"corr($x,$y)" }
+
+/** Shannon entropy bound (natural log) over the non-null value
+  * distribution of `column` — the distribution-census check: a category
+  * column collapsing to one value (H → 0) or exploding into noise (H →
+  * ln(distinct)) is invisible to null/bounds checks but jumps out here.
+  * Pass iff lo ≤ H ≤ hi; an empty column is "no signal" and passes
+  * (emptiness is MinRows' finding). A failing suite emits ONE global
+  * violation row observing the measured H. Scale: one hash aggregation
+  * (groupBy value → count, map-side combined — only distinct values ride
+  * the exchange) + an O(distinct) reduction to ln N − Σ n·ln n / N; meant
+  * for category-cardinality columns (roles, tools, langs), not free text.
+  */
+final case class EntropyBetween(column: String, lo: Double = 0.0,
+    hi: Double = Double.MaxValue)
+  extends Constraint { val name = s"entropy($column)" }
+
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like
   * Sessions.assign) the gap between consecutive turns must not exceed

@@ -211,6 +211,18 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "maxRate", "normalized", "approx"))
         MaxDuplicateRate(str(n, "column", ctx), optD(n, "maxRate", 0.0, ctx),
           optB(n, "normalized", false, ctx), optB(n, "approx", false, ctx))
+      case "compliance" =>
+        known(n, ctx, Set("type", "label", "predicate", "maxFailRate"))
+        Compliance(str(n, "label", ctx), str(n, "predicate", ctx),
+          optD(n, "maxFailRate", 0.0, ctx))
+      case "correlation_between" =>
+        known(n, ctx, Set("type", "x", "y", "lo", "hi"))
+        CorrelationBetween(str(n, "x", ctx), str(n, "y", ctx),
+          optD(n, "lo", -1.0, ctx), optD(n, "hi", 1.0, ctx))
+      case "entropy_between" =>
+        known(n, ctx, Set("type", "column", "lo", "hi"))
+        EntropyBetween(str(n, "column", ctx), optD(n, "lo", 0.0, ctx),
+          optD(n, "hi", Double.MaxValue, ctx))
       case "allowed_transitions" =>
         known(n, ctx, Set("type", "column", "allowed", "firstIn"))
         val a = req(n, "allowed", ctx)

@@ -710,4 +710,105 @@ class ValidatorSpec extends GraftSuite {
     assert(bad == Set("b")) // b starts at 0, not the declared base 1
     r.unpersistAll()
   }
+
+  test("Compliance: fails closed on null predicate; per-row and global rate verdicts") {
+    val df = Seq(("a", 0, Some(5.0)), ("a", 1, Some(-1.0)),
+        ("b", 0, Some(12.0)),  // predicate false
+        ("b", 1, None))        // predicate null → fails closed
+      .toDF("conv_id", "turn_idx", "value")
+    val r = Validator.validate(df, Check("comp", Seq(
+      Compliance("v10", "value <= 10", maxFailRate = 0.25))))
+    // violation rows: the false row observes "false", the null row null
+    val viol = r.violations.where(col("constraint") === "compliance(v10)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2))).toSet
+    assert(viol == Set(("b", 0, "false"), ("b", 1, null)), viol)
+    // per-conversation rate bound: a (0/2) passes, b (2/2 > 0.25) fails
+    val conv = r.verdicts.where(col("constraint") === "compliance(v10)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(conv == Map("a" -> true, "b" -> false), conv)
+    // global rate bound: 2/4 = 0.5 > 0.25 → fail, rate observed
+    val g = r.verdicts.where(col("constraint") === "compliance(v10)[global]")
+      .select("pass", "violations", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 2L &&
+      math.abs(g.getDouble(2) - 0.5) < 1e-12, g)
+    r.unpersistAll()
+    // looser global bound passes the suite globally
+    val r2 = Validator.validate(df, Check("comp", Seq(
+      Compliance("v10", "value <= 10", maxFailRate = 0.5))))
+    assert(r2.verdicts.where(col("constraint") === "compliance(v10)[global]")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r2.unpersistAll()
+  }
+
+  test("CorrelationBetween: bound check, NaN scrub, undefined-r no signal") {
+    // y = 2x exactly → r = 1; the NaN row must be scrubbed, not poison it
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (Double.NaN, 100.0))
+      .toDF("x", "y").withColumn("conv_id", lit("a"))
+      .withColumn("turn_idx", lit(0))
+    val r = Validator.validate(df, Check("c", Seq(
+      CorrelationBetween("x", "y", lo = 0.999, hi = 1.0))))
+    assert(r.verdicts.where(col("constraint") === "corr(x,y)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    assert(r.violations.where(col("constraint") === "corr(x,y)").count() == 0)
+    r.unpersistAll()
+    // anti-correlation fails a positive bound, observing the measured r
+    val df2 = Seq((1.0, -1.0), (2.0, -2.0), (3.0, -3.0))
+      .toDF("x", "y").withColumn("conv_id", lit("a"))
+      .withColumn("turn_idx", lit(0))
+    val r2 = Validator.validate(df2, Check("c", Seq(
+      CorrelationBetween("x", "y", lo = 0.0, hi = 1.0))))
+    val v = r2.violations.where(col("constraint") === "corr(x,y)")
+      .select("conv_id", "observed").collect()
+    assert(v.length == 1 && v(0).getString(0) == "(global)" &&
+      math.abs(v(0).getString(1).toDouble - (-1.0)) < 1e-9, v.mkString(","))
+    r2.unpersistAll()
+    // constant column → undefined r → no signal, passes even a tight bound
+    val df3 = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0))
+      .toDF("x", "y").withColumn("conv_id", lit("a"))
+      .withColumn("turn_idx", lit(0))
+    val r3 = Validator.validate(df3, Check("c", Seq(
+      CorrelationBetween("x", "y", lo = 0.9, hi = 1.0))))
+    assert(r3.verdicts.where(col("constraint") === "corr(x,y)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r3.unpersistAll()
+  }
+
+  test("EntropyBetween: uniform census, collapse detection, empty no signal") {
+    // 4 equally-frequent roles → H = ln 4
+    val df = (0 until 400).map(i => ("a", i, s"r${i % 4}"))
+      .toDF("conv_id", "turn_idx", "role")
+    val r = Validator.validate(df, Check("e", Seq(
+      EntropyBetween("role", lo = 1.0, hi = 2.0))))
+    assert(r.verdicts.where(col("constraint") === "entropy(role)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r.unpersistAll()
+    // tighter lo fails, observing H = ln 4 ≈ 1.386294
+    val r2 = Validator.validate(df, Check("e", Seq(
+      EntropyBetween("role", lo = 1.5, hi = 2.0))))
+    val v = r2.violations.where(col("constraint") === "entropy(role)")
+      .select("conv_id", "observed").collect()
+    assert(v.length == 1 && v(0).getString(0) == "(global)" &&
+      math.abs(v(0).getString(1).toDouble - math.log(4.0)) < 1e-9,
+      v.mkString(","))
+    r2.unpersistAll()
+    // collapsed distribution: one value → H = 0 → fails lo = 0.5; nulls
+    // are excluded from the census (they are NotNull's finding)
+    val df3 = Seq(("a", 0, "r0"), ("a", 1, "r0"),
+        ("a", 2, null: String))
+      .toDF("conv_id", "turn_idx", "role")
+    val r3 = Validator.validate(df3, Check("e", Seq(
+      EntropyBetween("role", lo = 0.5))))
+    val v3 = r3.violations.where(col("constraint") === "entropy(role)")
+      .select("observed").as[String].collect()
+    assert(v3.length == 1 && math.abs(v3(0).toDouble) < 1e-12, v3.mkString)
+    r3.unpersistAll()
+    // all-null column: no census → no signal → passes any bound
+    val r4 = Validator.validate(
+      Seq(("a", 0, null: String)).toDF("conv_id", "turn_idx", "role"),
+      Check("e", Seq(EntropyBetween("role", lo = 99.0))))
+    assert(r4.verdicts.where(col("constraint") === "entropy(role)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r4.unpersistAll()
+  }
 }

@@ -53,6 +53,11 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: max_duplicate_rate, column: txt, maxRate: 0.05,
         |     normalized: true, approx: true}
         |  - {type: max_duplicate_rate, column: txt}
+        |  - {type: compliance, label: vf, predicate: "value >= 0",
+        |     maxFailRate: 0.01}
+        |  - {type: correlation_between, x: a, y: b, lo: 0.5}
+        |  - {type: entropy_between, column: role, lo: 0.5, hi: 2.5}
+        |  - {type: entropy_between, column: role}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -92,6 +97,10 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(27) == MaxDuplicateRate("txt", 0.05, normalized = true,
       approx = true))
     assert(cs(28) == MaxDuplicateRate("txt")) // maxRate 0, exact, raw
+    assert(cs(29) == Compliance("vf", "value >= 0", 0.01))
+    assert(cs(30) == CorrelationBetween("a", "b", lo = 0.5)) // hi defaults 1.0
+    assert(cs(31) == EntropyBetween("role", 0.5, 2.5))
+    assert(cs(32) == EntropyBetween("role")) // lo 0, hi unbounded
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
