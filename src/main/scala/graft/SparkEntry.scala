@@ -1230,6 +1230,21 @@ object SparkEntry {
         Validator.Context())
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("entropy"))
+    }),
+
+    // Mutual information between the role and the turn phase (turn_idx
+    // mod 4) — the dependency census. lo forced above any real MI so the
+    // constraint FAILS and the violation row observes the measured MI;
+    // the oracle recomputes Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) from the pair
+    // frequencies.
+    "q90_mutual_information" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+        .withColumn("phase", pmod(col("turn_idx"), lit(4)))
+      val r = Validator.validate(t,
+        Check("mi", Seq(MutualInformationBetween("role", "phase",
+          lo = 99.0, hi = 100.0))), Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("mi"))
     })
   )
 
@@ -2619,6 +2634,24 @@ object SparkEntry {
          |  WHERE role IS NOT NULL GROUP BY role)
          |SELECT 'role' AS "column",
          |  round(-sum(p * ln(p)), 6) AS entropy
-         |FROM (SELECT n / (sum(n) OVER ()) AS p FROM freq)""".stripMargin
+         |FROM (SELECT n / (sum(n) OVER ()) AS p FROM freq)""".stripMargin,
+
+    // mutual-information twin: Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) from the
+    // (role, turn_idx % 4) pair census — marginals via window sums, the
+    // same O(distinct pairs) shape the engine uses
+    "q90_mutual_information" ->
+      s"""WITH $T,
+         |pairs AS (SELECT role AS x, turn_idx % 4 AS y,
+         |    count(*)::DOUBLE AS n
+         |  FROM transcripts WHERE role IS NOT NULL AND turn_idx IS NOT NULL
+         |  GROUP BY 1, 2),
+         |m AS (SELECT n,
+         |    sum(n) OVER (PARTITION BY x) AS nx,
+         |    sum(n) OVER (PARTITION BY y) AS ny,
+         |    sum(n) OVER () AS tot
+         |  FROM pairs)
+         |SELECT 'role,phase' AS "column",
+         |  round(greatest(sum(n / tot * ln(n * tot / (nx * ny))), 0), 6) AS mi
+         |FROM m""".stripMargin
   )
 }

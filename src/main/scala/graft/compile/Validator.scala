@@ -776,6 +776,10 @@ object Validator {
             if (row.isNullAt(0) || row.getLong(0) == 0L) None
             else Some(math.log(row.getLong(0).toDouble) -
               row.getDouble(1) / row.getLong(0).toDouble)
+          // verdict `rows` = the census size (non-null values), not
+          // totalRows: an entropy-only suite never runs the fused stats
+          // pass, and a hardcoded 0 would read as "nothing scanned"
+          val censusN = if (row.isNullAt(0)) 0L else row.getLong(0)
           val failed = hOpt.exists(h => h < lo || h > hi)
           val violationDf: Option[DataFrame] =
             if (!failed) None
@@ -788,7 +792,60 @@ object Validator {
                 violationSchema))
             }
           import spark.implicits._
-          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+          val verdictDf = Seq(("(global)", c.name, !failed, censusN,
+              if (failed) 1L else 0L, 0.0))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
+    // ---- pass 13: mutual-information bound ------------------------------------
+    // one hash aggregation per constraint (groupBy (x,y) → count, map-side
+    // combined); marginals and the MI sum are window/aggregate passes over
+    // the O(distinct pairs) census, never the fact table. ANSI-safe: every
+    // divisor is a positive count by construction.
+    val miResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ MutualInformationBetween(x, y, lo, hi) =>
+          // "__pn"/"__tot", NOT "__n"/"__N": column resolution is
+          // case-INSENSITIVE by default, so a name differing only in case
+          // silently REPLACES the existing column in withColumn
+          val pairs = df
+            .where(col(x).isNotNull && col(y).isNotNull)
+            .groupBy(col(x).as("__x"), col(y).as("__y"))
+            .agg(count(lit(1)).cast("double").as("__pn"))
+          val row = pairs
+            .withColumn("__nx", sum(col("__pn"))
+              .over(Window.partitionBy(col("__x"))))
+            .withColumn("__ny", sum(col("__pn"))
+              .over(Window.partitionBy(col("__y"))))
+            .withColumn("__tot", sum(col("__pn")).over(Window.partitionBy()))
+            .agg(sum(col("__pn") / col("__tot") *
+              log(col("__pn") * col("__tot") / (col("__nx") * col("__ny"))))
+              .as("mi"),
+              sum(col("__pn")).cast("long").as("__pairs"))
+            .collect()(0)
+          // clamped at 0: MI ≥ 0 by theorem; fp summation noise on an
+          // independent pair can land at −1e−16 and a lo = 0 bound must
+          // not flag it
+          val miOpt: Option[Double] =
+            if (row.isNullAt(0)) None
+            else Some(math.max(0.0, row.getDouble(0)))
+          // verdict `rows` = complete pairs in the census (see entropy)
+          val censusN = if (row.isNullAt(1)) 0L else row.getLong(1)
+          val failed = miOpt.exists(v => v < lo || v > hi)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, s"$x,$y",
+                  miOpt.get.toString, s"mi in [$lo,$hi]", c.severity))
+                  .asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, censusN,
               if (failed) 1L else 0L, 0.0))
             .toDF("partition_key", "constraint", "pass", "rows",
               "violations", "violation_rate")
@@ -804,6 +861,7 @@ object Validator {
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
       dupRateResults.flatMap(_._1) ++
       corrResults.flatMap(_._1) ++ entropyResults.flatMap(_._1) ++
+      miResults.flatMap(_._1) ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -917,6 +975,7 @@ object Validator {
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
       dupRateResults.map(_._2) ++
       corrResults.map(_._2) ++ entropyResults.map(_._2) ++
+      miResults.map(_._2) ++
       driftResults.map(_._2))
       .reduce(_ unionByName _)
 

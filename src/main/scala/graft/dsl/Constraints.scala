@@ -334,6 +334,23 @@ final case class EntropyBetween(column: String, lo: Double = 0.0,
     hi: Double = Double.MaxValue)
   extends Constraint { val name = s"entropy($column)" }
 
+/** Mutual-information bound (natural log) between two category columns —
+  * the dependency census: MI = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) over rows
+  * where BOTH sides are non-null (complete pairs). Two columns that
+  * should determine each other drifting apart (a broken enrichment join)
+  * or two supposedly-independent columns suddenly coupling (a copy-paste
+  * bug upstream) both move MI where per-column checks see nothing. Pass
+  * iff lo ≤ MI ≤ hi; an empty pair census is "no signal" and passes. A
+  * failing suite emits ONE global violation row observing the measured
+  * MI. Scale: one hash aggregation (groupBy (x,y) → count, map-side
+  * combined — only distinct pairs ride the exchange); marginals are
+  * window sums over that census (O(distinct pairs), not O(rows)); meant
+  * for category-cardinality pairs, not free text.
+  */
+final case class MutualInformationBetween(x: String, y: String,
+    lo: Double = 0.0, hi: Double = Double.MaxValue)
+  extends Constraint { val name = s"mutual_info($x,$y)" }
+
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like
   * Sessions.assign) the gap between consecutive turns must not exceed

@@ -223,6 +223,10 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "lo", "hi"))
         EntropyBetween(str(n, "column", ctx), optD(n, "lo", 0.0, ctx),
           optD(n, "hi", Double.MaxValue, ctx))
+      case "mutual_information_between" =>
+        known(n, ctx, Set("type", "x", "y", "lo", "hi"))
+        MutualInformationBetween(str(n, "x", ctx), str(n, "y", ctx),
+          optD(n, "lo", 0.0, ctx), optD(n, "hi", Double.MaxValue, ctx))
       case "allowed_transitions" =>
         known(n, ctx, Set("type", "column", "allowed", "firstIn"))
         val a = req(n, "allowed", ctx)

@@ -811,4 +811,36 @@ class ValidatorSpec extends GraftSuite {
       .select("pass").as[Boolean].collect().toSeq == Seq(true))
     r4.unpersistAll()
   }
+
+  test("MutualInformationBetween: independence → 0, determinism → H, null pairs skipped") {
+    // x and y independent (every (x,y) combination equally frequent) → MI 0
+    val ind = (0 until 400).map(i => ("a", i, s"x${i % 4}", s"y${(i / 4) % 5}"))
+      .toDF("conv_id", "turn_idx", "x", "y")
+    val r = Validator.validate(ind, Check("mi", Seq(
+      MutualInformationBetween("x", "y", lo = 0.0, hi = 0.001))))
+    assert(r.verdicts.where(col("constraint") === "mutual_info(x,y)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r.unpersistAll()
+    // y = f(x) (deterministic) → MI = H(x) = ln 4; a null-side row must be
+    // skipped (complete pairs), not crash or shift the census
+    val det = (0 until 400).map(i => ("a", i, s"x${i % 4}", s"y${i % 4}"))
+      .toDF("conv_id", "turn_idx", "x", "y")
+      .union(Seq(("a", 400, null: String, "y0"), ("a", 401, "x0", null: String))
+        .toDF("conv_id", "turn_idx", "x", "y"))
+    val r2 = Validator.validate(det, Check("mi", Seq(
+      MutualInformationBetween("x", "y", lo = 99.0))))
+    val v = r2.violations.where(col("constraint") === "mutual_info(x,y)")
+      .select("conv_id", "observed").collect()
+    assert(v.length == 1 && v(0).getString(0) == "(global)" &&
+      math.abs(v(0).getString(1).toDouble - math.log(4.0)) < 1e-9,
+      v.mkString(","))
+    r2.unpersistAll()
+    // empty pair census: no signal → passes any bound
+    val r3 = Validator.validate(
+      Seq(("a", 0, null: String, "y0")).toDF("conv_id", "turn_idx", "x", "y"),
+      Check("mi", Seq(MutualInformationBetween("x", "y", lo = 99.0))))
+    assert(r3.verdicts.where(col("constraint") === "mutual_info(x,y)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r3.unpersistAll()
+  }
 }

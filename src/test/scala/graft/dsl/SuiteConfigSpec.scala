@@ -58,6 +58,7 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: correlation_between, x: a, y: b, lo: 0.5}
         |  - {type: entropy_between, column: role, lo: 0.5, hi: 2.5}
         |  - {type: entropy_between, column: role}
+        |  - {type: mutual_information_between, x: role, y: tool, hi: 0.5}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -101,6 +102,7 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(30) == CorrelationBetween("a", "b", lo = 0.5)) // hi defaults 1.0
     assert(cs(31) == EntropyBetween("role", 0.5, 2.5))
     assert(cs(32) == EntropyBetween("role")) // lo 0, hi unbounded
+    assert(cs(33) == MutualInformationBetween("role", "tool", hi = 0.5))
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
