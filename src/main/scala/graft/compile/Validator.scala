@@ -64,6 +64,81 @@ object Validator {
     StructField("bound", StringType),
     StructField("severity", StringType)))
 
+  /** A compiled row-level check over the CURRENT row only. */
+  private[graft] final case class StatelessCheck(name: String,
+      maxRate: Double, severity: String, column: String, violated: Column,
+      observed: Column, bound: String)
+
+  /** The stateless row-level constraint subset, compiled to Columns —
+    * shared VERBATIM by the batch row-flags pass and the streaming face
+    * ([[graft.streaming.StreamingRowChecks]]): these six families read
+    * only the current row, so one compile site keeps batch and stream
+    * semantics identical by construction. Constraints outside the subset
+    * are simply not returned (callers that must refuse them compare
+    * against the input length).
+    */
+  private[graft] def compileStateless(cs: Seq[Constraint])
+      : Seq[StatelessCheck] = cs.collect {
+    case c @ NotNull(columnName, maxRate) =>
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        col(columnName).isNull, lit(null).cast("string"), "not null")
+    case c @ InSet(columnName, allowed) =>
+      StatelessCheck(c.name, 0.0, c.severity, columnName,
+        col(columnName).isNotNull && !col(columnName).isin(allowed: _*),
+        col(columnName), s"in {${allowed.mkString(",")}}")
+    case c @ MatchesRegex(columnName, re) =>
+      StatelessCheck(c.name, 0.0, c.severity, columnName,
+        col(columnName).isNotNull && !col(columnName).rlike(re),
+        col(columnName), s"matches $re")
+    case c @ ValueBounds(columnName, lo, hi) =>
+      val v = col(columnName)
+      val f = (lo.map(v < _) ++ hi.map(v > _)).reduceOption(_ || _)
+        .getOrElse(lit(false))
+      StatelessCheck(c.name, 0.0, c.severity, columnName,
+        v.isNotNull && f, v.cast("string"),
+        s"[${lo.getOrElse(Double.NegativeInfinity)},${hi.getOrElse(Double.PositiveInfinity)}]")
+    case c @ TextEquals(columnName, expected) =>
+      StatelessCheck(c.name, 0.0, c.severity, columnName,
+        !(col(columnName) <=> expected), col(columnName),
+        "closed-form text")
+    case c @ Compliance(label, pred, maxRate) =>
+      // fails CLOSED: false or null predicate both violate; the observed
+      // column carries the predicate's raw truth value
+      StatelessCheck(c.name, maxRate, c.severity, label,
+        !coalesce(expr(pred), lit(false)), expr(pred).cast("string"),
+        s"satisfies $pred")
+  }
+
+  /** One projection emitting every configured check's violation rows:
+    * each input row fans out to an array of per-check structs, filtered
+    * to the violated ones and exploded — shuffle-free, codegen-friendly,
+    * and legal on a STREAMING DataFrame (no state, no watermark).
+    * `checks` tuples are (name, column, observed, bound, severity,
+    * violated).
+    */
+  private[graft] def explodeChecks(base: DataFrame, keyCol: String,
+      ordCol: String,
+      checks: Seq[(String, String, Column, String, String, Column)])
+      : DataFrame = {
+    val structs = checks.map {
+      case (name, column, observed, bound, severity, violated) =>
+        struct(
+          lit(name).as("constraint"),
+          lit(column).as("column"),
+          observed.cast("string").as("observed"),
+          lit(bound).as("bound"),
+          lit(severity).as("severity"),
+          violated.as("violated"))
+    }
+    base.select(col(keyCol).cast("string").as("conv_id"),
+        col(ordCol).cast("int").as("turn_idx"),
+        array(structs: _*).as("__checks"))
+      .select(col("conv_id"), col("turn_idx"),
+        explode(filter(col("__checks"), x => x.getField("violated"))).as("v"))
+      .select(col("v.constraint"), col("conv_id"), col("turn_idx"),
+        col("v.column"), col("v.observed"), col("v.bound"), col("v.severity"))
+  }
+
   def validate(df: DataFrame, check: Check,
       ctx: Context = Context()): Result = {
     val spark = df.sparkSession
@@ -248,31 +323,13 @@ object Validator {
           else col(columnName).isNull || !coalesce(in, lit(false))
         Some(RowCheck(c, columnName, violated, col(columnName),
           s"in dim $dimName.$dimCol"))
-      case c @ NotNull(columnName, _) =>
-        Some(RowCheck(c, columnName, col(columnName).isNull,
-          lit(null).cast("string"), "not null"))
-      case c @ InSet(columnName, allowed) =>
-        Some(RowCheck(c, columnName,
-          col(columnName).isNotNull && !col(columnName).isin(allowed: _*),
-          col(columnName), s"in {${allowed.mkString(",")}}"))
-      case c @ MatchesRegex(columnName, re) =>
-        Some(RowCheck(c, columnName,
-          col(columnName).isNotNull && !col(columnName).rlike(re),
-          col(columnName), s"matches $re"))
-      case c @ ValueBounds(columnName, lo, hi) =>
-        val v = col(columnName)
-        val f = (lo.map(v < _) ++ hi.map(v > _)).reduceOption(_ || _).getOrElse(lit(false))
-        Some(RowCheck(c, columnName, v.isNotNull && f, v.cast("string"),
-          s"[${lo.getOrElse(Double.NegativeInfinity)},${hi.getOrElse(Double.PositiveInfinity)}]"))
-      case c @ TextEquals(columnName, expected) =>
-        Some(RowCheck(c, columnName, !(col(columnName) <=> expected),
-          col(columnName), "closed-form text"))
-      case c @ Compliance(label, pred, _) =>
-        // same fail-closed semantics as the fused global count above; the
-        // observed column carries the predicate's raw truth value ("false"
-        // or null) so a violation row shows WHY it fired
-        Some(RowCheck(c, label, !coalesce(expr(pred), lit(false)),
-          expr(pred).cast("string"), s"satisfies $pred"))
+      // the six stateless families compile through the ONE shared site
+      // the streaming face also uses (batch/stream semantic parity by
+      // construction — see compileStateless)
+      case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
+          _: TextEquals | _: Compliance) =>
+        val sc = compileStateless(Seq(c)).head
+        Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
         val mu = stat(s"__mean__$columnName"); val sd = stat(s"__stdp__$columnName")
         val z = (col(columnName) - mu) / sd
@@ -293,23 +350,11 @@ object Validator {
       case _ => None
     }
 
-    def explodeViolations(base: DataFrame, checks: Seq[RowCheck]): DataFrame = {
-      val structs = checks.map { rc =>
-        struct(
-          lit(rc.c.name).as("constraint"),
-          lit(rc.column).as("column"),
-          rc.observed.cast("string").as("observed"),
-          lit(rc.bound).as("bound"),
-          lit(rc.c.severity).as("severity"),
-          rc.violated.as("violated"))
-      }
-      base.select(key.cast("string").as("conv_id"), ord.cast("int").as("turn_idx"),
-          array(structs: _*).as("__checks"))
-        .select(col("conv_id"), col("turn_idx"),
-          explode(filter(col("__checks"), x => x.getField("violated"))).as("v"))
-        .select(col("v.constraint"), col("conv_id"), col("turn_idx"),
-          col("v.column"), col("v.observed"), col("v.bound"), col("v.severity"))
-    }
+    def explodeViolations(base: DataFrame, checks: Seq[RowCheck]): DataFrame =
+      explodeChecks(base, check.keyCol, check.orderCol,
+        checks.map(rc =>
+          (rc.c.name, rc.column, rc.observed, rc.bound, rc.c.severity,
+            rc.violated)))
 
     // plain row flags: shuffle-free projection over the scan
     val rowViolations: DataFrame = if (rowChecks.nonEmpty)
