@@ -105,10 +105,24 @@ object Runner {
           else if (i + 1 < restNoSample.length) Some(restNoSample(i + 1))
           else sys.error("--suite requires a config-file path argument")
         }
-        val rest = {
+        val restNoSuite = {
           val i = restNoSample.indexOf("--suite")
           if (i < 0) restNoSample else restNoSample.patch(i, Nil, 2)
         }
+        // --metrics-dir <dir> [--run-id <id>]: append this run's
+        // per-constraint metrics to a cross-run history and emit
+        // rate-of-change anomalies vs that history (checkpoint.MetricHistory)
+        def takeValueFlag(args: List[String], name: String)
+            : (Option[String], List[String]) = {
+          val i = args.indexOf(name)
+          if (i < 0) (None, args)
+          else if (i + 1 < args.length)
+            (Some(args(i + 1)), args.patch(i, Nil, 2))
+          else sys.error(s"$name requires a value argument")
+        }
+        val (metricsDir, restNoMetrics) =
+          takeValueFlag(restNoSuite, "--metrics-dir")
+        val (runIdOpt, rest) = takeValueFlag(restNoMetrics, "--run-id")
         val (suite, configDims) = suitePath.map(SuiteConfig.loadWithDims)
           .getOrElse((defaultSuite, Map.empty[String, String]))
         val ctx = Validator.Context(Map(
@@ -143,7 +157,8 @@ object Runner {
           // default-suite validation in place of what the user asked for
           case other => sys.error("unrecognized validate arguments: " +
             other.mkString(" ") + " (supported: --resumable <ckpt> <P>, " +
-            "--format csv, --sample <rate>, --suite <file>)")
+            "--format csv, --sample <rate>, --suite <file>, " +
+            "--metrics-dir <dir>, --run-id <id>)")
         }
         violations.write.mode("overwrite").parquet(s"$out/violations")
         verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
@@ -159,6 +174,22 @@ object Runner {
           graft.report.Reports.markdown(report).getBytes("UTF-8"))
         java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/report.html"),
           graft.report.Reports.html(report).getBytes("UTF-8"))
+        // cross-run metric history: append THIS run, then flag
+        // run-over-run metric jumps against everything appended before it
+        metricsDir.foreach { md =>
+          val runId = runIdOpt.getOrElse(
+            java.time.Instant.now().toString.replace(":", "-"))
+          graft.checkpoint.MetricHistory.append(md, runId,
+            new java.sql.Timestamp(System.currentTimeMillis()),
+            graft.checkpoint.MetricHistory.fromVerdicts(
+              spark.read.parquet(s"$out/verdicts")))
+          val anomalies = graft.checkpoint.MetricHistory.rateOfChange(
+            graft.checkpoint.MetricHistory.load(spark, md), maxRel = 0.5)
+          anomalies.write.mode("overwrite")
+            .parquet(s"$out/metric_anomalies")
+          val nAnom = spark.read.parquet(s"$out/metric_anomalies").count()
+          println(s"""{"metrics_run_id":"$runId","metric_anomalies":$nAnom}""")
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val rows = pinned.count()
         val nViol = spark.read.parquet(s"$out/violations").count()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.{Ivf, Similarity}
-import graft.compile.Validator
+import graft.compile.{Suggestions, Validator}
 import graft.dedup.Dedup
 import graft.dsl._
 import graft.multimodal.Multimodal
@@ -1245,6 +1245,56 @@ object SparkEntry {
           lo = 99.0, hi = 100.0))), Validator.Context())
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("mi"))
+    }),
+
+    // Constraint suggestion census — the discovery step that writes a
+    // starter suite (profile a blessed snapshot → suggested constraints →
+    // SuiteConfig.render YAML). The oracle re-derives every rule
+    // (not_null / in_set / value_bounds / unique_key) from the same
+    // per-column stats; the engine's census is one fused agg with string
+    // distincts digest-reduced map-side.
+    "q91_suggested_constraints" -> ((s, dir) => {
+      Suggestions.suggestDf(s, Tables.transcripts(s, dir))
+        .orderBy("column", "suggestion")
+    }),
+
+    // Cross-run metric anomaly detection (checkpoint.MetricHistory): each
+    // UTC day of the table stands in for one validation run with two
+    // tracked metrics (row count, mean value); rate-of-change flags any
+    // run whose metric moved >10% vs the previous run. The oracle replays
+    // the same lag-window rule.
+    "q92_metric_rate_anomalies" -> ((s, dir) => {
+      val daily = Tables.transcripts(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("run_ts"))
+        .agg(count(lit(1)).cast("double").as("rows"),
+          avg(col("value")).as("mean_value"))
+      val hist = daily.select(
+        date_format(col("run_ts"), "yyyy-MM-dd").as("run_id"),
+        col("run_ts"), lit("all").as("constraint"),
+        explode(map(lit("rows"), col("rows"),
+          lit("mean_value"), col("mean_value"))).as(Seq("metric", "value")))
+      graft.checkpoint.MetricHistory.rateOfChange(hist, maxRel = 0.10)
+        .select(col("run_id"), col("metric"),
+          round(col("value"), 6).as("value"),
+          round(col("prev"), 6).as("prev"),
+          round(col("rel_change"), 6).as("rel_change"))
+        .orderBy("run_id", "metric")
+    }),
+
+    // Data-type conformance (ParsableAs): a derived column that holds the
+    // JSON payload's numeric field on conversational turns but the tool
+    // CODE on tool turns — the tool codes can't cast to int and violate.
+    // Exercises the fused try_cast row check end-to-end; the oracle
+    // replays the same TRY_CAST rule.
+    "q93_parsable_violations" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir).withColumn("maybe_num",
+        when(col("role") === "tool", col("tool"))
+          .otherwise(get_json_object(col("text"), "$.k")))
+      val r = Validator.validate(t,
+        Check("pars", Seq(ParsableAs("maybe_num", "int"))),
+        Validator.Context())
+      r.violations.select(col("conv_id"), col("turn_idx"), col("observed"))
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
@@ -1292,6 +1342,32 @@ object SparkEntry {
       |  SELECT idx, y, trend, pmean - grand AS seasonal,
       |    y - trend - (pmean - grand) AS resid
       |  FROM det JOIN pm USING (phase), g)""".stripMargin
+
+  /** q91 twin: per-column census rows over the transcripts view. One UNION
+    * branch per column, mirroring Suggestions.census — string columns carry
+    * a sorted distinct-value list for the in_set rule (gated later).
+    */
+  private val q91StatsSql: String = {
+    val cols = Seq( // (name, isString, isNumeric)
+      ("conv_id", true, false), ("turn_idx", false, true),
+      ("role", true, false), ("text", true, false), ("tool", true, false),
+      ("ts", false, false), ("value", false, true))
+    val branches = cols.map { case (c, isStr, isNum) =>
+      val mn = if (isNum) s"min($c)::DOUBLE" else "NULL::DOUBLE"
+      val mx = if (isNum) s"max($c)::DOUBLE" else "NULL::DOUBLE"
+      val vals =
+        if (isStr)
+          s"""(SELECT string_agg(v, ',' ORDER BY v)
+             |     FROM (SELECT DISTINCT $c AS v FROM transcripts
+             |           WHERE $c IS NOT NULL))""".stripMargin
+        else "NULL::VARCHAR"
+      s"""SELECT '$c' AS c, count(*) AS n, count(*) - count($c) AS nulls,
+         |       count(DISTINCT $c) AS dist, $mn AS mn, $mx AS mx,
+         |       $isStr AS is_str, $isNum AS is_num, $vals AS vals
+         |FROM transcripts""".stripMargin
+    }
+    s"stats AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project_filter" ->
@@ -2652,6 +2728,77 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT 'role,phase' AS "column",
          |  round(greatest(sum(n / tot * ln(n * tot / (nx * ny))), 0), 6) AS mi
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // suggestion twin: re-derive each rule from the per-column census —
+    // not_null when rate <= 0.5 (bound = observed rate rounded UP to 4dp,
+    // same op order as Suggestions: rate*10000 -> ceil -> /10000);
+    // in_set for repeating small-set strings; value_bounds for numerics;
+    // unique_key for fully-unique non-null columns
+    "q91_suggested_constraints" ->
+      s"""WITH $T,
+         |$q91StatsSql,
+         |sugg AS (
+         |  SELECT c, 'not_null' AS suggestion, NULL::DOUBLE AS lo,
+         |         ceil((nulls::DOUBLE / n) * 10000) / 10000 AS hi,
+         |         NULL::VARCHAR AS details
+         |  FROM stats WHERE n > 0 AND nulls::DOUBLE / n <= 0.5
+         |  UNION ALL
+         |  SELECT c, 'in_set', NULL, NULL, vals FROM stats
+         |  WHERE n > 0 AND is_str AND dist >= 2 AND dist <= 20
+         |    AND dist < n - nulls
+         |  UNION ALL
+         |  SELECT c, 'value_bounds', mn, mx, NULL FROM stats
+         |  WHERE n > 0 AND is_num AND mn IS NOT NULL
+         |  UNION ALL
+         |  SELECT c, 'unique_key', NULL, NULL, NULL FROM stats
+         |  WHERE nulls = 0 AND dist = n AND n > 1)
+         |SELECT c AS "column", suggestion, round(lo, 6) AS lo,
+         |       round(hi, 6) AS hi, details
+         |FROM sugg ORDER BY "column", suggestion""".stripMargin,
+
+    // metric-history twin: the same day-bucket pseudo-runs, the same
+    // lag-window rate-of-change rule (>10% vs previous run; a zero
+    // baseline flags any nonzero value and keeps rel_change null)
+    "q92_metric_rate_anomalies" ->
+      s"""WITH $T,
+         |daily AS (
+         |  SELECT date_trunc('day', ts) AS run_ts, count(*)::DOUBLE AS rows_v,
+         |         avg(value) AS mean_value
+         |  FROM transcripts GROUP BY 1),
+         |hist AS (
+         |  SELECT strftime(run_ts, '%Y-%m-%d') AS run_id, run_ts,
+         |         'rows' AS metric, rows_v AS value FROM daily
+         |  UNION ALL
+         |  SELECT strftime(run_ts, '%Y-%m-%d'), run_ts, 'mean_value',
+         |         mean_value FROM daily),
+         |lagged AS (
+         |  SELECT run_id, metric, value,
+         |    lag(value) OVER (PARTITION BY metric ORDER BY run_ts, run_id)
+         |      AS prev
+         |  FROM hist)
+         |SELECT run_id, metric, round(value, 6) AS value,
+         |  round(prev, 6) AS prev,
+         |  round(CASE WHEN abs(prev) > 0
+         |             THEN abs(value - prev) / abs(prev) END, 6) AS rel_change
+         |FROM lagged
+         |WHERE prev IS NOT NULL AND
+         |  ((abs(prev) > 0 AND abs(value - prev) / abs(prev) > 0.10)
+         |   OR (abs(prev) = 0 AND value <> 0))
+         |ORDER BY run_id, metric""".stripMargin,
+
+    // parsable_as twin: the same derived column, the same TRY_CAST rule —
+    // non-null values DuckDB can't convert either are the violations
+    "q93_parsable_violations" ->
+      s"""WITH $T,
+         |derived AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN role = 'tool' THEN tool
+         |         ELSE json_extract_string(text, '$$.k') END AS maybe_num
+         |  FROM transcripts)
+         |SELECT conv_id, turn_idx, maybe_num AS observed
+         |FROM derived
+         |WHERE maybe_num IS NOT NULL AND TRY_CAST(maybe_num AS INT) IS NULL
+         |ORDER BY conv_id, turn_idx""".stripMargin
   )
 }

@@ -1,0 +1,173 @@
+package graft.compile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+import graft.dsl._
+
+/** Constraint suggestion: profile a table once, emit a starter constraint
+  * suite that PASSES on the profiled data. The reference hardcodes its
+  * per-region thresholds in config (`config/regions.yaml:54-58`); this is
+  * the discovery step that writes that config for you — profile a blessed
+  * snapshot, render the suggested suite to YAML ([[SuiteConfig.render]]),
+  * review, and run it against every future snapshot.
+  *
+  * Scale shape: one fused aggregation over all columns (exact distincts
+  * expand the scan k+1 ways — bounded by column count, not rows), plus one
+  * targeted second pass that collects values ONLY for columns the census
+  * proved low-cardinality. At 10^12 turns run it on a deterministic sample
+  * ([[graft.sample.Sampling.keep]]) — suggestion thresholds are heuristics,
+  * not verdicts, so sampling is sound here in a way it never is for the
+  * validator itself.
+  */
+object Suggestions {
+
+  /** Per-column census row (driver-side: one row per COLUMN, not per row
+    * of data — collecting it is O(columns)).
+    */
+  final case class ColumnCensus(
+      column: String,
+      rows: Long,
+      nulls: Long,
+      distinct: Long,
+      min: Option[Double],
+      max: Option[Double],
+      isString: Boolean,
+      isNumeric: Boolean)
+
+  /** One suggested constraint plus the census evidence that produced it. */
+  final case class Suggested(
+      column: String,
+      suggestion: String,
+      lo: Option[Double],
+      hi: Option[Double],
+      details: Option[String],
+      constraint: Constraint)
+
+  /** One-pass per-column census: total rows, nulls, exact distinct, and
+    * min/max (numeric columns only). Exact distincts (not HLL) because the
+    * suggested bounds must hold exactly on the profiled data.
+    */
+  def census(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnCensus] = {
+    val fields =
+      if (columns.nonEmpty) df.schema.fields.filter(f => columns.contains(f.name))
+      else df.schema.fields
+    require(fields.nonEmpty, "no columns to profile")
+    val aggs = count(lit(1)).as("__rows") +: fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val minMax = f.dataType match {
+        case _: NumericType => Seq(
+          min(c).cast("double").as(s"min__${f.name}"),
+          max(c).cast("double").as(s"max__${f.name}"))
+        case _ => Nil
+      }
+      // string distincts count a map-side md5 digest, not the value: at
+      // 10^12 turns a text column's values must never ride the distinct
+      // exchange (same discipline as MaxDuplicateRate / NoConsecutiveRepeats)
+      val distArg = f.dataType match {
+        case StringType => md5(c.cast("binary"))
+        case _ => c
+      }
+      Seq(
+        count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
+        count_distinct(distArg).as(s"dist__${f.name}")) ++ minMax
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getAs[Long]("__rows")
+    fields.toSeq.map { f =>
+      def optD(name: String): Option[Double] = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None else Some(row.getDouble(i))
+      }
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      ColumnCensus(
+        column = f.name,
+        rows = rows,
+        nulls = row.getAs[Long](s"nulls__${f.name}"),
+        distinct = row.getAs[Long](s"dist__${f.name}"),
+        min = if (numeric) optD(s"min__${f.name}") else None,
+        max = if (numeric) optD(s"max__${f.name}") else None,
+        isString = f.dataType == StringType,
+        isNumeric = numeric)
+    }
+  }
+
+  /** Suggest constraints from the census. Rules (all deterministic; the
+    * bounds hold on the profiled data GLOBALLY — the validator's
+    * per-partition rate verdicts can still flag a partition where e.g.
+    * nulls cluster, which is the localization those verdicts exist for):
+    *
+    *  - `not_null` when the null rate is ≤ `maxNullRateForNotNull`; the
+    *    suggested bound is the observed rate rounded UP to 4 decimals so
+    *    the constraint holds on the data that produced it.
+    *  - `in_set` for string columns with 2..`maxSetSize` distinct values
+    *    that actually repeat (distinct < non-null count) — a column where
+    *    every value is unique is an id, not an enum.
+    *  - `value_bounds` [observed min, observed max] for numeric columns.
+    *  - `unique_key` for a non-null column whose distinct count equals the
+    *    row count.
+    */
+  def suggest(df: DataFrame, columns: Seq[String] = Nil,
+      maxSetSize: Int = 20,
+      maxNullRateForNotNull: Double = 0.5): Seq[Suggested] = {
+    val cen = census(df, columns)
+    val setCandidates = cen.filter(c => c.isString && c.rows > 0 &&
+      c.distinct >= 2 && c.distinct <= maxSetSize &&
+      c.distinct < c.rows - c.nulls).map(_.column)
+    // second pass, only for columns the census proved low-cardinality
+    val values: Map[String, Seq[String]] =
+      if (setCandidates.isEmpty) Map.empty
+      else {
+        val aggs = setCandidates.map(c =>
+          sort_array(collect_set(col(c))).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        setCandidates.map(c => c -> r.getSeq[String](r.fieldIndex(c)).toSeq).toMap
+      }
+    cen.filter(_.rows > 0).flatMap { c =>
+      val rate = c.nulls.toDouble / c.rows
+      val notNull =
+        if (rate <= maxNullRateForNotNull) {
+          val bound = math.ceil(rate * 10000) / 10000
+          Some(Suggested(c.column, "not_null", None, Some(bound), None,
+            NotNull(c.column, maxNullRate = bound)))
+        } else None
+      val inSet = values.get(c.column).map { vs =>
+        Suggested(c.column, "in_set", None, None, Some(vs.mkString(",")),
+          InSet(c.column, vs))
+      }
+      val bounds =
+        if (c.isNumeric && c.min.nonEmpty)
+          Some(Suggested(c.column, "value_bounds", c.min, c.max, None,
+            ValueBounds(c.column, c.min, c.max)))
+        else None
+      val unique =
+        if (c.nulls == 0 && c.distinct == c.rows && c.rows > 1)
+          Some(Suggested(c.column, "unique_key", None, None, None,
+            UniqueKey(Seq(c.column))))
+        else None
+      Seq(notNull, inSet, bounds, unique).flatten
+    }.sortBy(s => (s.column, s.suggestion))
+  }
+
+  /** Suggestions as a DataFrame (the q91 oracle shape); lo/hi rounded via
+    * Spark's own `round` so the surface is engine-comparable.
+    */
+  def suggestDf(spark: SparkSession, df: DataFrame,
+      columns: Seq[String] = Nil, maxSetSize: Int = 20): DataFrame = {
+    import spark.implicits._
+    suggest(df, columns, maxSetSize)
+      .map(s => (s.column, s.suggestion, s.lo, s.hi, s.details))
+      .toDF("column", "suggestion", "lo", "hi", "details")
+      .withColumn("lo", round(col("lo"), 6))
+      .withColumn("hi", round(col("hi"), 6))
+  }
+
+  /** Bundle suggestions into a runnable [[Check]] (render it with
+    * [[SuiteConfig.render]] to get the starter YAML).
+    */
+  def toCheck(name: String, suggestions: Seq[Suggested],
+      keyCol: String = "conv_id", orderCol: String = "turn_idx",
+      tsCol: String = "ts"): Check =
+    Check(name, suggestions.map(_.constraint), keyCol, orderCol, tsCol)
+}

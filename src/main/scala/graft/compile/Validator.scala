@@ -107,6 +107,12 @@ object Validator {
       StatelessCheck(c.name, maxRate, c.severity, label,
         !coalesce(expr(pred), lit(false)), expr(pred).cast("string"),
         s"satisfies $pred")
+    case c @ ParsableAs(columnName, castTo, maxRate) =>
+      // nulls are NotNull's finding; only unconvertible VALUES violate
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        col(columnName).isNotNull &&
+          expr(s"try_cast(`$columnName` AS $castTo)").isNull,
+        col(columnName), s"castable to $castTo")
   }
 
   /** One projection emitting every configured check's violation rows:
@@ -205,6 +211,8 @@ object Validator {
     // may share a label), correlation by the (x, y) column pair
     val compCs: Seq[(Compliance, Int)] = check.constraints.zipWithIndex
       .collect { case (c: Compliance, i) => (c, i) }
+    val parsCs: Seq[(ParsableAs, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: ParsableAs, i) => (c, i) }
     val corrNeeds: Seq[(String, String)] = check.constraints.collect {
       case c: CorrelationBetween => (c.x, c.y) }.distinct
 
@@ -214,6 +222,10 @@ object Validator {
         // fails CLOSED: false or null predicate both count as failures
         count(when(!coalesce(expr(c.predicate), lit(false)), 1))
           .as(s"__comp__$i") } ++
+      parsCs.map { case (c, i) =>
+        count(when(col(c.column).isNotNull &&
+          expr(s"try_cast(`${c.column}` AS ${c.castTo})").isNull, 1))
+          .as(s"__pars__$i") } ++
       corrNeeds.flatMap { case (x, y) =>
         // r assembled DRIVER-SIDE from covar_samp and the two stddevs:
         // corr() itself divides in-plan and ANSI mode throws
@@ -327,7 +339,7 @@ object Validator {
       // the streaming face also uses (batch/stream semantic parity by
       // construction — see compileStateless)
       case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
-          _: TextEquals | _: Compliance) =>
+          _: TextEquals | _: Compliance | _: ParsableAs) =>
         val sc = compileStateless(Seq(c)).head
         Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
@@ -915,6 +927,7 @@ object Validator {
     val perConvConstraints = rowChecks.map(rc => (rc.c.name, rc.c match {
       case NotNull(_, maxRate) => maxRate
       case Compliance(_, _, maxRate) => maxRate
+      case ParsableAs(_, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -987,6 +1000,13 @@ object Validator {
       // [global] suffix keeps the two verdict rows distinct, like NotNull)
       compCs.map { case (c, i) =>
         val fails = stat(s"__comp__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
+      // parsable_as global rate bound, like compliance's
+      parsCs.map { case (c, i) =>
+        val fails = stat(s"__pars__$i")
         val rate = fails / math.max(1.0, totalRows.toDouble)
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)

@@ -303,6 +303,31 @@ final case class Compliance(label: String, predicate: String,
     maxFailRate: Double = 0.0)
   extends Constraint { val name = s"compliance($label)" }
 
+/** Data-type conformance for a string column — "does this column still
+  * PARSE as what downstream reads it as?" (Deequ's `hasDataType` shape): a
+  * non-null value that `try_cast(column AS castTo)` cannot convert is a
+  * violation (nulls are NotNull's finding). An upstream serializer change
+  * ("1e3" becoming "1,000", a locale leaking into decimals, a timestamp
+  * format drift) is invisible to null/regex/bounds checks until the day a
+  * consumer casts — this fails the snapshot first. `castTo` is a Spark DDL
+  * type ("int", "double", "timestamp"), validated at construction so a
+  * typo fails at suite-build time, not hours into a run. `maxFailRate > 0`
+  * turns the verdict into a rate bound while still emitting per-row
+  * violations, exactly like [[NotNull]]. Scale: compiles into the SAME
+  * fused row-flags projection as every stateless check (one scan, codegen
+  * try_cast), and the global fail count rides the fused one-pass
+  * aggregation — zero extra jobs.
+  */
+final case class ParsableAs(column: String, castTo: String,
+    maxFailRate: Double = 0.0)
+  extends Constraint {
+  // fail at suite-BUILD time on a typo'd DDL type
+  try org.apache.spark.sql.types.DataType.fromDDL(castTo)
+  catch { case e: Exception => throw new IllegalArgumentException(
+    s"parsable_as($column): unparseable DDL type '$castTo'", e) }
+  val name = s"parsable($column as $castTo)"
+}
+
 /** Pearson correlation bound between two numeric columns — "these two
   * measures must (or must not) move together" (a broken join or a unit
   * change upstream shows up as a correlation collapse long before value

@@ -215,6 +215,15 @@ object SuiteConfig {
         known(n, ctx, Set("type", "label", "predicate", "maxFailRate"))
         Compliance(str(n, "label", ctx), str(n, "predicate", ctx),
           optD(n, "maxFailRate", 0.0, ctx))
+      case "parsable_as" =>
+        known(n, ctx, Set("type", "column", "castTo", "maxFailRate"))
+        // the case class validates castTo's DDL itself; wrap so the error
+        // carries the config context like expected_schema's does
+        try ParsableAs(str(n, "column", ctx), str(n, "castTo", ctx),
+          optD(n, "maxFailRate", 0.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "correlation_between" =>
         known(n, ctx, Set("type", "x", "y", "lo", "hi"))
         CorrelationBetween(str(n, "x", ctx), str(n, "y", ctx),
@@ -279,10 +288,157 @@ object SuiteConfig {
           "stddev_between, quantile_between, distinct_count_between, " +
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
-          "distribution_drift, max_duplicate_rate, allowed_transitions, " +
-          "monotonic, no_consecutive_repeats, functional_dependency, " +
-          "turn_rate_drift)")
+          "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
+          "correlation_between, entropy_between, mutual_information_between, " +
+          "allowed_transitions, monotonic, no_consecutive_repeats, " +
+          "functional_dependency, turn_rate_drift)")
     }
+  }
+
+  // ---- rendering (the write side of the config seam) -------------------------
+
+  /** Render a [[Check]] back to a YAML suite document that [[parse]] accepts
+    * — the write half of the config round-trip. Every field is written
+    * explicitly (a generated config should read as a complete record of
+    * what will run, not depend on defaults that may drift). The main
+    * producer is [[graft.compile.Suggestions]]: profile a blessed snapshot,
+    * render the suggested suite, review, commit.
+    *
+    * [[TextEquals]] holds a compiled Column; it renders via the
+    * expression's SQL form, which round-trips through `functions.expr`.
+    */
+  def render(check: Check, dims: Map[String, String] = Map.empty): String = {
+    val root = mapper.createObjectNode()
+    root.put("name", check.name)
+    root.put("keyCol", check.keyCol)
+    root.put("orderCol", check.orderCol)
+    root.put("tsCol", check.tsCol)
+    if (dims.nonEmpty) {
+      val d = root.putObject("dims")
+      dims.toSeq.sortBy(_._1).foreach { case (k, v) => d.put(k, v) }
+    }
+    val arr = root.putArray("constraints")
+    check.constraints.foreach(c => arr.add(constraintNode(c)))
+    mapper.writeValueAsString(root)
+  }
+
+  private def constraintNode(c: Constraint): JsonNode = {
+    val n = mapper.createObjectNode()
+    def strings(field: String, vs: Seq[String]): Unit = {
+      val a = n.putArray(field); vs.foreach(v => a.add(v))
+    }
+    c match {
+      case NotNull(column, maxNullRate) =>
+        n.put("type", "not_null").put("column", column)
+          .put("maxNullRate", maxNullRate)
+      case InSet(column, allowed) =>
+        n.put("type", "in_set").put("column", column)
+        strings("allowed", allowed)
+      case MatchesRegex(column, regex) =>
+        n.put("type", "matches_regex").put("column", column).put("regex", regex)
+      case ValueBounds(column, lo, hi) =>
+        n.put("type", "value_bounds").put("column", column)
+        lo.foreach(n.put("lo", _)); hi.foreach(n.put("hi", _))
+      case TextEquals(column, expected) =>
+        n.put("type", "text_equals").put("column", column)
+          .put("expectedSql",
+            org.apache.spark.sql.GraftBridge.expression(expected).sql)
+      case ExpectedSchema(columns, allowExtra) =>
+        n.put("type", "expected_schema")
+        val cols = n.putObject("columns")
+        columns.foreach { case (name, ddl) => cols.put(name, ddl) }
+        n.put("allowExtra", allowExtra)
+      case UniqueKey(columns) =>
+        n.put("type", "unique_key"); strings("columns", columns)
+      case ReferentialIntegrity(column, dim, dimColumn, nullOk, bcast, census) =>
+        n.put("type", "referential").put("column", column).put("dim", dim)
+          .put("dimColumn", dimColumn).put("nullOk", nullOk)
+          .put("broadcastDim", bcast).put("keyCensus", census)
+      case AsOfIntegrity(column, dim, dimColumn, dimTs, gran, nullOk, bcast) =>
+        n.put("type", "asof_integrity").put("column", column).put("dim", dim)
+          .put("dimColumn", dimColumn).put("dimTsColumn", dimTs)
+          .put("granularity", gran).put("nullOk", nullOk)
+          .put("broadcastDim", bcast)
+      case MinRows(rows) =>
+        n.put("type", "min_rows").put("n", rows)
+      case MeanBetween(column, lo, hi) =>
+        n.put("type", "mean_between").put("column", column)
+          .put("lo", lo).put("hi", hi)
+      case StddevBetween(column, lo, hi) =>
+        n.put("type", "stddev_between").put("column", column)
+          .put("lo", lo).put("hi", hi)
+      case QuantileBetween(column, q, lo, hi, approx) =>
+        n.put("type", "quantile_between").put("column", column).put("q", q)
+          .put("lo", lo).put("hi", hi).put("approx", approx)
+      case DistinctCountBetween(column, lo, hi) =>
+        n.put("type", "distinct_count_between").put("column", column)
+          .put("lo", lo).put("hi", hi)
+      case MaxKeyShare(column, maxFrac, k) =>
+        n.put("type", "max_key_share").put("column", column)
+          .put("maxFrac", maxFrac).put("k", k)
+      case RobustZ(column, threshold, approx) =>
+        n.put("type", "robust_z").put("column", column)
+          .put("threshold", threshold).put("approx", approx)
+      case IqrOutliers(column, k, approx) =>
+        n.put("type", "iqr_outliers").put("column", column)
+          .put("k", k).put("approx", approx)
+      case GlobalZ(column, threshold) =>
+        n.put("type", "global_z").put("column", column)
+          .put("threshold", threshold)
+      case RollingZDrift(column, window, threshold) =>
+        n.put("type", "rolling_z_drift").put("column", column)
+          .put("window", window).put("threshold", threshold)
+      case MaxSessionGap(maxGapSeconds) =>
+        n.put("type", "max_session_gap").put("maxGapSeconds", maxGapSeconds)
+      case ContiguousIndex(base) =>
+        n.put("type", "contiguous_index").put("base", base)
+      case DistributionDrift(column, dim, dimColumn, maxPsi, bins) =>
+        n.put("type", "distribution_drift").put("column", column)
+          .put("dim", dim).put("dimColumn", dimColumn)
+          .put("maxPsi", maxPsi).put("bins", bins)
+      case MaxDuplicateRate(column, maxRate, normalized, approx) =>
+        n.put("type", "max_duplicate_rate").put("column", column)
+          .put("maxRate", maxRate).put("normalized", normalized)
+          .put("approx", approx)
+      case Compliance(label, predicate, maxFailRate) =>
+        n.put("type", "compliance").put("label", label)
+          .put("predicate", predicate).put("maxFailRate", maxFailRate)
+      case ParsableAs(column, castTo, maxFailRate) =>
+        n.put("type", "parsable_as").put("column", column)
+          .put("castTo", castTo).put("maxFailRate", maxFailRate)
+      case CorrelationBetween(x, y, lo, hi) =>
+        n.put("type", "correlation_between").put("x", x).put("y", y)
+          .put("lo", lo).put("hi", hi)
+      case EntropyBetween(column, lo, hi) =>
+        n.put("type", "entropy_between").put("column", column)
+          .put("lo", lo).put("hi", hi)
+      case MutualInformationBetween(x, y, lo, hi) =>
+        n.put("type", "mutual_information_between").put("x", x).put("y", y)
+          .put("lo", lo).put("hi", hi)
+      case AllowedTransitions(column, allowed, firstIn) =>
+        n.put("type", "allowed_transitions").put("column", column)
+        val a = n.putArray("allowed")
+        allowed.foreach { case (from, to) =>
+          val p = a.addArray(); p.add(from); p.add(to)
+        }
+        firstIn.foreach(strings("firstIn", _))
+      case Monotonic(column, strict) =>
+        n.put("type", "monotonic").put("column", column).put("strict", strict)
+      case NoConsecutiveRepeats(column) =>
+        n.put("type", "no_consecutive_repeats").put("column", column)
+      case FunctionalDependency(determinant, dependent) =>
+        n.put("type", "functional_dependency")
+        strings("determinant", determinant)
+        n.put("dependent", dependent)
+      case TurnRateDrift(bucket, period, method, seasonal, residMethod,
+          residThreshold, psiThreshold, ksThreshold) =>
+        n.put("type", "turn_rate_drift").put("bucket", bucket)
+          .put("period", period).put("method", method)
+          .put("seasonal", seasonal).put("residMethod", residMethod)
+          .put("residThreshold", residThreshold)
+          .put("psiThreshold", psiThreshold).put("ksThreshold", ksThreshold)
+    }
+    n
   }
 
   // ---- strict field access ----------------------------------------------------

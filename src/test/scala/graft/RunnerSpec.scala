@@ -238,4 +238,29 @@ class RunnerSpec extends GraftSuite {
     assert(fills == Set((0, 1L, 2L, 0.5), (1, 1L, 3L, 0.75), (2, 1L, 4L, 1.0)),
       s"got $fills")
   }
+
+  test("validate --metrics-dir appends run metrics and flags the cross-run violation jump") {
+    val dir = tmp()
+    val clean = TranscriptGen.generate(spark, nConvs = 20, baseTurns = 12)
+    clean.write.mode("overwrite").parquet(s"$dir/in1")
+    // second run: same data plus 40 replayed turns -> duplicate-key
+    // violations jump from 0 to many, a rate-of-change anomaly
+    clean.union(clean.limit(40))
+      .write.mode("overwrite").parquet(s"$dir/in2")
+    Runner.main(Array("validate", s"$dir/in1", s"$dir/out1",
+      "--metrics-dir", s"$dir/hist", "--run-id", "r001"))
+    Runner.main(Array("validate", s"$dir/in2", s"$dir/out2",
+      "--metrics-dir", s"$dir/hist", "--run-id", "r002"))
+    val hist = spark.read.parquet(s"$dir/hist")
+    assert(hist.select("run_id").distinct().as[String].collect().toSet ==
+      Set("r001", "r002"))
+    val anomalies = spark.read.parquet(s"$dir/out2/metric_anomalies")
+    val flagged = anomalies.select("run_id", "constraint", "metric")
+      .as[(String, String, String)].collect().toSet
+    assert(flagged.exists { case (run, c, m) =>
+      run == "r002" && c.startsWith("unique") && m == "violations" },
+      s"the duplicate-key violation jump should flag on r002: $flagged")
+    assert(!flagged.exists(_._1 == "r001"),
+      "the first run has no baseline and must never flag")
+  }
 }

@@ -1,0 +1,127 @@
+package graft.compile
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+import graft.dsl._
+
+class SuggestionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // known-shape fixture: id unique non-null, category a repeating small
+  // set, score numeric with one null, text high-cardinality, ghost mostly
+  // null
+  lazy val df = (0 until 200).map { i =>
+    (f"id_$i%04d",
+      Seq("alpha", "beta", "gamma")(i % 3),
+      if (i == 17) None else Some(i.toDouble / 4),
+      s"text payload $i",
+      if (i % 10 == 0) Some("rare") else None)
+  }.toDF("id", "category", "score", "text", "ghost").cache()
+
+  lazy val suggested = Suggestions.suggest(df)
+
+  test("census: exact per-column counts") {
+    val byCol = Suggestions.census(df).map(c => c.column -> c).toMap
+    assert(byCol("id").rows == 200 && byCol("id").nulls == 0 &&
+      byCol("id").distinct == 200)
+    assert(byCol("category").distinct == 3)
+    assert(byCol("score").nulls == 1)
+    assert(byCol("score").min.contains(0.0) &&
+      byCol("score").max.contains(49.75))
+    assert(byCol("ghost").nulls == 180)
+  }
+
+  test("rules: unique id, small-set category, bounded score, no not_null on mostly-null") {
+    val by = suggested.groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
+    assert(by("id") == Set("not_null", "unique_key"))
+    assert(by("category") == Set("not_null", "in_set"))
+    assert(by("score") == Set("not_null", "value_bounds"))
+    // high-cardinality text: complete but neither enum nor key (distinct <
+    // rows would be needed for in_set, == rows for unique... text IS
+    // unique here, so it suggests unique_key too — ids and texts look the
+    // same to the census, review is the human step)
+    assert(!by.contains("ghost")) // 90% null: no rule fires
+    val inSet = suggested.find(s => s.column == "category" &&
+      s.suggestion == "in_set").get
+    assert(inSet.details.contains("alpha,beta,gamma"))
+    val notNullScore = suggested.find(s => s.column == "score" &&
+      s.suggestion == "not_null").get
+    // 1/200 = 0.005 exactly; ceil to 4dp keeps it
+    assert(notNullScore.hi.contains(0.005))
+  }
+
+  test("suggested suite passes on the data that produced it") {
+    // orderCol must stay OUT of the suggested unique keys (a UniqueKey on
+    // the order column rides the rolling window's int-cast fast path)
+    val check = Suggestions.toCheck("suggested", suggested,
+      keyCol = "category", orderCol = "score", tsCol = "score")
+    val r = Validator.validate(df, check, Validator.Context())
+    // suggestion bounds are GLOBAL rates; the validator's rate verdicts
+    // are per-partition, so the one partition holding the lone null
+    // exceeds 0.005 locally — exactly the localization verdicts exist
+    // for. Everything else passes everywhere.
+    assert(r.verdicts.where(!col("pass") &&
+      col("constraint") =!= "not_null(score)").count() == 0)
+    assert(r.violations.where(col("constraint") =!= "not_null(score)")
+      .count() == 0)
+  }
+
+  test("render -> parse round-trips the suggested suite") {
+    val check = Suggestions.toCheck("suggested", suggested)
+    val yaml = SuiteConfig.render(check)
+    assert(SuiteConfig.parse(yaml) == check)
+  }
+
+  test("render -> parse round-trips every constraint type") {
+    val all = Check("everything", Seq(
+      NotNull("a", 0.01),
+      InSet("a", Seq("x", "y")),
+      MatchesRegex("a", "^x"),
+      ValueBounds("v", Some(0.0), None),
+      ExpectedSchema(Seq("a" -> "string", "v" -> "double"), allowExtra = false),
+      UniqueKey(Seq("a", "b")),
+      ReferentialIntegrity("a", "dim", "k", nullOk = false,
+        broadcastDim = false, keyCensus = true),
+      AsOfIntegrity("a", "dim", "k", "ts", "hour", nullOk = false,
+        broadcastDim = false),
+      MinRows(7),
+      MeanBetween("v", 0, 1),
+      StddevBetween("v", 0, 1),
+      QuantileBetween("v", 0.5, 0, 1, approx = false),
+      DistinctCountBetween("a", 1, 10),
+      MaxKeyShare("a", 0.01, 512),
+      RobustZ("v", 4.0, approx = false),
+      IqrOutliers("v", 1.5, approx = false),
+      GlobalZ("v", 2.5),
+      RollingZDrift("v", 12, 2.5),
+      MaxSessionGap(60),
+      ContiguousIndex(1),
+      DistributionDrift("v", "dim", "k", 0.1, 5),
+      MaxDuplicateRate("a", 0.2, normalized = true, approx = true),
+      Compliance("rule", "v >= 0", 0.1),
+      ParsableAs("a", "int", 0.05),
+      CorrelationBetween("v", "w", 0.5, 1.0),
+      EntropyBetween("a", 0.1, 2.0),
+      MutualInformationBetween("a", "b", 0.0, 1.0),
+      AllowedTransitions("a", Seq("x" -> "y", "y" -> "x"), Some(Seq("x"))),
+      Monotonic("v", strict = true),
+      NoConsecutiveRepeats("a"),
+      FunctionalDependency(Seq("a", "b"), "c"),
+      TurnRateDrift("30 minutes", 12, "classical", 5, "iqr", 1.5, 0.1, 0.4)
+    ), keyCol = "k", orderCol = "o", tsCol = "t")
+    assert(SuiteConfig.parse(SuiteConfig.render(all)) == all)
+  }
+
+  test("text_equals renders to SQL that parses back to the same expression") {
+    val c = TextEquals("text", concat(lit("text payload "), col("idx")))
+    val yaml = SuiteConfig.render(Check("t", Seq(c)))
+    SuiteConfig.parse(yaml).constraints.head match {
+      case TextEquals(col2, expected2) =>
+        assert(col2 == "text")
+        // Column equality isn't structural; compare by re-rendered SQL
+        assert(org.apache.spark.sql.GraftBridge.expression(expected2).sql ==
+          org.apache.spark.sql.GraftBridge.expression(c.expected).sql)
+      case other => fail(s"expected TextEquals, got $other")
+    }
+  }
+}

@@ -741,6 +741,43 @@ class ValidatorSpec extends GraftSuite {
     r2.unpersistAll()
   }
 
+  test("ParsableAs: unconvertible values violate, nulls don't; rate bounds; bad DDL fails at build") {
+    val df = Seq(("a", 0, Some("42")), ("a", 1, Some("1e3")),
+        ("b", 0, Some("tool_07")), // not an int
+        ("b", 1, None))            // null: NotNull's finding, not ours
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = Validator.validate(df, Check("p", Seq(
+      ParsableAs("txt", "int", maxFailRate = 0.25))))
+    val viol = r.violations
+      .where(col("constraint") === "parsable(txt as int)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2))).toSet
+    // "1e3" is not an INT literal either — both unconvertible rows flag
+    assert(viol == Set(("a", 1, "1e3"), ("b", 0, "tool_07")), viol)
+    // per-conversation rate: a (1/2 > 0.25) fails, b (1/2 > 0.25) fails
+    val conv = r.verdicts.where(col("constraint") === "parsable(txt as int)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(conv == Map("a" -> false, "b" -> false), conv)
+    // global: 2/4 = 0.5 > 0.25 → fail with the rate observed
+    val g = r.verdicts
+      .where(col("constraint") === "parsable(txt as int)[global]")
+      .select("pass", "violations", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 2L &&
+      math.abs(g.getDouble(2) - 0.5) < 1e-12, g)
+    r.unpersistAll()
+    // "1e3" IS a double — the double check passes those rows
+    val r2 = Validator.validate(df, Check("p", Seq(
+      ParsableAs("txt", "double", maxFailRate = 0.25))))
+    val viol2 = r2.violations
+      .where(col("constraint") === "parsable(txt as double)")
+      .select("turn_idx").as[Int].collect().toSeq
+    assert(viol2 == Seq(0), s"only tool_07 fails the double cast: $viol2")
+    r2.unpersistAll()
+    // a typo'd DDL type fails at CONSTRAINT BUILD, not mid-run
+    val ex = intercept[IllegalArgumentException](ParsableAs("txt", "integerr"))
+    assert(ex.getMessage.contains("integerr"))
+  }
+
   test("CorrelationBetween: bound check, NaN scrub, undefined-r no signal") {
     // y = 2x exactly → r = 1; the NaN row must be scrubbed, not poison it
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (Double.NaN, 100.0))

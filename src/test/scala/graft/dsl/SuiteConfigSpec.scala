@@ -59,6 +59,8 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: entropy_between, column: role, lo: 0.5, hi: 2.5}
         |  - {type: entropy_between, column: role}
         |  - {type: mutual_information_between, x: role, y: tool, hi: 0.5}
+        |  - {type: parsable_as, column: txt, castTo: int, maxFailRate: 0.02}
+        |  - {type: parsable_as, column: txt, castTo: "timestamp"}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -103,6 +105,18 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(31) == EntropyBetween("role", 0.5, 2.5))
     assert(cs(32) == EntropyBetween("role")) // lo 0, hi unbounded
     assert(cs(33) == MutualInformationBetween("role", "tool", hi = 0.5))
+    assert(cs(34) == ParsableAs("txt", "int", 0.02))
+    assert(cs(35) == ParsableAs("txt", "timestamp")) // maxFailRate 0
+  }
+
+  test("parsable_as: a typo'd DDL type fails at parse time with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: parsable_as, column: txt, castTo: integerr}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("parsable_as") &&
+      ex.getMessage.contains("integerr"))
   }
 
   test("allowed_transitions / functional_dependency reject malformed lists") {
