@@ -45,15 +45,20 @@ object Suggestions {
       details: Option[String],
       constraint: Constraint)
 
-  /** One-pass per-column census: total rows, nulls, exact distinct, and
-    * min/max (numeric columns only). Exact distincts (not HLL) because the
-    * suggested bounds must hold exactly on the profiled data.
-    */
-  def census(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnCensus] = {
+  private def profiledFields(df: DataFrame, columns: Seq[String]) = {
     val fields =
       if (columns.nonEmpty) df.schema.fields.filter(f => columns.contains(f.name))
       else df.schema.fields
     require(fields.nonEmpty, "no columns to profile")
+    fields
+  }
+
+  /** The single fused census aggregation (exposed pre-collect so PlanSpec
+    * can gate its shape: one pass, string distincts digest-reduced).
+    */
+  private[graft] def censusFrame(df: DataFrame,
+      columns: Seq[String] = Nil): DataFrame = {
+    val fields = profiledFields(df, columns)
     val aggs = count(lit(1)).as("__rows") +: fields.toSeq.flatMap { f =>
       val c = col(f.name)
       val minMax = f.dataType match {
@@ -73,7 +78,16 @@ object Suggestions {
         count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
         count_distinct(distArg).as(s"dist__${f.name}")) ++ minMax
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One-pass per-column census: total rows, nulls, exact distinct, and
+    * min/max (numeric columns only). Exact distincts (not HLL) because the
+    * suggested bounds must hold exactly on the profiled data.
+    */
+  def census(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnCensus] = {
+    val fields = profiledFields(df, columns)
+    val row = censusFrame(df, columns).collect()(0)
     val rows = row.getAs[Long]("__rows")
     fields.toSeq.map { f =>
       def optD(name: String): Option[Double] = {

@@ -183,4 +183,37 @@ class PlanSpec extends GraftSuite {
       "signature subplan not persisted — the q40 3x-recompute regression")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q91 suggestion census: ONE fused agg pass; string distincts ride a digest, not the text") {
+    val t = sources.Tables.transcripts(spark, sfTiny)
+    val df = graft.compile.Suggestions.censusFrame(t)
+    val s = finalPlan(df)
+    // partial + final aggregates around the (Expand-multiplied) exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+    assert(s.contains("Expand"), "multi-column exact distinct should Expand")
+    // the digest reduction: text's distinct counts md5(text), never text —
+    // the projection under the aggregate carries the md5, so the wide
+    // payload dies before the exchange
+    assert(s.contains("md5(cast(text"), s)
+  }
+
+  test("q93 parsable row check: a pure shuffle-free projection (streaming-legal)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a flat frame: the transcripts VIEW would contribute its own
+      // turn_idx-derivation shuffle and mask the property under test
+      import spark.implicits._
+      val t = Seq(("a", 0, "42"), ("a", 1, "x"))
+        .toDF("conv_id", "turn_idx", "maybe_num")
+      val v = graft.streaming.StreamingRowChecks.violations(t,
+        graft.dsl.Check("p",
+          Seq(graft.dsl.ParsableAs("maybe_num", "int"))))
+      v.collect()
+      val exchanges = v.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"row-level try_cast must not shuffle: ${v.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
