@@ -197,6 +197,26 @@ object Runner {
           .where(!col("pass")).count()
         println(s"""{"rows":$rows,"violations":$nViol,"failed_verdicts":$nFail,"wall_sec":$wall,"turns_per_sec":${rows / wall}}""")
 
+      // constraint suggestion as a spark-submit verb: profile a blessed
+      // snapshot, write a starter suite YAML that `validate --suite` runs
+      // as-is — the full profile -> config -> validate loop with no Scala
+      case "suggest" :: in :: outYaml :: flags =>
+        def flag(name: String, dflt: String): String = {
+          val i = flags.indexOf(name)
+          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
+        }
+        val df = spark.read.parquet(in)
+        val suggested = graft.compile.Suggestions.suggest(df,
+          maxSetSize = flag("--max-set", "20").toInt)
+        val check = graft.compile.Suggestions.toCheck(
+          flag("--name", "suggested"), suggested,
+          keyCol = flag("--key", "conv_id"),
+          orderCol = flag("--order", "turn_idx"),
+          tsCol = flag("--ts", "ts"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(outYaml),
+          SuiteConfig.render(check).getBytes("UTF-8"))
+        println(s"""{"suggested": ${check.constraints.size}, "suite": "$outYaml"}""")
+
       // full dedup pipeline as a spark-submit verb (no Scala needed):
       // minhash → LSH banding → exact-Jaccard verify → connected
       // components → canonical (group_id, group_size) per document

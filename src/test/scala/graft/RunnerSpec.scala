@@ -239,6 +239,19 @@ class RunnerSpec extends GraftSuite {
       s"got $fills")
   }
 
+  test("suggest verb writes a starter suite that validate --suite runs as-is") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 20, baseTurns = 12)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Runner.main(Array("suggest", s"$dir/in", s"$dir/suite.yaml"))
+    val check = graft.dsl.SuiteConfig.load(s"$dir/suite.yaml")
+    assert(check.constraints.nonEmpty, "suggestion produced no constraints")
+    // the full no-Scala loop: the generated YAML is directly runnable
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+      "--suite", s"$dir/suite.yaml"))
+    assert(spark.read.parquet(s"$dir/out/verdicts").count() > 0)
+  }
+
   test("validate --metrics-dir appends run metrics and flags the cross-run violation jump") {
     val dir = tmp()
     val clean = TranscriptGen.generate(spark, nConvs = 20, baseTurns = 12)
