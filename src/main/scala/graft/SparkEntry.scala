@@ -1295,6 +1295,20 @@ object SparkEntry {
         Validator.Context())
       r.violations.select(col("conv_id"), col("turn_idx"), col("observed"))
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Uniqueness + distinctness ratio census — lo forced above 1 so both
+    // constraints FAIL and their violation rows observe the measured
+    // ratios; the oracle recomputes each from its own key census.
+    "q94_uniqueness_distinctness" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t, Check("ratio", Seq(
+        UniquenessBetween(Seq("text"), lo = 99.0, hi = 100.0),
+        DistinctnessBetween(Seq("role"), lo = 99.0, hi = 100.0))),
+        Validator.Context())
+      r.violations.select(col("constraint"),
+        round(col("observed").cast("double"), 6).as("ratio"))
+        .orderBy("constraint")
     })
   )
 
@@ -2799,6 +2813,22 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, maybe_num AS observed
          |FROM derived
          |WHERE maybe_num IS NOT NULL AND TRY_CAST(maybe_num AS INT) IS NULL
-         |ORDER BY conv_id, turn_idx""".stripMargin
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    // ratio twins: uniqueness = singleton rows / complete rows of the text
+    // census; distinctness = groups / complete rows of the role census
+    "q94_uniqueness_distinctness" ->
+      s"""WITH $T,
+         |tk AS (SELECT text, count(*) AS n FROM transcripts
+         |       WHERE text IS NOT NULL GROUP BY 1),
+         |rk AS (SELECT role, count(*) AS n FROM transcripts
+         |       WHERE role IS NOT NULL GROUP BY 1),
+         |u AS (SELECT 'uniqueness(text)' AS "constraint",
+         |        round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+         |          / sum(n), 6) AS ratio FROM tk),
+         |d AS (SELECT 'distinctness(role)' AS "constraint",
+         |        round(count(*)::DOUBLE / sum(n), 6) AS ratio FROM rk)
+         |SELECT * FROM u UNION ALL SELECT * FROM d
+         |ORDER BY "constraint"""".stripMargin
   )
 }

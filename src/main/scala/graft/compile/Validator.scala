@@ -856,6 +856,52 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 12b: uniqueness / distinctness ratio bounds ----------------------
+    // one hash aggregation per constraint (groupBy key tuple → count,
+    // map-side combined — only distinct tuples ride the exchange) + an
+    // O(1) reduction to (complete rows, groups, singleton rows)
+    def keyCensusRatio(columns: Seq[String]): (Long, Long, Long) = {
+      val complete = columns.map(col(_).isNotNull).reduce(_ && _)
+      val row = df.where(complete)
+        .groupBy(columns.map(col): _*).agg(count(lit(1)).as("__kn"))
+        .agg(sum(col("__kn")).as("__tot"), count(lit(1)).as("__groups"),
+          sum(when(col("__kn") === 1, 1L).otherwise(0L)).as("__uniq"))
+        .collect()(0)
+      if (row.isNullAt(0)) (0L, 0L, 0L)
+      else (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    def ratioResult(c: Constraint, columns: Seq[String], lo: Double,
+        hi: Double, what: String, tot: Long, num: Long)
+        : (Option[DataFrame], DataFrame) = {
+      val ratioOpt = if (tot == 0L) None else Some(num.toDouble / tot)
+      val failed = ratioOpt.exists(r => r < lo || r > hi)
+      val violationDf: Option[DataFrame] =
+        if (!failed) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Some(spark.createDataFrame(
+            Seq(Row(c.name, "(global)", -1, columns.mkString(","),
+              ratioOpt.get.toString, s"$what in [$lo,$hi]", c.severity))
+              .asJava,
+            violationSchema))
+        }
+      import spark.implicits._
+      val verdictDf = Seq(("(global)", c.name, !failed, tot,
+          if (failed) 1L else 0L, 0.0))
+        .toDF("partition_key", "constraint", "pass", "rows",
+          "violations", "violation_rate")
+      (violationDf, verdictDf)
+    }
+    val ratioResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ UniquenessBetween(columns, lo, hi) =>
+          val (tot, _, uniq) = keyCensusRatio(columns)
+          ratioResult(c, columns, lo, hi, "uniqueness", tot, uniq)
+        case c @ DistinctnessBetween(columns, lo, hi) =>
+          val (tot, groups, _) = keyCensusRatio(columns)
+          ratioResult(c, columns, lo, hi, "distinctness", tot, groups)
+      }
+
     // ---- pass 13: mutual-information bound ------------------------------------
     // one hash aggregation per constraint (groupBy (x,y) → count, map-side
     // combined); marginals and the MI sum are window/aggregate passes over
@@ -918,6 +964,7 @@ object Validator {
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
       dupRateResults.flatMap(_._1) ++
       corrResults.flatMap(_._1) ++ entropyResults.flatMap(_._1) ++
+      ratioResults.flatMap(_._1) ++
       miResults.flatMap(_._1) ++
       driftResults.map(_._1)).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1040,6 +1087,7 @@ object Validator {
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
       dupRateResults.map(_._2) ++
       corrResults.map(_._2) ++ entropyResults.map(_._2) ++
+      ratioResults.map(_._2) ++
       miResults.map(_._2) ++
       driftResults.map(_._2))
       .reduce(_ unionByName _)

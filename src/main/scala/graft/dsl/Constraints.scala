@@ -344,6 +344,37 @@ final case class CorrelationBetween(x: String, y: String, lo: Double = -1.0,
     hi: Double = 1.0)
   extends Constraint { val name = s"corr($x,$y)" }
 
+/** Uniqueness ratio bound (Deequ's `Uniqueness` shape): the fraction of
+  * COMPLETE key tuples (every component non-null — a null key is NotNull's
+  * finding) that occur exactly once, over the complete-tuple row count.
+  * UniqueKey demands 1.0 and emits the duplicates; this is the graded
+  * version — "at least 95% of events must be first-sightings" — that a
+  * redelivery-prone ingest wants as a bound rather than a hard failure.
+  * Pass iff lo ≤ ratio ≤ hi; an empty census is "no signal" and passes. A
+  * failing suite emits ONE global violation row observing the ratio.
+  * Scale: one hash aggregation (groupBy tuple → count, map-side combined —
+  * only distinct tuples ride the exchange) + an O(1) reduction.
+  */
+final case class UniquenessBetween(columns: Seq[String], lo: Double = 1.0,
+    hi: Double = 1.0)
+  extends Constraint {
+  val name = s"uniqueness(${columns.mkString(",")})"
+}
+
+/** Distinctness ratio bound (Deequ's `Distinctness` shape): distinct
+  * complete tuples / complete rows. Complements [[UniquenessBetween]]: a
+  * column that is 50% distinct but 0% unique (every value exactly twice)
+  * and one that is 50% distinct and ~50% unique (half singletons, one
+  * mega-group) look identical to distinctness and opposite to uniqueness.
+  * Same census, same pass/violation semantics, same one-aggregation scale
+  * shape.
+  */
+final case class DistinctnessBetween(columns: Seq[String], lo: Double = 1.0,
+    hi: Double = 1.0)
+  extends Constraint {
+  val name = s"distinctness(${columns.mkString(",")})"
+}
+
 /** Shannon entropy bound (natural log) over the non-null value
   * distribution of `column` — the distribution-census check: a category
   * column collapsing to one value (H → 0) or exploding into noise (H →

@@ -232,6 +232,14 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "lo", "hi"))
         EntropyBetween(str(n, "column", ctx), optD(n, "lo", 0.0, ctx),
           optD(n, "hi", Double.MaxValue, ctx))
+      case "uniqueness_between" =>
+        known(n, ctx, Set("type", "columns", "lo", "hi"))
+        UniquenessBetween(strList(n, "columns", ctx),
+          optD(n, "lo", 1.0, ctx), optD(n, "hi", 1.0, ctx))
+      case "distinctness_between" =>
+        known(n, ctx, Set("type", "columns", "lo", "hi"))
+        DistinctnessBetween(strList(n, "columns", ctx),
+          optD(n, "lo", 1.0, ctx), optD(n, "hi", 1.0, ctx))
       case "mutual_information_between" =>
         known(n, ctx, Set("type", "x", "y", "lo", "hi"))
         MutualInformationBetween(str(n, "x", ctx), str(n, "y", ctx),
@@ -289,7 +297,8 @@ object SuiteConfig {
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
           "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
-          "correlation_between, entropy_between, mutual_information_between, " +
+          "correlation_between, entropy_between, uniqueness_between, " +
+          "distinctness_between, mutual_information_between, " +
           "allowed_transitions, monotonic, no_consecutive_repeats, " +
           "functional_dependency, turn_rate_drift)")
     }
@@ -412,6 +421,14 @@ object SuiteConfig {
       case EntropyBetween(column, lo, hi) =>
         n.put("type", "entropy_between").put("column", column)
           .put("lo", lo).put("hi", hi)
+      case UniquenessBetween(columns, lo, hi) =>
+        n.put("type", "uniqueness_between")
+        strings("columns", columns)
+        n.put("lo", lo).put("hi", hi)
+      case DistinctnessBetween(columns, lo, hi) =>
+        n.put("type", "distinctness_between")
+        strings("columns", columns)
+        n.put("lo", lo).put("hi", hi)
       case MutualInformationBetween(x, y, lo, hi) =>
         n.put("type", "mutual_information_between").put("x", x).put("y", y)
           .put("lo", lo).put("hi", hi)
@@ -460,6 +477,16 @@ object SuiteConfig {
     val v = req(n, f, ctx)
     require(v.isTextual, s"suite config: $ctx field '$f' must be a string")
     v.asText()
+  }
+
+  private def strList(n: JsonNode, f: String, ctx: String): Seq[String] = {
+    val v = req(n, f, ctx)
+    require(v.isArray && v.size > 0,
+      s"suite config: $ctx field '$f' must be a non-empty list of strings")
+    v.elements().asScala.map { e =>
+      require(e.isTextual, s"suite config: $ctx '$f' entries must be strings")
+      e.asText()
+    }.toSeq
   }
 
   private def dbl(n: JsonNode, f: String, ctx: String): Double = {

@@ -100,6 +100,8 @@ class SuggestionsSpec extends GraftSuite {
       MaxDuplicateRate("a", 0.2, normalized = true, approx = true),
       Compliance("rule", "v >= 0", 0.1),
       ParsableAs("a", "int", 0.05),
+      UniquenessBetween(Seq("a", "b"), 0.9, 1.0),
+      DistinctnessBetween(Seq("a"), 0.1, 0.9),
       CorrelationBetween("v", "w", 0.5, 1.0),
       EntropyBetween("a", 0.1, 2.0),
       MutualInformationBetween("a", "b", 0.0, 1.0),

@@ -778,6 +778,36 @@ class ValidatorSpec extends GraftSuite {
     assert(ex.getMessage.contains("integerr"))
   }
 
+  test("UniquenessBetween / DistinctnessBetween: ratio census, null exclusion, no-signal") {
+    // values: a,a,b,c,null → complete rows 4; groups 3; singletons 2 (b,c)
+    val df = Seq(("c1", 0, Some("a")), ("c1", 1, Some("a")),
+        ("c2", 0, Some("b")), ("c2", 1, Some("c")), ("c3", 0, None))
+      .toDF("conv_id", "turn_idx", "v")
+    val r = Validator.validate(df, Check("u", Seq(
+      UniquenessBetween(Seq("v"), lo = 0.9),          // 2/4 = 0.5 → fail
+      DistinctnessBetween(Seq("v"), lo = 0.5, hi = 0.8)))) // 3/4 → pass
+    val verdicts = r.verdicts
+      .select("constraint", "pass", "rows").collect()
+      .map(x => x.getString(0) -> ((x.getBoolean(1), x.getLong(2)))).toMap
+    assert(verdicts("uniqueness(v)") == ((false, 4L)))
+    assert(verdicts("distinctness(v)") == ((true, 4L)))
+    val obs = r.violations.where(col("constraint") === "uniqueness(v)")
+      .select("observed").as[String].collect()
+    assert(obs.length == 1 && math.abs(obs(0).toDouble - 0.5) < 1e-12, obs.toSeq)
+    r.unpersistAll()
+    // multi-column tuple: any null component excludes the row
+    val r2 = Validator.validate(df, Check("u2", Seq(
+      UniquenessBetween(Seq("conv_id", "v"), lo = 0.0, hi = 0.6))))
+    // complete tuples: (c1,a)x2,(c2,b),(c2,c) → singletons 2/4 = 0.5 pass
+    assert(r2.verdicts.where(!col("pass")).count() == 0)
+    r2.unpersistAll()
+    // all-null census: no signal, passes
+    val r3 = Validator.validate(df.where(col("v").isNull), Check("u3", Seq(
+      DistinctnessBetween(Seq("v"), lo = 0.99))))
+    assert(r3.verdicts.select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r3.unpersistAll()
+  }
+
   test("CorrelationBetween: bound check, NaN scrub, undefined-r no signal") {
     // y = 2x exactly → r = 1; the NaN row must be scrubbed, not poison it
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (Double.NaN, 100.0))
