@@ -1309,6 +1309,26 @@ object SparkEntry {
       r.violations.select(col("constraint"),
         round(col("observed").cast("double"), 6).as("ratio"))
         .orderBy("constraint")
+    }),
+
+    // KS half of DistributionDrift: the same shifted-snapshot fixture as
+    // q85, KS bound forced tiny so the constraint FAILS on the KS leg
+    // (maxPsi left huge so the single violation row observes measured D);
+    // the oracle recomputes the tie-correct two-sample KS independently.
+    "q95_distribution_drift_ks" -> ((s, dir) => {
+      val base = Tables.transcripts(s, dir)
+        .where(col("conv_id").isNotNull && col("value").isNotNull)
+        .withColumn("d", substring(col("conv_id"), 6, 18).cast("int"))
+      val blessed = base.select(col("value").as("ref_value"))
+      val current = base.withColumn("value",
+        when(pmod(col("d"), lit(3)) === 0, col("value") * 1.25 + 0.5)
+          .otherwise(col("value")))
+      val ctx = Validator.Context(Map("blessed" -> blessed))
+      val r = Validator.validate(current,
+        Check("drift", Seq(DistributionDrift("value", "blessed", "ref_value",
+          maxPsi = 1e9, maxKs = Some(1e-6)))), ctx)
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("ks"))
     })
   )
 
@@ -2829,6 +2849,27 @@ object SparkEntry {
          |d AS (SELECT 'distinctness(role)' AS "constraint",
          |        round(count(*)::DOUBLE / sum(n), 6) AS ratio FROM rk)
          |SELECT * FROM u UNION ALL SELECT * FROM d
-         |ORDER BY "constraint"""".stripMargin
+         |ORDER BY "constraint"""".stripMargin,
+
+    // KS drift twin: the q85 sided fixture + the q16 tie-correct
+    // RANGE-frame CDF pattern
+    "q95_distribution_drift_ks" ->
+      s"""WITH $T,
+         |base AS (SELECT value, CAST(substr(conv_id, 6) AS INT) AS d
+         |  FROM transcripts WHERE conv_id IS NOT NULL AND value IS NOT NULL),
+         |sided AS (
+         |  SELECT value, 'baseline' AS side FROM base
+         |  UNION ALL
+         |  SELECT CASE WHEN d % 3 = 0 THEN value * 1.25 + 0.5 ELSE value END,
+         |    'current' FROM base),
+         |c AS (SELECT
+         |    sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END) OVER w AS cb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END) OVER w AS cc
+         |  FROM sided
+         |  WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS tb,
+         |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS tc FROM sided)
+         |SELECT 'value' AS "column", round(max(abs(cb / tb - cc / tc)), 6) AS ks
+         |FROM c, t""".stripMargin
   )
 }

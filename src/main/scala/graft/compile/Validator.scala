@@ -705,7 +705,8 @@ object Validator {
     // fused global stats (a 1-row aggregate, sanctioned).
     val distDriftResults: Seq[(Option[DataFrame], DataFrame)] =
       check.constraints.collect {
-        case c @ DistributionDrift(columnName, dimName, dimCol, maxPsi, bins) =>
+        case c @ DistributionDrift(columnName, dimName, dimCol, maxPsi, bins,
+            maxKs) =>
           val dim = ctx.dims.getOrElse(dimName,
             throw new IllegalArgumentException(
               s"dimension '$dimName' not registered"))
@@ -726,20 +727,37 @@ object Validator {
           val psiVal: Option[Double] =
             if (psiRows.isEmpty || psiRows(0).isNullAt(0)) None
             else Some(psiRows(0).getDouble(0))
-          val failed = psiVal.exists(_ > maxPsi)
+          // KS half (opt-in): exact tie-correct two-sample D over the same
+          // sided frame — a second scan of both sides (sort-based window)
+          val ksVal: Option[Double] = maxKs.flatMap { _ =>
+            val rows = graft.series.Drift.ks(sided, "__v", "__side", Seq("__k"))
+              .select(col("ks")).collect()
+            if (rows.isEmpty || rows(0).isNullAt(0)) None
+            else Some(rows(0).getDouble(0))
+          }
+          val psiFailed = psiVal.exists(_ > maxPsi)
+          val ksFailed = (maxKs, ksVal) match {
+            case (Some(mk), Some(k)) => k > mk
+            case _ => false
+          }
+          val breaches: Seq[(String, String)] =
+            (if (psiFailed) Seq(psiVal.get.toString ->
+              s"psi<=$maxPsi vs $dimName.$dimCol") else Nil) ++
+            (if (ksFailed) Seq(ksVal.get.toString ->
+              s"ks<=${maxKs.get} vs $dimName.$dimCol") else Nil)
           val violationDf: Option[DataFrame] =
-            if (!failed) None
+            if (breaches.isEmpty) None
             else {
               import scala.jdk.CollectionConverters._
               Some(spark.createDataFrame(
-                Seq(Row(c.name, "(global)", -1, columnName,
-                  psiVal.get.toString,
-                  s"psi<=$maxPsi vs $dimName.$dimCol", c.severity)).asJava,
+                breaches.map { case (obs, bound) =>
+                  Row(c.name, "(global)", -1, columnName, obs, bound,
+                    c.severity) }.asJava,
                 violationSchema))
             }
           import spark.implicits._
-          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
-              if (failed) 1L else 0L, 0.0))
+          val verdictDf = Seq(("(global)", c.name, breaches.isEmpty, totalRows,
+              breaches.size.toLong, 0.0))
             .toDF("partition_key", "constraint", "pass", "rows",
               "violations", "violation_rate")
           (violationDf, verdictDf)

@@ -258,9 +258,19 @@ final case class ContiguousIndex(base: Int = 0)
   * MinRows' finding. The baseline table rides a quantile pass + a tiny
   * broadcast of its `bins−1` edges; the validated side is binned by a
   * codegen'd lambda, never shuffled wider than (bin) rows.
+  *
+  * `maxKs` adds the KS half of the north star's "PSI/KS thresholds": the
+  * exact two-sample Kolmogorov–Smirnov D between the column and the
+  * baseline (tie-correct RANGE-frame CDFs, [[graft.series.Drift.ks]]),
+  * pass iff D ≤ maxKs. PSI sees bucket-mass shifts; KS sees any CDF
+  * separation including ones PSI's 10 bins wash out. The KS pass is a
+  * second scan of both sides (a sort-based window) — opt in where the
+  * baseline dim is proportionate, or lean on the t-digest
+  * `Drift.ksSketch` variant in library code at the 10^12-row extreme.
   */
 final case class DistributionDrift(column: String, dim: String,
-    dimColumn: String, maxPsi: Double = 0.25, bins: Int = 10)
+    dimColumn: String, maxPsi: Double = 0.25, bins: Int = 10,
+    maxKs: Option[Double] = None)
   extends Constraint {
   val name = s"dist_drift($column~$dim.$dimColumn)"
 }

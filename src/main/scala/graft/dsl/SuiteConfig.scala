@@ -203,10 +203,11 @@ object SuiteConfig {
         ContiguousIndex(optI(n, "base", 0, ctx))
       case "distribution_drift" =>
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "maxPsi",
-          "bins"))
+          "bins", "maxKs"))
         DistributionDrift(str(n, "column", ctx), str(n, "dim", ctx),
           str(n, "dimColumn", ctx), optD(n, "maxPsi", 0.25, ctx),
-          optI(n, "bins", 10, ctx))
+          optI(n, "bins", 10, ctx),
+          opt(n, "maxKs", ctx)(_.isNumber, "a number").map(_.asDouble()))
       case "max_duplicate_rate" =>
         known(n, ctx, Set("type", "column", "maxRate", "normalized", "approx"))
         MaxDuplicateRate(str(n, "column", ctx), optD(n, "maxRate", 0.0, ctx),
@@ -401,10 +402,11 @@ object SuiteConfig {
         n.put("type", "max_session_gap").put("maxGapSeconds", maxGapSeconds)
       case ContiguousIndex(base) =>
         n.put("type", "contiguous_index").put("base", base)
-      case DistributionDrift(column, dim, dimColumn, maxPsi, bins) =>
+      case DistributionDrift(column, dim, dimColumn, maxPsi, bins, maxKs) =>
         n.put("type", "distribution_drift").put("column", column)
           .put("dim", dim).put("dimColumn", dimColumn)
           .put("maxPsi", maxPsi).put("bins", bins)
+        maxKs.foreach(n.put("maxKs", _))
       case MaxDuplicateRate(column, maxRate, normalized, approx) =>
         n.put("type", "max_duplicate_rate").put("column", column)
           .put("maxRate", maxRate).put("normalized", normalized)

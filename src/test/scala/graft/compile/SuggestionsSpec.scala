@@ -96,7 +96,7 @@ class SuggestionsSpec extends GraftSuite {
       RollingZDrift("v", 12, 2.5),
       MaxSessionGap(60),
       ContiguousIndex(1),
-      DistributionDrift("v", "dim", "k", 0.1, 5),
+      DistributionDrift("v", "dim", "k", 0.1, 5, Some(0.3)),
       MaxDuplicateRate("a", 0.2, normalized = true, approx = true),
       Compliance("rule", "v >= 0", 0.1),
       ParsableAs("a", "int", 0.05),

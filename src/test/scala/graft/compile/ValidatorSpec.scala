@@ -629,6 +629,45 @@ class ValidatorSpec extends GraftSuite {
     r.unpersistAll()
   }
 
+  test("DistributionDrift maxKs: KS leg fails on a shift PSI's loose bound misses; both legs can breach") {
+    val mk = (shift: Double) => (0 until 2000)
+      .map(i => (s"c${i % 20}", i / 20, (i % 100).toDouble + shift))
+      .toDF("conv_id", "turn_idx", "value")
+    val ctx = Validator.Context(Map("ref" -> mk(0.0).select(col("value").as("v"))))
+    // small shift: PSI bound left huge (passes), KS bound tight (fails) —
+    // the KS leg sees the CDF separation on its own
+    val r = Validator.validate(mk(5.0), Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 1e9,
+        maxKs = Some(0.01)))), ctx)
+    val viol = r.violations.where(col("constraint").startsWith("dist_drift"))
+      .select("observed", "bound").collect()
+    assert(viol.length == 1 && viol(0).getString(1).startsWith("ks<="),
+      viol.mkString(","))
+    assert(viol(0).getString(0).toDouble > 0.01)
+    assert(r.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(false))
+    r.unpersistAll()
+    // both bounds tight on a big shift: TWO violation rows, one verdict
+    val r2 = Validator.validate(mk(75.0), Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 0.05,
+        maxKs = Some(0.05)))), ctx)
+    val bounds = r2.violations
+      .where(col("constraint").startsWith("dist_drift"))
+      .select("bound").as[String].collect().sorted
+    assert(bounds.length == 2 && bounds(0).startsWith("ks<=") &&
+      bounds(1).startsWith("psi<="), bounds.toSeq)
+    assert(r2.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("violations").as[Long].collect().toSeq == Seq(2L))
+    r2.unpersistAll()
+    // identical sides: KS ~ 0, passes with no rows
+    val same = Validator.validate(mk(0.0), Check("dd", Seq(
+      DistributionDrift("value", "ref", "v", maxPsi = 0.05,
+        maxKs = Some(0.01)))), ctx)
+    assert(same.verdicts.where(col("constraint").startsWith("dist_drift"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    same.unpersistAll()
+  }
+
   test("DistributionDrift: empty baseline is no signal — passes; missing dim throws") {
     val cur = Seq(("a", 0, 1.0), ("a", 1, 2.0)).toDF("conv_id", "turn_idx", "value")
     val ctx = Validator.Context(Map(

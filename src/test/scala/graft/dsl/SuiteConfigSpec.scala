@@ -61,6 +61,8 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: mutual_information_between, x: role, y: tool, hi: 0.5}
         |  - {type: parsable_as, column: txt, castTo: int, maxFailRate: 0.02}
         |  - {type: parsable_as, column: txt, castTo: "timestamp"}
+        |  - {type: distribution_drift, column: v, dim: blessed,
+        |     dimColumn: ref_v, maxKs: 0.2}
         |  - {type: uniqueness_between, columns: [k, o], lo: 0.95}
         |  - {type: distinctness_between, columns: [role], lo: 0.1, hi: 0.9}
         |""".stripMargin)
@@ -109,8 +111,10 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(33) == MutualInformationBetween("role", "tool", hi = 0.5))
     assert(cs(34) == ParsableAs("txt", "int", 0.02))
     assert(cs(35) == ParsableAs("txt", "timestamp")) // maxFailRate 0
-    assert(cs(36) == UniquenessBetween(Seq("k", "o"), lo = 0.95)) // hi 1.0
-    assert(cs(37) == DistinctnessBetween(Seq("role"), 0.1, 0.9))
+    assert(cs(36) == DistributionDrift("v", "blessed", "ref_v",
+      maxKs = Some(0.2))) // maxPsi/bins default, KS leg opted in
+    assert(cs(37) == UniquenessBetween(Seq("k", "o"), lo = 0.95)) // hi 1.0
+    assert(cs(38) == DistinctnessBetween(Seq("role"), 0.1, 0.9))
   }
 
   test("parsable_as: a typo'd DDL type fails at parse time with context") {
