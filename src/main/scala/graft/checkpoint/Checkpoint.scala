@@ -193,21 +193,52 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     }
     if ((0 until partitions).forall(isDone)) {
       val (vio, ver, metrics) = collectResults(check)
-      // schema conformance (stripped from every slice above) re-joins the
-      // merged output here, evaluated once against the FULL input's
-      // schema — pure plan metadata, so a resumed run pays nothing extra
-      if (schemaCs.isEmpty) Some((vio, ver, metrics))
+      // schema conformance (pure plan metadata) and the global-scoped
+      // statistical constraints (one aggregation-class pass each) re-join
+      // the merged output here, evaluated once against the FULL pinned
+      // input — their per-slice answers would have been wrong claims
+      val finalCs = schemaCs ++ check.constraints.filter(globalScoped(check))
+      if (finalCs.isEmpty) Some((vio, ver, metrics))
       else {
-        val r = Validator.validate(df, check.copy(constraints = schemaCs), ctx)
+        val r = Validator.validate(df, check.copy(constraints = finalCs), ctx)
         Some((vio.unionByName(r.violations), ver.unionByName(r.verdicts),
           metrics))
       }
     } else None
   }
 
+  /** Global-SCOPED statistical constraints: their verdict is a claim about
+    * the WHOLE table, and the conversation-hash slicing gives each slice a
+    * different (wrong) answer — entropy of one slice is not the table's
+    * entropy, a duplicate value or FD-violating determinant group can span
+    * slices. These are stripped from every slice and evaluated ONCE
+    * against the full pinned input at completion (the ExpectedSchema
+    * pattern) — each is a single aggregation-class pass, so the resumed
+    * run's expensive row-level work still never repeats.
+    * A UniqueKey / FunctionalDependency whose key tuple carries the
+    * conversation key IS slice-safe (hash staging keeps a conversation's
+    * rows together) and stays in the slices.
+    */
+  private def globalScoped(check: Check)(c: graft.dsl.Constraint): Boolean =
+    c match {
+      case _: graft.dsl.EntropyBetween |
+           _: graft.dsl.MutualInformationBetween |
+           _: graft.dsl.CorrelationBetween |
+           _: graft.dsl.MaxDuplicateRate |
+           _: graft.dsl.DistributionDrift |
+           _: graft.dsl.UniquenessBetween |
+           _: graft.dsl.DistinctnessBetween |
+           _: graft.dsl.MaxKeyShare => true
+      case fd: graft.dsl.FunctionalDependency =>
+        !fd.determinant.contains(check.keyCol)
+      case u: graft.dsl.UniqueKey => !u.columns.contains(check.keyCol)
+      case _ => false
+    }
+
   /** Per-slice check: aggregate-level constraints are evaluated from the
     * merged state at the end, not per slice (their per-slice answers would
-    * be wrong); everything conversation-scoped stays.
+    * be wrong); global-scoped statistical constraints run once at
+    * completion; everything conversation-scoped stays.
     */
   private def sliceCheck(check: Check): Check = check.copy(
     constraints = check.constraints.filterNot {
@@ -220,7 +251,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       // the full input — per-slice evaluation would union P duplicate
       // "(global)" verdicts and P copies of every schema violation row
       case _: graft.dsl.ExpectedSchema => true
-      case _ => false
+      case c => globalScoped(check)(c)
     })
 
   /** Union per-partition outputs + merge states → global results. */
@@ -230,7 +261,40 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     require(done.size == partitions,
       s"only ${done.size}/$partitions partitions done — resume with run()")
     val violations = spark.read.parquet(done.map(p => s"${pDir(p)}/violations"): _*)
-    val verdicts = spark.read.parquet(done.map(p => s"${pDir(p)}/verdicts"): _*)
+    val sliceVerdicts =
+      spark.read.parquet(done.map(p => s"${pDir(p)}/verdicts"): _*)
+    // the rate-bound row checks (NotNull/Compliance/ParsableAs) stay in
+    // the slices for their row-level work, but each slice also emits a
+    // "name[global]" rate verdict over ITS rows — P slice-local rows are
+    // not a global claim. Their counts are exactly mergeable: re-aggregate
+    // sum(violations)/sum(rows) against the declared bound and replace.
+    // NotNull's global rate is ALSO re-derivable from merged StatsState
+    // (aggVerdicts) — the exact slice-count re-aggregation wins (it
+    // carries the true violation COUNT, not a 0/1 flag) and the redundant
+    // state row is filtered from the aggV union below.
+    val rateBounds: Map[String, Double] = check.constraints.collect {
+      case c @ graft.dsl.NotNull(_, r) => s"${c.name}[global]" -> r
+      case c @ graft.dsl.Compliance(_, _, r) => s"${c.name}[global]" -> r
+      case c @ graft.dsl.ParsableAs(_, _, r) => s"${c.name}[global]" -> r
+    }.toMap
+    val rateKeys = rateBounds.keys.toSeq
+    val verdicts = if (rateKeys.isEmpty) sliceVerdicts else {
+      val boundsDf = rateBounds.toSeq.toDF("constraint", "__max_rate")
+      val reagg = sliceVerdicts
+        .where(col("constraint").isin(rateKeys: _*))
+        .groupBy("constraint")
+        .agg(sum(col("rows")).as("rows"),
+          sum(col("violations")).as("violations"))
+        .withColumn("violation_rate",
+          when(col("rows") > 0, col("violations") / col("rows"))
+            .otherwise(lit(0.0)))
+        .join(broadcast(boundsDf), "constraint")
+        .select(lit("(global)").as("partition_key"), col("constraint"),
+          (col("violation_rate") <= col("__max_rate")).as("pass"),
+          col("rows"), col("violations"), col("violation_rate"))
+      sliceVerdicts.where(!col("constraint").isin(rateKeys: _*))
+        .unionByName(reagg)
+    }
     val metrics = spark.read.parquet(done.map(p => s"${pDir(p)}/metrics"): _*)
       .as[PartitionMetrics].collect().toSeq.sortBy(_.partition)
     // EVERY done slice must carry state for the aggregate verdicts to be
@@ -246,6 +310,10 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
         .withColumn("violation_rate", lit(0.0))
         .select("partition_key", "constraint", "pass", "rows", "violations",
           "violation_rate")
+        // NotNull[global] is already re-aggregated EXACTLY from the slice
+        // counts above — drop the redundant state-derived copy
+        .where(if (rateKeys.isEmpty) lit(true)
+          else !col("constraint").isin(rateKeys: _*))
       verdicts.unionByName(aggV)
     } else verdicts
     (violations, withAgg, metrics)

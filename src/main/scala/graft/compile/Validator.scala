@@ -721,7 +721,7 @@ object Validator {
             .withColumn("__k", lit(1))
           val psiRows = graft.series.Drift
             .psi(sided, "__v", "__side", Seq("__k"), bins)
-            .select(col("psi")).collect()
+            .select(col("psi"), col("n_cur")).collect()
           // null / absent PSI = one side empty after null-scrub: "no
           // signal", passes — emptiness is MinRows' finding
           val psiVal: Option[Double] =
@@ -756,7 +756,13 @@ object Validator {
                 violationSchema))
             }
           import spark.implicits._
-          val verdictDf = Seq(("(global)", c.name, breaches.isEmpty, totalRows,
+          // rows = the current side's census, not the fused-stats
+          // totalRows: a drift-only suite never runs the stats pass and a
+          // hardcoded 0 would read as "nothing scanned" (entropy precedent)
+          val curN =
+            if (psiRows.isEmpty || psiRows(0).isNullAt(1)) 0L
+            else psiRows(0).getLong(1)
+          val verdictDf = Seq(("(global)", c.name, breaches.isEmpty, curN,
               breaches.size.toLong, 0.0))
             .toDF("partition_key", "constraint", "pass", "rows",
               "violations", "violation_rate")
@@ -798,7 +804,10 @@ object Validator {
                 violationSchema))
             }
           import spark.implicits._
-          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+          // rows = the dup census (non-null values examined), not the
+          // fused-stats totalRows — a dup-rate-only suite never runs the
+          // stats pass and a hardcoded 0 would read as "nothing scanned"
+          val verdictDf = Seq(("(global)", c.name, !failed, n,
               if (failed) 1L else 0L, rate))
             .toDF("partition_key", "constraint", "pass", "rows",
               "violations", "violation_rate")

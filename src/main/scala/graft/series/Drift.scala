@@ -48,7 +48,10 @@ object Drift {
       .withColumn("p", when(tBase > 0, greatest(col("n_base") / tBase, lit(eps))))
       .withColumn("q", when(tCur > 0, greatest(col("n_cur") / tCur, lit(eps))))
       .groupBy(key: _*)
-      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        // current-side row count, piggybacked so verdict "rows" never
+        // needs a second scan (callers select what they use)
+        sum(col("n_cur")).cast("long").as("n_cur"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic per key:

@@ -170,4 +170,38 @@ class CheckpointSpec extends GraftSuite {
     }
     assert(ex.getMessage.contains("aggregate-level"))
   }
+
+  test("global-scoped statistical constraints: one global verdict, equal to the direct path") {
+    // entropy/uniqueness/dup-rate/non-key-FD are claims about the WHOLE
+    // table — a sliced run must not emit P slice-local "(global)" rows
+    val globalCheck = Check("gcp", Seq(
+      EntropyBetween("role", lo = 0.1, hi = 10.0),
+      UniquenessBetween(Seq("text"), lo = 0.0, hi = 1.0),
+      MaxDuplicateRate("text", maxRate = 1.0),
+      FunctionalDependency(Seq("role"), "tool"), // non-key determinant
+      NotNull("text", maxNullRate = 0.5)))       // rate row check, sliced
+    val dir = Files.createTempDirectory("graft_cp_global").toString
+    val r = new ResumableValidation(spark, dir, partitions = 4)
+    val Some((_, verdicts, _)) = r.run(transcripts, globalCheck, ctx)
+    val direct = Validator.validate(transcripts, globalCheck, ctx)
+    // exactly ONE verdict row per global constraint, matching the direct
+    // validator's answer (pass AND the mergeable counts)
+    for (name <- Seq("entropy(role)", "uniqueness(text)",
+        "max_dup_rate(text)", "not_null(text)[global]")) {
+      val res = verdicts.where(col("constraint") === name)
+        .select("pass", "rows", "violations").collect()
+      val exp = direct.verdicts.where(col("constraint") === name)
+        .select("pass", "rows", "violations").collect()
+      assert(res.length == 1, s"$name: ${res.length} verdict rows")
+      assert(res.toSeq == exp.toSeq, s"$name: ${res.toSeq} vs ${exp.toSeq}")
+    }
+    // non-key FD verdicts also appear once per offending group, not per
+    // slice — compare the full fd verdict sets
+    val fdRes = verdicts.where(col("constraint").startsWith("fd("))
+      .select("partition_key", "pass").collect().toSeq.sortBy(_.toString)
+    val fdExp = direct.verdicts.where(col("constraint").startsWith("fd("))
+      .select("partition_key", "pass").collect().toSeq.sortBy(_.toString)
+    assert(fdRes == fdExp)
+    direct.unpersistAll()
+  }
 }

@@ -23,7 +23,7 @@ class DriftSpec extends GraftSuite {
 
   test("PSI near zero for stable, large for shifted") {
     val p = Drift.psi(twoSided, "x", "side", Seq("key"))
-      .as[(String, Double)].collect().toMap
+      .select("key", "psi").as[(String, Double)].collect().toMap
     assert(p("stable") < 0.05, s"stable psi=${p("stable")}")
     assert(p("shifted") > 0.5, s"shifted psi=${p("shifted")}")
   }
