@@ -33,6 +33,18 @@ import graft.sources.{Tables, TranscriptGen}
   */
 object Runner {
 
+  /** `--name value` lookup for the simple verbs; a flag given WITHOUT its
+    * value refuses (strictness contract: never silently run the default
+    * in place of what the user asked for).
+    */
+  private def flagOf(args: List[String], name: String, dflt: String)
+      : String = {
+    val i = args.indexOf(name)
+    if (i < 0) dflt
+    else if (i + 1 < args.length) args(i + 1)
+    else sys.error(s"$name requires a value argument")
+  }
+
   def defaultSuite: Check = Check("transcripts", Seq(
     // schema tripwire first: pure plan metadata, zero data scans —
     // upstream drift (renamed/retyped/ADDED columns: allowExtra = false)
@@ -183,8 +195,12 @@ object Runner {
             new java.sql.Timestamp(System.currentTimeMillis()),
             graft.checkpoint.MetricHistory.fromVerdicts(
               spark.read.parquet(s"$out/verdicts")))
+          // flags scoped to THIS run: the full-history recompute would
+          // re-alert every old jump on every later clean run — a CI gate
+          // on the count must go quiet once the jump has been seen
           val anomalies = graft.checkpoint.MetricHistory.rateOfChange(
             graft.checkpoint.MetricHistory.load(spark, md), maxRel = 0.5)
+            .where(col("run_id") === runId)
           anomalies.write.mode("overwrite")
             .parquet(s"$out/metric_anomalies")
           val nAnom = spark.read.parquet(s"$out/metric_anomalies").count()
@@ -201,10 +217,7 @@ object Runner {
       // snapshot, write a starter suite YAML that `validate --suite` runs
       // as-is — the full profile -> config -> validate loop with no Scala
       case "suggest" :: in :: outYaml :: flags =>
-        def flag(name: String, dflt: String): String = {
-          val i = flags.indexOf(name)
-          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
-        }
+        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
         val df = spark.read.parquet(in)
         val suggested = graft.compile.Suggestions.suggest(df,
           maxSetSize = flag("--max-set", "20").toInt)
@@ -221,10 +234,7 @@ object Runner {
       // minhash → LSH banding → exact-Jaccard verify → connected
       // components → canonical (group_id, group_size) per document
       case "dupgroups" :: in :: out :: flags =>
-        def flag(name: String, dflt: String): String = {
-          val i = flags.indexOf(name)
-          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
-        }
+        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
         val idCol = flag("--id", "doc_id")
         val textCol = flag("--text", "text")
         val docs = spark.read.parquet(in)
@@ -251,10 +261,7 @@ object Runner {
       // into `capacity`-token context windows per shard (id mod shards),
       // whitespace-token counts from the text column
       case "pack" :: in :: out :: capacity :: rest =>
-        def flag(name: String, dflt: String): String = {
-          val i = rest.indexOf(name)
-          if (i >= 0 && i + 1 < rest.size) rest(i + 1) else dflt
-        }
+        def flag(name: String, dflt: String): String = flagOf(rest, name, dflt)
         val id = flag("--id", "doc_id")
         val cap = capacity.toLong
         val shards = flag("--shards", "8").toInt
@@ -276,10 +283,7 @@ object Runner {
       // keyed snapshot diff as a verb: what changed between the table
       // version we validated and this one — change rows + the census
       case "diff" :: oldIn :: newIn :: out :: flags =>
-        def flag(name: String, dflt: String): String = {
-          val i = flags.indexOf(name)
-          if (i >= 0 && i + 1 < flags.length) flags(i + 1) else dflt
-        }
+        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
         val keys = flag("--keys", "conv_id,turn_idx").split(",").toSeq
         val oldDf = spark.read.parquet(oldIn)
         val compare = flag("--compare",

@@ -151,6 +151,21 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
         case _ => false
       },
       "check has aggregate-level constraints: withStatsState=false would drop their verdicts")
+    // collectResults re-aggregates the rate-bound [global] verdicts BY
+    // NAME — two same-named constraints (two Compliance rules sharing a
+    // label, two NotNull on one column) would merge into one verdict and
+    // could flip a fail to a pass. Refuse up front; renaming is free.
+    locally {
+      val rateNames = check.constraints.collect {
+        case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
+            _: graft.dsl.ParsableAs) => c.name
+      }
+      val dups = rateNames.groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n }
+      require(dups.isEmpty,
+        s"resumable runs need distinct names for rate-bound constraints; " +
+          s"duplicates: ${dups.mkString(", ")} (rename the labels/columns)")
+    }
     // fires even when every slice under the NEW count looks done (a
     // resume at partitions=4 of an 8-slice staging must not "complete")
     requireStagedPartitions()
@@ -191,20 +206,9 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       Files.write(doneMarker(p), Array.emptyByteArray,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
-    if ((0 until partitions).forall(isDone)) {
-      val (vio, ver, metrics) = collectResults(check)
-      // schema conformance (pure plan metadata) and the global-scoped
-      // statistical constraints (one aggregation-class pass each) re-join
-      // the merged output here, evaluated once against the FULL pinned
-      // input — their per-slice answers would have been wrong claims
-      val finalCs = schemaCs ++ check.constraints.filter(globalScoped(check))
-      if (finalCs.isEmpty) Some((vio, ver, metrics))
-      else {
-        val r = Validator.validate(df, check.copy(constraints = finalCs), ctx)
-        Some((vio.unionByName(r.violations), ver.unionByName(r.verdicts),
-          metrics))
-      }
-    } else None
+    if ((0 until partitions).forall(isDone))
+      Some(collectResults(check, Some((df, ctx))))
+    else None
   }
 
   /** Global-SCOPED statistical constraints: their verdict is a claim about
@@ -254,9 +258,28 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case c => globalScoped(check)(c)
     })
 
-  /** Union per-partition outputs + merge states → global results. */
-  def collectResults(check: Check): (DataFrame, DataFrame, Seq[PartitionMetrics]) = {
+  /** Union per-partition outputs + merge states → global results.
+    *
+    * `fullInput`: the pinned input (and dim context) for the constraints
+    * that must evaluate ONCE against the whole table — ExpectedSchema and
+    * the global-scoped statistical constraints stripped from every slice.
+    * When the check contains any of those, calling without it REFUSES
+    * rather than silently omitting their verdicts (pass-by-omission is
+    * the one unforgivable failure mode of a validation engine).
+    */
+  def collectResults(check: Check,
+      fullInput: Option[(DataFrame, Validator.Context)] = None)
+      : (DataFrame, DataFrame, Seq[PartitionMetrics]) = {
     import spark.implicits._
+    val finalCs = check.constraints.filter {
+      case _: graft.dsl.ExpectedSchema => true
+      case c => globalScoped(check)(c)
+    }
+    require(finalCs.isEmpty || fullInput.nonEmpty,
+      "check has schema/global-scoped constraints (" +
+        finalCs.map(_.name).mkString(", ") + ") that evaluate once against " +
+        "the full input — pass fullInput, or their verdicts would be " +
+        "silently omitted")
     val done = (0 until partitions).filter(isDone)
     require(done.size == partitions,
       s"only ${done.size}/$partitions partitions done — resume with run()")
@@ -316,6 +339,16 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
           else !col("constraint").isin(rateKeys: _*))
       verdicts.unionByName(aggV)
     } else verdicts
-    (violations, withAgg, metrics)
+    // schema conformance (pure plan metadata) and the global-scoped
+    // statistical constraints (one aggregation-class pass each) re-join
+    // the merged output here, evaluated once against the FULL pinned
+    // input — their per-slice answers would have been wrong claims
+    if (finalCs.isEmpty) (violations, withAgg, metrics)
+    else {
+      val (df, ctx) = fullInput.get
+      val r = Validator.validate(df, check.copy(constraints = finalCs), ctx)
+      (violations.unionByName(r.violations), withAgg.unionByName(r.verdicts),
+        metrics)
+    }
   }
 }

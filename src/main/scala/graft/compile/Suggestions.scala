@@ -46,6 +46,12 @@ object Suggestions {
       constraint: Constraint)
 
   private def profiledFields(df: DataFrame, columns: Seq[String]) = {
+    // a typo'd requested name must refuse, not silently profile the rest —
+    // the caller would believe the column was covered (strictness
+    // contract, same as SuiteConfig's unknown-field rejection)
+    val missing = columns.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"columns not in the schema: ${missing.mkString(", ")}")
     val fields =
       if (columns.nonEmpty) df.schema.fields.filter(f => columns.contains(f.name))
       else df.schema.fields

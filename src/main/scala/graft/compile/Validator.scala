@@ -223,8 +223,9 @@ object Validator {
         count(when(!coalesce(expr(c.predicate), lit(false)), 1))
           .as(s"__comp__$i") } ++
       parsCs.map { case (c, i) =>
-        count(when(col(c.column).isNotNull &&
-          expr(s"try_cast(`${c.column}` AS ${c.castTo})").isNull, 1))
+        // the ONE compile site's predicate, so the global count can never
+        // drift from the per-row violations it summarizes
+        count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__pars__$i") } ++
       corrNeeds.flatMap { case (x, y) =>
         // r assembled DRIVER-SIDE from covar_samp and the two stddevs:
@@ -728,7 +729,11 @@ object Validator {
             if (psiRows.isEmpty || psiRows(0).isNullAt(0)) None
             else Some(psiRows(0).getDouble(0))
           // KS half (opt-in): exact tie-correct two-sample D over the same
-          // sided frame — a second scan of both sides (sort-based window)
+          // sided frame — a second scan of both sides (sort-based window).
+          // Deliberately NOT persisted: caching the sided union means
+          // materializing the whole fact table to executor storage, which
+          // at 10^12 rows costs more than re-reading pruned parquet; at
+          // that extreme use the mergeable t-digest Drift.ksSketch instead
           val ksVal: Option[Double] = maxKs.flatMap { _ =>
             val rows = graft.series.Drift.ks(sided, "__v", "__side", Seq("__k"))
               .select(col("ks")).collect()

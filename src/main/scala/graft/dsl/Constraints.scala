@@ -331,8 +331,13 @@ final case class Compliance(label: String, predicate: String,
 final case class ParsableAs(column: String, castTo: String,
     maxFailRate: Double = 0.0)
   extends Constraint {
-  // fail at suite-BUILD time on a typo'd DDL type
-  try org.apache.spark.sql.types.DataType.fromDDL(castTo)
+  // fail at suite-BUILD time on a typo'd DDL type. parseDataType, NOT
+  // fromDDL: fromDDL falls back to table-SCHEMA parsing, so "a int" (a
+  // stray column name) would slip through here and explode later inside
+  // expr() with a context-free ParseException — the deferred failure this
+  // check exists to prevent.
+  try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    .parseDataType(castTo)
   catch { case e: Exception => throw new IllegalArgumentException(
     s"parsable_as($column): unparseable DDL type '$castTo'", e) }
   val name = s"parsable($column as $castTo)"

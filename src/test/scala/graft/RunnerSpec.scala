@@ -275,5 +275,12 @@ class RunnerSpec extends GraftSuite {
       s"the duplicate-key violation jump should flag on r002: $flagged")
     assert(!flagged.exists(_._1 == "r001"),
       "the first run has no baseline and must never flag")
+    // a third run at the SAME level must go quiet: the anomalies artifact
+    // is scoped to the current run, not a full-history recompute that
+    // re-alerts r002's jump forever
+    Runner.main(Array("validate", s"$dir/in2", s"$dir/out3",
+      "--metrics-dir", s"$dir/hist", "--run-id", "r003"))
+    assert(spark.read.parquet(s"$dir/out3/metric_anomalies").count() == 0,
+      "an already-seen jump must not re-alert on a later steady run")
   }
 }

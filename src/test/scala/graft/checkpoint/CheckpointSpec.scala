@@ -204,4 +204,35 @@ class CheckpointSpec extends GraftSuite {
     assert(fdRes == fdExp)
     direct.unpersistAll()
   }
+
+  test("resumable refuses same-named rate constraints (re-aggregation would merge them)") {
+    val dup = Check("dup", Seq(
+      Compliance("sane", "turn_idx >= 0", maxFailRate = 0.0),
+      Compliance("sane", "value >= 0", maxFailRate = 0.1)))
+    val dir = Files.createTempDirectory("graft_cp_dup").toString
+    val r = new ResumableValidation(spark, dir, partitions = 2)
+    val ex = intercept[IllegalArgumentException] {
+      r.run(transcripts, dup, ctx)
+    }
+    assert(ex.getMessage.contains("distinct names") &&
+      ex.getMessage.contains("compliance(sane)"))
+  }
+
+  test("collectResults without the full input refuses when global-scoped verdicts would vanish") {
+    val globalCheck = Check("gc2", Seq(NotNull("text"),
+      EntropyBetween("role", lo = 0.1)))
+    val dir = Files.createTempDirectory("graft_cp_omit").toString
+    val r = new ResumableValidation(spark, dir, partitions = 2)
+    assert(r.run(transcripts, globalCheck, ctx).nonEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      r.collectResults(globalCheck) // no fullInput
+    }
+    assert(ex.getMessage.contains("entropy(role)") &&
+      ex.getMessage.contains("silently omitted"))
+    // with the input supplied it matches run()'s output
+    val (_, verdicts, _) = r.collectResults(globalCheck,
+      Some((transcripts, ctx)))
+    assert(verdicts.where(col("constraint") === "entropy(role)")
+      .count() == 1)
+  }
 }

@@ -31,6 +31,12 @@ class SuggestionsSpec extends GraftSuite {
     assert(byCol("ghost").nulls == 180)
   }
 
+  test("a typo'd requested column refuses instead of silently profiling the rest") {
+    val ex = intercept[IllegalArgumentException](
+      Suggestions.census(df, Seq("id", "categorry")))
+    assert(ex.getMessage.contains("categorry"))
+  }
+
   test("rules: unique id, small-set category, bounded score, no not_null on mostly-null") {
     val by = suggested.groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
     assert(by("id") == Set("not_null", "unique_key"))

@@ -815,6 +815,10 @@ class ValidatorSpec extends GraftSuite {
     // a typo'd DDL type fails at CONSTRAINT BUILD, not mid-run
     val ex = intercept[IllegalArgumentException](ParsableAs("txt", "integerr"))
     assert(ex.getMessage.contains("integerr"))
+    // "a int" parses as a table SCHEMA under fromDDL's fallback — it must
+    // refuse here too, not explode later inside expr() context-free
+    val ex2 = intercept[IllegalArgumentException](ParsableAs("txt", "a int"))
+    assert(ex2.getMessage.contains("a int"))
   }
 
   test("UniquenessBetween / DistinctnessBetween: ratio census, null exclusion, no-signal") {
