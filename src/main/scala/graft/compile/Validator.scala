@@ -145,6 +145,25 @@ object Validator {
         col("v.column"), col("v.observed"), col("v.bound"), col("v.severity"))
   }
 
+  /** The uniqueness/distinctness key census: one hash aggregation + an
+    * O(1) reduction to (complete rows, groups, singleton rows). The tuple
+    * reduces MAP-SIDE to a 16-byte md5 digest (NUL-joined components) so
+    * a text column never rides the exchange — the MaxDuplicateRate
+    * discipline; q94's oracle recomputes the ratios over the raw strings,
+    * digest-free, proving the reduction loses nothing (modulo md5
+    * collisions). Exposed pre-collect so PlanSpec can gate the shape.
+    */
+  private[graft] def ratioCensusFrame(df: DataFrame,
+      columns: Seq[String]): DataFrame = {
+    val complete = columns.map(col(_).isNotNull).reduce(_ && _)
+    val digest = md5(concat_ws("\u0000",
+      columns.map(col(_).cast("string")): _*))
+    df.where(complete)
+      .groupBy(digest.as("__kd")).agg(count(lit(1)).as("__kn"))
+      .agg(sum(col("__kn")).as("__tot"), count(lit(1)).as("__groups"),
+        sum(when(col("__kn") === 1, 1L).otherwise(0L)).as("__uniq"))
+  }
+
   def validate(df: DataFrame, check: Check,
       ctx: Context = Context()): Result = {
     val spark = df.sparkSession
@@ -889,16 +908,8 @@ object Validator {
       }
 
     // ---- pass 12b: uniqueness / distinctness ratio bounds ----------------------
-    // one hash aggregation per constraint (groupBy key tuple → count,
-    // map-side combined — only distinct tuples ride the exchange) + an
-    // O(1) reduction to (complete rows, groups, singleton rows)
     def keyCensusRatio(columns: Seq[String]): (Long, Long, Long) = {
-      val complete = columns.map(col(_).isNotNull).reduce(_ && _)
-      val row = df.where(complete)
-        .groupBy(columns.map(col): _*).agg(count(lit(1)).as("__kn"))
-        .agg(sum(col("__kn")).as("__tot"), count(lit(1)).as("__groups"),
-          sum(when(col("__kn") === 1, 1L).otherwise(0L)).as("__uniq"))
-        .collect()(0)
+      val row = ratioCensusFrame(df, columns).collect()(0)
       if (row.isNullAt(0)) (0L, 0L, 0L)
       else (row.getLong(0), row.getLong(1), row.getLong(2))
     }

@@ -197,6 +197,33 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("md5(cast(text"), s)
   }
 
+  test("q94 ratio census: the text tuple rides the exchange as a digest, never raw") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // flat frame: the transcripts VIEW shuffles text for its own
+      // turn_idx window and would mask the property under test
+      import spark.implicits._
+      val t = Seq(("a", "payload one"), ("b", "payload two"),
+        ("c", "payload one")).toDF("conv_id", "text")
+      val census = graft.compile.Validator.ratioCensusFrame(t, Seq("text"))
+      census.collect()
+      val exchanges = census.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected the census aggregation exchange")
+      val shuffledTypes = exchanges.flatMap(_.child.output.map(a =>
+        a.name -> a.dataType.simpleString))
+      // every exchanged column derived from text is the 32-char md5, and
+      // no raw `text` attribute survives to any exchange
+      assert(!shuffledTypes.exists(_._1 == "text"),
+        s"raw text rides a shuffle: $shuffledTypes")
+      // executed plan folds the digest into the local scan; the analyzed
+      // plan still shows the md5 grouping key
+      assert(census.queryExecution.analyzed.toString.contains("md5"),
+        "digest reduction missing from the census plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q93 parsable row check: a pure shuffle-free projection (streaming-legal)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
