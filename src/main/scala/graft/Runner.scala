@@ -213,6 +213,23 @@ object Runner {
           .where(!col("pass")).count()
         println(s"""{"rows":$rows,"violations":$nViol,"failed_verdicts":$nFail,"wall_sec":$wall,"turns_per_sec":${rows / wall}}""")
 
+      // metric-history audit as a spark-submit verb: both cross-run
+      // analytics (rate-of-change jumps and trailing-z level shifts) over
+      // a --metrics-dir history, written beside each other
+      case "history" :: metricsDir :: out :: flags =>
+        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
+        val hist = graft.checkpoint.MetricHistory.load(spark, metricsDir)
+        val jumps = graft.checkpoint.MetricHistory.rateOfChange(hist,
+          maxRel = flag("--max-rel", "0.5").toDouble)
+        val shifts = graft.checkpoint.MetricHistory.trailingZ(hist,
+          window = flag("--z-window", "5").toInt,
+          threshold = flag("--z-threshold", "3.0").toDouble)
+        jumps.write.mode("overwrite").parquet(s"$out/rate_of_change")
+        shifts.write.mode("overwrite").parquet(s"$out/trailing_z")
+        val nj = spark.read.parquet(s"$out/rate_of_change").count()
+        val ns = spark.read.parquet(s"$out/trailing_z").count()
+        println(s"""{"rate_of_change_anomalies":$nj,"trailing_z_anomalies":$ns}""")
+
       // constraint suggestion as a spark-submit verb: profile a blessed
       // snapshot, write a starter suite YAML that `validate --suite` runs
       // as-is — the full profile -> config -> validate loop with no Scala

@@ -1329,6 +1329,28 @@ object SparkEntry {
           maxPsi = 1e9, maxKs = Some(1e-6)))), ctx)
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("ks"))
+    }),
+
+    // MetricHistory's SECOND analytic (trailing z-score vs the previous k
+    // runs) over the q92 day-bucket pseudo-history — the oracle replays
+    // the same excluded-self ROWS-frame mean/stddev rule.
+    "q96_metric_trailing_z" -> ((s, dir) => {
+      val daily = Tables.transcripts(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("run_ts"))
+        .agg(count(lit(1)).cast("double").as("rows"),
+          avg(col("value")).as("mean_value"))
+      val hist = daily.select(
+        date_format(col("run_ts"), "yyyy-MM-dd").as("run_id"),
+        col("run_ts"), lit("all").as("constraint"),
+        explode(map(lit("rows"), col("rows"),
+          lit("mean_value"), col("mean_value"))).as(Seq("metric", "value")))
+      graft.checkpoint.MetricHistory.trailingZ(hist, window = 5,
+          threshold = 2.0)
+        .select(col("run_id"), col("metric"),
+          round(col("value"), 6).as("value"),
+          round(col("baseline_mean"), 6).as("baseline_mean"),
+          round(col("z"), 6).as("z"))
+        .orderBy("run_id", "metric")
     })
   )
 
@@ -2870,6 +2892,36 @@ object SparkEntry {
          |t AS (SELECT sum(CASE WHEN side = 'baseline' THEN 1 ELSE 0 END)::DOUBLE AS tb,
          |    sum(CASE WHEN side = 'current' THEN 1 ELSE 0 END)::DOUBLE AS tc FROM sided)
          |SELECT 'value' AS "column", round(max(abs(cb / tb - cc / tc)), 6) AS ks
-         |FROM c, t""".stripMargin
+         |FROM c, t""".stripMargin,
+
+    // trailing-z twin: the q92 pseudo-history, stddev_samp/avg over the
+    // PREVIOUS 5 runs (ROWS frame excluding the current row), flag |z| > 2
+    // with a full window and a positive baseline stddev
+    "q96_metric_trailing_z" ->
+      s"""WITH $T,
+         |daily AS (
+         |  SELECT date_trunc('day', ts) AS run_ts, count(*)::DOUBLE AS rows_v,
+         |         avg(value) AS mean_value
+         |  FROM transcripts GROUP BY 1),
+         |hist AS (
+         |  SELECT strftime(run_ts, '%Y-%m-%d') AS run_id, run_ts,
+         |         'rows' AS metric, rows_v AS value FROM daily
+         |  UNION ALL
+         |  SELECT strftime(run_ts, '%Y-%m-%d'), run_ts, 'mean_value',
+         |         mean_value FROM daily),
+         |w AS (
+         |  SELECT run_id, metric, value,
+         |    count(value) OVER tw AS n,
+         |    avg(value) OVER tw AS mu,
+         |    stddev_samp(value) OVER tw AS sd
+         |  FROM hist
+         |  WINDOW tw AS (PARTITION BY metric ORDER BY run_ts, run_id
+         |                ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+         |SELECT run_id, metric, round(value, 6) AS value,
+         |  round(mu, 6) AS baseline_mean,
+         |  round((value - mu) / sd, 6) AS z
+         |FROM w
+         |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2
+         |ORDER BY run_id, metric""".stripMargin
   )
 }

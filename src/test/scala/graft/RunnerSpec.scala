@@ -282,5 +282,11 @@ class RunnerSpec extends GraftSuite {
       "--metrics-dir", s"$dir/hist", "--run-id", "r003"))
     assert(spark.read.parquet(s"$dir/out3/metric_anomalies").count() == 0,
       "an already-seen jump must not re-alert on a later steady run")
+    // the audit verb replays BOTH analytics over the whole history —
+    // r002's jump is visible there (that's the point of the audit view)
+    Runner.main(Array("history", s"$dir/hist", s"$dir/audit"))
+    val jumps = spark.read.parquet(s"$dir/audit/rate_of_change")
+    assert(jumps.where(col("run_id") === "r002").count() > 0)
+    assert(new java.io.File(s"$dir/audit/trailing_z").exists())
   }
 }
