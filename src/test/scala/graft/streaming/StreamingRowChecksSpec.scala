@@ -39,7 +39,10 @@ class StreamingRowChecksSpec extends GraftSuite {
     InSet("role", Seq("user", "assistant", "system", "tool")),
     MatchesRegex("text", "^t_\\d+$"),
     ValueBounds("v", Some(0.0), Some(5.0)),
-    Compliance("v_or_user", "v >= 0 OR role = 'user'")))
+    Compliance("v_or_user", "v >= 0 OR role = 'user'"),
+    // the seventh stateless family: "oops"/"robot" don't cast, "t_N" and
+    // nulls don't violate (nulls are NotNull's finding)
+    ParsableAs("role", "int", maxFailRate = 1.0)))
 
   private type VRow = (String, String, Int, String, String, String)
 
