@@ -19,6 +19,13 @@ import graft.sources.{Tables, TranscriptGen}
   *   graft.Runner sessions <transcripts-parquet> <out-parquet> <gap-seconds>
   *   graft.Runner pack <docs-parquet> <out-dir> <capacity-tokens>
   *       [--id doc_id] [--text text] [--shards 8]
+  *   graft.Runner suggest <parquet> <suite.yaml>
+  *       [--max-set 20] [--name suggested] [--key conv_id]
+  *       [--order turn_idx] [--ts ts]
+  *   graft.Runner history <metrics-dir> <out-dir>
+  *       [--max-rel 0.5] [--z-window 5] [--z-threshold 3.0]
+  *   graft.Runner diff <old-parquet> <new-parquet> <out-dir>
+  *       [--keys conv_id,turn_idx] [--compare <cols>]
   *
   * `validate` pins the input file set (snapshot manifest), runs the default
   * transcript suite, writes violations/verdicts parquet + a JSON summary.
@@ -33,16 +40,27 @@ import graft.sources.{Tables, TranscriptGen}
   */
 object Runner {
 
-  /** `--name value` lookup for the simple verbs; a flag given WITHOUT its
-    * value refuses (strictness contract: never silently run the default
-    * in place of what the user asked for).
+  /** STRICT `--name value` parsing for the simple verbs: an unrecognized
+    * or typo'd flag refuses (it would otherwise silently run with the
+    * default in place of what the user asked for — the same contract as
+    * SuiteConfig's unknown-field rejection), as does a flag missing its
+    * value.
     */
-  private def flagOf(args: List[String], name: String, dflt: String)
-      : String = {
-    val i = args.indexOf(name)
-    if (i < 0) dflt
-    else if (i + 1 < args.length) args(i + 1)
-    else sys.error(s"$name requires a value argument")
+  private def parseFlags(args: List[String], allowed: Set[String])
+      : Map[String, String] = {
+    @scala.annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String])
+        : Map[String, String] = rest match {
+      case Nil => acc
+      case name :: value :: tail if allowed(name) =>
+        loop(tail, acc + (name -> value))
+      case name :: Nil if allowed(name) =>
+        sys.error(s"$name requires a value argument")
+      case other :: _ =>
+        sys.error(s"unrecognized flag '$other' (supported: " +
+          allowed.toSeq.sorted.mkString(", ") + ")")
+    }
+    loop(args, Map.empty)
   }
 
   def defaultSuite: Check = Check("transcripts", Seq(
@@ -217,7 +235,9 @@ object Runner {
       // analytics (rate-of-change jumps and trailing-z level shifts) over
       // a --metrics-dir history, written beside each other
       case "history" :: metricsDir :: out :: flags =>
-        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
+        val f = parseFlags(flags,
+          Set("--max-rel", "--z-window", "--z-threshold"))
+        def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
         val hist = graft.checkpoint.MetricHistory.load(spark, metricsDir)
         val jumps = graft.checkpoint.MetricHistory.rateOfChange(hist,
           maxRel = flag("--max-rel", "0.5").toDouble)
@@ -234,7 +254,9 @@ object Runner {
       // snapshot, write a starter suite YAML that `validate --suite` runs
       // as-is — the full profile -> config -> validate loop with no Scala
       case "suggest" :: in :: outYaml :: flags =>
-        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
+        val f = parseFlags(flags,
+          Set("--max-set", "--name", "--key", "--order", "--ts"))
+        def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
         val df = spark.read.parquet(in)
         val suggested = graft.compile.Suggestions.suggest(df,
           maxSetSize = flag("--max-set", "20").toInt)
@@ -251,7 +273,8 @@ object Runner {
       // minhash → LSH banding → exact-Jaccard verify → connected
       // components → canonical (group_id, group_size) per document
       case "dupgroups" :: in :: out :: flags =>
-        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
+        val f = parseFlags(flags, Set("--id", "--text", "--threshold"))
+        def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
         val idCol = flag("--id", "doc_id")
         val textCol = flag("--text", "text")
         val docs = spark.read.parquet(in)
@@ -278,7 +301,8 @@ object Runner {
       // into `capacity`-token context windows per shard (id mod shards),
       // whitespace-token counts from the text column
       case "pack" :: in :: out :: capacity :: rest =>
-        def flag(name: String, dflt: String): String = flagOf(rest, name, dflt)
+        val f = parseFlags(rest, Set("--id", "--text", "--shards"))
+        def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
         val id = flag("--id", "doc_id")
         val cap = capacity.toLong
         val shards = flag("--shards", "8").toInt
@@ -300,7 +324,8 @@ object Runner {
       // keyed snapshot diff as a verb: what changed between the table
       // version we validated and this one — change rows + the census
       case "diff" :: oldIn :: newIn :: out :: flags =>
-        def flag(name: String, dflt: String): String = flagOf(flags, name, dflt)
+        val f = parseFlags(flags, Set("--keys", "--compare"))
+        def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
         val keys = flag("--keys", "conv_id,turn_idx").split(",").toSeq
         val oldDf = spark.read.parquet(oldIn)
         val compare = flag("--compare",

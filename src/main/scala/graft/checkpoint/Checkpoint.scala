@@ -151,21 +151,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
         case _ => false
       },
       "check has aggregate-level constraints: withStatsState=false would drop their verdicts")
-    // collectResults re-aggregates the rate-bound [global] verdicts BY
-    // NAME — two same-named constraints (two Compliance rules sharing a
-    // label, two NotNull on one column) would merge into one verdict and
-    // could flip a fail to a pass. Refuse up front; renaming is free.
-    locally {
-      val rateNames = check.constraints.collect {
-        case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
-            _: graft.dsl.ParsableAs) => c.name
-      }
-      val dups = rateNames.groupBy(identity).collect {
-        case (n, occ) if occ.size > 1 => n }
-      require(dups.isEmpty,
-        s"resumable runs need distinct names for rate-bound constraints; " +
-          s"duplicates: ${dups.mkString(", ")} (rename the labels/columns)")
-    }
+    requireDistinctRateNames(check)
     // fires even when every slice under the NEW count looks done (a
     // resume at partitions=4 of an 8-slice staging must not "complete")
     requireStagedPartitions()
@@ -209,6 +195,24 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     if ((0 until partitions).forall(isDone))
       Some(collectResults(check, Some((df, ctx))))
     else None
+  }
+
+  /** collectResults re-aggregates the rate-bound [global] verdicts BY
+    * NAME — two same-named constraints (two Compliance rules sharing a
+    * label, two NotNull on one column) would merge into one verdict and
+    * could flip a fail to a pass. Refuse up front (in run() AND in direct
+    * collectResults calls); renaming is free.
+    */
+  private def requireDistinctRateNames(check: Check): Unit = {
+    val rateNames = check.constraints.collect {
+      case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
+          _: graft.dsl.ParsableAs) => c.name
+    }
+    val dups = rateNames.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n }
+    require(dups.isEmpty,
+      s"resumable runs need distinct names for rate-bound constraints; " +
+        s"duplicates: ${dups.mkString(", ")} (rename the labels/columns)")
   }
 
   /** Global-SCOPED statistical constraints: their verdict is a claim about
@@ -271,6 +275,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       fullInput: Option[(DataFrame, Validator.Context)] = None)
       : (DataFrame, DataFrame, Seq[PartitionMetrics]) = {
     import spark.implicits._
+    requireDistinctRateNames(check)
     val finalCs = check.constraints.filter {
       case _: graft.dsl.ExpectedSchema => true
       case c => globalScoped(check)(c)

@@ -147,19 +147,43 @@ object Validator {
 
   /** The uniqueness/distinctness key census: one hash aggregation + an
     * O(1) reduction to (complete rows, groups, singleton rows). The tuple
-    * reduces MAP-SIDE to a 16-byte md5 digest (NUL-joined components) so
-    * a text column never rides the exchange — the MaxDuplicateRate
-    * discipline; q94's oracle recomputes the ratios over the raw strings,
-    * digest-free, proving the reduction loses nothing (modulo md5
-    * collisions). Exposed pre-collect so PlanSpec can gate the shape.
+    * reduces MAP-SIDE to a digest so text never rides the exchange — the
+    * MaxDuplicateRate discipline. All-narrow tuples (numeric/boolean/
+    * date/timestamp) group RAW instead: cheap, exact, and preserving SQL
+    * equality (0.0 = -0.0). The digest is equivalence-preserving: each
+    * component hashes to a FIXED-WIDTH md5 before the outer hash (no
+    * join-separator ambiguity between ("a*","b") and ("a","*b")), binary
+    * hashes its bytes directly, and fractional components normalize -0.0
+    * via `+ 0.0` for parity with the raw path. q94's oracle recomputes
+    * the ratios over the raw strings, digest-free, proving the reduction
+    * loses nothing (modulo md5 collisions). Exposed pre-collect so
+    * PlanSpec can gate the shape.
     */
   private[graft] def ratioCensusFrame(df: DataFrame,
       columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
     val complete = columns.map(col(_).isNotNull).reduce(_ && _)
-    val digest = md5(concat_ws("\u0000",
-      columns.map(col(_).cast("string")): _*))
+    val fieldType: Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val narrow = columns.forall { c =>
+      fieldType.get(c).forall {
+        case _: NumericType | BooleanType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val keys: Seq[Column] =
+      if (narrow) columns.map(col)
+      else Seq(md5(concat(columns.map { c =>
+        fieldType.get(c) match {
+          case Some(BinaryType) => md5(col(c))
+          case Some(DoubleType) | Some(FloatType) =>
+            md5((col(c) + lit(0.0)).cast("string").cast("binary"))
+          case _ => md5(col(c).cast("string").cast("binary"))
+        }
+      }: _*).cast("binary")).as("__kd"))
     df.where(complete)
-      .groupBy(digest.as("__kd")).agg(count(lit(1)).as("__kn"))
+      .groupBy(keys: _*).agg(count(lit(1)).as("__kn"))
       .agg(sum(col("__kn")).as("__tot"), count(lit(1)).as("__groups"),
         sum(when(col("__kn") === 1, 1L).otherwise(0L)).as("__uniq"))
   }
@@ -238,8 +262,8 @@ object Validator {
     val aggExprs: Seq[Column] =
       Seq(count(lit(1)).as("__rows")) ++
       compCs.map { case (c, i) =>
-        // fails CLOSED: false or null predicate both count as failures
-        count(when(!coalesce(expr(c.predicate), lit(false)), 1))
+        // fails closed; the ONE compile site's predicate, like ParsableAs
+        count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__comp__$i") } ++
       parsCs.map { case (c, i) =>
         // the ONE compile site's predicate, so the global count can never

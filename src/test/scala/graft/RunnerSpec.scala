@@ -289,4 +289,18 @@ class RunnerSpec extends GraftSuite {
     assert(jumps.where(col("run_id") === "r002").count() > 0)
     assert(new java.io.File(s"$dir/audit/trailing_z").exists())
   }
+
+  test("simple verbs refuse typo'd flags instead of silently running defaults") {
+    val dir = tmp()
+    val ex = intercept[RuntimeException] {
+      Runner.main(Array("history", s"$dir/nope", s"$dir/out",
+        "--max-re", "0.9")) // typo for --max-rel
+    }
+    assert(ex.getMessage.contains("--max-re") &&
+      ex.getMessage.contains("unrecognized"))
+    val ex2 = intercept[RuntimeException] {
+      Runner.main(Array("dupgroups", s"$dir/nope", s"$dir/out", "--threshold"))
+    }
+    assert(ex2.getMessage.contains("requires a value"))
+  }
 }
