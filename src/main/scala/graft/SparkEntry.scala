@@ -1408,6 +1408,7 @@ object SparkEntry {
       ("conv_id", true, false), ("turn_idx", false, true),
       ("role", true, false), ("text", true, false), ("tool", true, false),
       ("ts", false, false), ("value", false, true))
+    val battery = graft.compile.Suggestions.shapeBattery
     val branches = cols.map { case (c, isStr, isNum) =>
       val mn = if (isNum) s"min($c)::DOUBLE" else "NULL::DOUBLE"
       val mx = if (isNum) s"max($c)::DOUBLE" else "NULL::DOUBLE"
@@ -1417,12 +1418,35 @@ object SparkEntry {
              |     FROM (SELECT DISTINCT $c AS v FROM transcripts
              |           WHERE $c IS NOT NULL))""".stripMargin
         else "NULL::VARCHAR"
+      // shape battery: values BREAKING each candidate pattern (the SAME
+      // ordered battery the engine fuses into its census pass)
+      val shapes = battery.zipWithIndex.map { case (p, i) =>
+        if (isStr)
+          "sum(CASE WHEN " + c + " IS NOT NULL AND NOT regexp_matches(" +
+            c + ", '" + p + "') THEN 1 ELSE 0 END) AS shape" + i
+        else s"NULL::BIGINT AS shape$i"
+      }.mkString(", ")
       s"""SELECT '$c' AS c, count(*) AS n, count(*) - count($c) AS nulls,
          |       count(DISTINCT $c) AS dist, $mn AS mn, $mx AS mx,
-         |       $isStr AS is_str, $isNum AS is_num, $vals AS vals
+         |       $isStr AS is_str, $isNum AS is_num, $vals AS vals,
+         |       $shapes
          |FROM transcripts""".stripMargin
     }
     s"stats AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
+  }
+
+  /** q91 twin: the matches_regex rule — first battery hit wins. */
+  private val q91ShapeSql: String = {
+    val battery = graft.compile.Suggestions.shapeBattery
+    val firstHit = battery.zipWithIndex
+      .map { case (p, i) => s"WHEN shape$i = 0 THEN '" + p + "'" }
+      .mkString(" ")
+    val anyHit = battery.indices.map(i => s"shape$i = 0").mkString(" OR ")
+    s"""SELECT c, 'matches_regex', NULL, NULL,
+       |       CASE $firstHit END
+       |FROM stats
+       |WHERE n > 0 AND is_str AND n - nulls > 0 AND dist > 20
+       |  AND ($anyHit)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2803,6 +2827,8 @@ object SparkEntry {
          |  SELECT c, 'in_set', NULL, NULL, vals FROM stats
          |  WHERE n > 0 AND is_str AND dist >= 2 AND dist <= 20
          |    AND dist < n - nulls
+         |  UNION ALL
+         |  $q91ShapeSql
          |  UNION ALL
          |  SELECT c, 'value_bounds', mn, mx, NULL FROM stats
          |  WHERE n > 0 AND is_num AND mn IS NOT NULL

@@ -23,6 +23,15 @@ import graft.dsl._
   */
 object Suggestions {
 
+  /** The fixed shape battery: candidate value-shape regexes, tried in
+    * order — a column whose every non-null value matches one becomes a
+    * `matches_regex` suggestion (first hit wins). Fixed and ordered so
+    * the suggestion is deterministic and the q91 oracle can replay it.
+    */
+  val shapeBattery: Seq[String] = Seq(
+    "^[0-9]+$",           // bare numeric ids
+    "^[a-z]+_[0-9]+$")    // snake prefix + counter (conv_000042 ...)
+
   /** Per-column census row (driver-side: one row per COLUMN, not per row
     * of data — collecting it is O(columns)).
     */
@@ -34,7 +43,8 @@ object Suggestions {
       min: Option[Double],
       max: Option[Double],
       isString: Boolean,
-      isNumeric: Boolean)
+      isNumeric: Boolean,
+      shapeBreaks: Seq[Long] = Nil)
 
   /** One suggested constraint plus the census evidence that produced it. */
   final case class Suggested(
@@ -80,9 +90,20 @@ object Suggestions {
         case StringType => md5(c.cast("binary"))
         case _ => c
       }
+      // shape battery: per string column, how many non-null values BREAK
+      // each candidate pattern (zero breaks + high cardinality → suggest
+      // matches_regex; enums stay in_set's business). Fused into the same
+      // single pass — rlike is a codegen'd scan-side predicate.
+      val shapes = f.dataType match {
+        case StringType => shapeBattery.zipWithIndex.map { case (p, i) =>
+          count(when(c.isNotNull && !c.rlike(p), 1))
+            .as(s"shape${i}__${f.name}")
+        }
+        case _ => Nil
+      }
       Seq(
         count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
-        count_distinct(distArg).as(s"dist__${f.name}")) ++ minMax
+        count_distinct(distArg).as(s"dist__${f.name}")) ++ minMax ++ shapes
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -109,7 +130,12 @@ object Suggestions {
         min = if (numeric) optD(s"min__${f.name}") else None,
         max = if (numeric) optD(s"max__${f.name}") else None,
         isString = f.dataType == StringType,
-        isNumeric = numeric)
+        isNumeric = numeric,
+        shapeBreaks =
+          if (f.dataType == StringType)
+            shapeBattery.indices.map(i =>
+              row.getAs[Long](s"shape${i}__${f.name}"))
+          else Nil)
     }
   }
 
@@ -124,6 +150,8 @@ object Suggestions {
     *  - `in_set` for string columns with 2..`maxSetSize` distinct values
     *    that actually repeat (distinct < non-null count) — a column where
     *    every value is unique is an id, not an enum.
+    *  - `matches_regex` for high-cardinality string columns whose every
+    *    non-null value fits a [[shapeBattery]] pattern (first hit wins).
     *  - `value_bounds` [observed min, observed max] for numeric columns.
     *  - `unique_key` for a non-null column whose distinct count equals the
     *    row count.
@@ -156,6 +184,18 @@ object Suggestions {
         Suggested(c.column, "in_set", None, None, Some(vs.mkString(",")),
           InSet(c.column, vs))
       }
+      // matches_regex: a HIGH-cardinality string column whose every
+      // non-null value fits a battery shape (enums stay in_set's
+      // business); first battery hit wins, deterministically
+      val shape =
+        if (c.isString && c.rows - c.nulls > 0 && c.distinct > maxSetSize)
+          c.shapeBreaks.zipWithIndex.collectFirst {
+            case (0L, i) =>
+              val p = shapeBattery(i)
+              Suggested(c.column, "matches_regex", None, None, Some(p),
+                MatchesRegex(c.column, p))
+          }
+        else None
       val bounds =
         if (c.isNumeric && c.min.nonEmpty)
           Some(Suggested(c.column, "value_bounds", c.min, c.max, None,
@@ -166,7 +206,7 @@ object Suggestions {
           Some(Suggested(c.column, "unique_key", None, None, None,
             UniqueKey(Seq(c.column))))
         else None
-      Seq(notNull, inSet, bounds, unique).flatten
+      Seq(notNull, inSet, shape, bounds, unique).flatten
     }.sortBy(s => (s.column, s.suggestion))
   }
 

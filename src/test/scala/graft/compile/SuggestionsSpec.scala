@@ -39,8 +39,15 @@ class SuggestionsSpec extends GraftSuite {
 
   test("rules: unique id, small-set category, bounded score, no not_null on mostly-null") {
     val by = suggested.groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
-    assert(by("id") == Set("not_null", "unique_key"))
+    // id_0042-style values fit the snake+counter battery shape
+    assert(by("id") == Set("not_null", "unique_key", "matches_regex"))
+    assert(suggested.find(s => s.column == "id" &&
+      s.suggestion == "matches_regex").get.details
+      .contains("^[a-z]+_[0-9]+$"))
+    // category is an enum (in_set), NOT a shape; text has spaces — no
+    // battery pattern fires
     assert(by("category") == Set("not_null", "in_set"))
+    assert(!by("text").contains("matches_regex"))
     assert(by("score") == Set("not_null", "value_bounds"))
     // high-cardinality text: complete but neither enum nor key (distinct <
     // rows would be needed for in_set, == rows for unique... text IS
