@@ -1351,6 +1351,46 @@ object SparkEntry {
           round(col("baseline_mean"), 6).as("baseline_mean"),
           round(col("z"), 6).as("z"))
         .orderBy("run_id", "metric")
+    }),
+
+    // NoPii constraint: a deterministically PII-laced text column (each
+    // turn_idx residue class plants one kind; residue 4 plants a
+    // Luhn-INVALID card number that must stay clean) through the
+    // declarative path; the oracle re-derives the same column and replays
+    // the IDENTICAL pattern strings (graft.text.Pii.patterns, interpolated
+    // into the SQL) plus the Luhn fold as a DuckDB list comprehension.
+    "q97_pii_violations" -> ((s, dir) => {
+      val m = pmod(col("turn_idx"), lit(11))
+      val t = Tables.transcripts(s, dir).withColumn("pii_txt",
+        when(m === 0, concat(lit("contact "), substring(col("conv_id"), 6, 18),
+          lit("@example.com today")))
+          .when(m === 1, format_string("call 415-555-%04d now",
+            pmod(col("turn_idx") * 7, lit(10000))))
+          .when(m === 2, lit("ssn 078-05-1120 retained"))
+          .when(m === 3, lit("card 4111111111111111 charged"))
+          .when(m === 4, lit("order 4111111111111112 shipped"))
+          .when(m === 5, concat(lit("host 10.0."),
+            pmod(col("turn_idx"), lit(256)).cast("string"), lit(".7 up")))
+          .otherwise(col("text")))
+      val r = Validator.validate(t, Check("pii", Seq(NoPii("pii_txt"))),
+        Validator.Context())
+      r.violations.select(col("conv_id"), col("turn_idx"),
+          col("observed").as("kinds"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // MaxStaleness: an asOf far past the fixture's newest turn forces the
+    // freshness verdict to FAIL and observe the measured lag; the oracle
+    // recomputes the identical epoch-micros arithmetic from its own
+    // max(ts). The constraint itself is zero-extra-jobs (the max fuses
+    // into the one-pass global aggregation).
+    "q98_freshness_violation" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      val r = Validator.validate(t, Check("fresh", Seq(
+        MaxStaleness("ts", "2030-01-01T00:00:00", maxLagSeconds = 3600))),
+        Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("lag_s"))
     })
   )
 
@@ -2948,6 +2988,56 @@ object SparkEntry {
          |  round((value - mu) / sd, 6) AS z
          |FROM w
          |WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2
-         |ORDER BY run_id, metric""".stripMargin
+         |ORDER BY run_id, metric""".stripMargin,
+
+    // no_pii twin: the same derived pii_txt, the IDENTICAL pattern strings
+    // (interpolated from graft.text.Pii.patterns — one source of truth for
+    // both engines; the patterns avoid lookaround so Java regex and RE2
+    // read them identically), and the Luhn fold replayed as a DuckDB list
+    // comprehension over every 13-19-digit candidate
+    "q97_pii_violations" -> {
+      val p = graft.text.Pii.patterns.toMap
+      s"""WITH $T,
+         |derived AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE turn_idx % 11
+         |      WHEN 0 THEN 'contact ' || substr(conv_id, 6) || '@example.com today'
+         |      WHEN 1 THEN printf('call 415-555-%04d now', (turn_idx * 7) % 10000)
+         |      WHEN 2 THEN 'ssn 078-05-1120 retained'
+         |      WHEN 3 THEN 'card 4111111111111111 charged'
+         |      WHEN 4 THEN 'order 4111111111111112 shipped'
+         |      WHEN 5 THEN 'host 10.0.' || (turn_idx % 256) || '.7 up'
+         |      ELSE text END AS pii_txt
+         |  FROM transcripts),
+         |flagged AS (
+         |  SELECT conv_id, turn_idx,
+         |    concat_ws(',',
+         |      CASE WHEN regexp_matches(pii_txt, '${p("email")}') THEN 'email' END,
+         |      CASE WHEN regexp_matches(pii_txt, '${p("phone")}') THEN 'phone' END,
+         |      CASE WHEN regexp_matches(pii_txt, '${p("ssn")}') THEN 'ssn' END,
+         |      CASE WHEN regexp_matches(pii_txt, '${p("ipv4")}') THEN 'ipv4' END,
+         |      CASE WHEN len(list_filter(
+         |          regexp_extract_all(pii_txt, '(${p("card")})', 1),
+         |          c -> list_sum(list_transform(range(1, length(c) + 1), i ->
+         |            CASE WHEN i % 2 = 0 THEN
+         |              CASE WHEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) > 9
+         |                   THEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) - 9
+         |                   ELSE 2 * (ascii(substr(reverse(c), i, 1)) - 48) END
+         |            ELSE ascii(substr(reverse(c), i, 1)) - 48 END)) % 10 = 0))
+         |        > 0 THEN 'card' END) AS kinds
+         |  FROM derived
+         |  WHERE pii_txt IS NOT NULL)
+         |SELECT conv_id, turn_idx, kinds FROM flagged WHERE kinds <> ''
+         |ORDER BY conv_id, turn_idx""".stripMargin
+    },
+
+    // freshness twin: the same wall-clock-as-UTC epoch-micros lag from
+    // DuckDB's own max(ts)
+    "q98_freshness_violation" ->
+      s"""WITH $T
+         |SELECT 'ts' AS "column",
+         |  round((epoch_us(TIMESTAMP '2030-01-01 00:00:00')
+         |    - max(epoch_us(ts))) / 1e6, 6) AS lag_s
+         |FROM transcripts""".stripMargin
   )
 }

@@ -71,11 +71,12 @@ object Validator {
 
   /** The stateless row-level constraint subset, compiled to Columns —
     * shared VERBATIM by the batch row-flags pass and the streaming face
-    * ([[graft.streaming.StreamingRowChecks]]): these six families read
-    * only the current row, so one compile site keeps batch and stream
-    * semantics identical by construction. Constraints outside the subset
-    * are simply not returned (callers that must refuse them compare
-    * against the input length).
+    * ([[graft.streaming.StreamingRowChecks]]): these families (NotNull /
+    * InSet / MatchesRegex / ValueBounds / TextEquals / Compliance /
+    * ParsableAs / NoPii) read only the current row, so one compile site
+    * keeps batch and stream semantics identical by construction.
+    * Constraints outside the subset are simply not returned (callers that
+    * must refuse them compare against the input length).
     */
   private[graft] def compileStateless(cs: Seq[Constraint])
       : Seq[StatelessCheck] = cs.collect {
@@ -113,6 +114,14 @@ object Validator {
         col(columnName).isNotNull &&
           expr(s"try_cast(`$columnName` AS $castTo)").isNull,
         col(columnName), s"castable to $castTo")
+    case c @ NoPii(columnName, kinds, maxRate) =>
+      // observed = the matched KIND NAMES, never the matched text (a
+      // violation sink must not replicate the PII it flags); nulls are
+      // NotNull's finding
+      val matched = graft.text.Pii.matchedKinds(col(columnName), kinds)
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        col(columnName).isNotNull && size(matched) > 0,
+        concat_ws(",", matched), s"no pii (${kinds.mkString(",")})")
   }
 
   /** One projection emitting every configured check's violation rows:
@@ -256,8 +265,14 @@ object Validator {
       .collect { case (c: Compliance, i) => (c, i) }
     val parsCs: Seq[(ParsableAs, Int)] = check.constraints.zipWithIndex
       .collect { case (c: ParsableAs, i) => (c, i) }
+    val piiCs: Seq[(NoPii, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: NoPii, i) => (c, i) }
     val corrNeeds: Seq[(String, String)] = check.constraints.collect {
       case c: CorrelationBetween => (c.x, c.y) }.distinct
+    // freshness: one max(unix_micros) per distinct column — two bounds on
+    // one column must share the alias, not collide on it
+    val staleCols: Seq[String] = check.constraints.collect {
+      case c: MaxStaleness => c.column }.distinct
 
     val aggExprs: Seq[Column] =
       Seq(count(lit(1)).as("__rows")) ++
@@ -270,6 +285,10 @@ object Validator {
         // drift from the per-row violations it summarizes
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__pars__$i") } ++
+      piiCs.map { case (c, i) =>
+        // the ONE compile site's predicate, like ParsableAs
+        count(when(compileStateless(Seq(c)).head.violated, 1))
+          .as(s"__pii__$i") } ++
       corrNeeds.flatMap { case (x, y) =>
         // r assembled DRIVER-SIDE from covar_samp and the two stddevs:
         // corr() itself divides in-plan and ANSI mode throws
@@ -284,6 +303,12 @@ object Validator {
         Seq(covar_samp(wx, wy).as(s"__corrcv__${x}__${y}"),
           stddev_samp(wx).as(s"__corrsx__${x}__${y}"),
           stddev_samp(wy).as(s"__corrsy__${x}__${y}")) } ++
+      // cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ, and
+      // the NTZ→TS cast under the engine's session tz (UTC in every main
+      // and the test base) IS the wall-clock-as-UTC convention asOfMicros
+      // uses — the Sessions.withGap idiom
+      staleCols.map(c =>
+        max(unix_micros(col(c).cast("timestamp"))).as(s"__maxts__$c")) ++
       nullCols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls__$c")) ++
       numericCols.flatMap { c => Seq(
         avg(col(c)).as(s"__mean__$c"),
@@ -379,11 +404,11 @@ object Validator {
           else col(columnName).isNull || !coalesce(in, lit(false))
         Some(RowCheck(c, columnName, violated, col(columnName),
           s"in dim $dimName.$dimCol"))
-      // the six stateless families compile through the ONE shared site
+      // the stateless families compile through the ONE shared site
       // the streaming face also uses (batch/stream semantic parity by
       // construction — see compileStateless)
       case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
-          _: TextEquals | _: Compliance | _: ParsableAs) =>
+          _: TextEquals | _: Compliance | _: ParsableAs | _: NoPii) =>
         val sc = compileStateless(Seq(c)).head
         Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
@@ -891,6 +916,37 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 11b: freshness bound (reads the fused stats row — no job) -----
+    val staleResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ MaxStaleness(columnName, _, maxLag) =>
+          val maxTs = stat(s"__maxts__$columnName")
+          // NaN max = empty table (or all-null column): no newest row, "no
+          // signal", passes — emptiness is MinRows' finding. Data newer
+          // than asOf gives a NEGATIVE lag and passes (future skew is
+          // Monotonic/Compliance's finding).
+          val lagSec: Option[Double] =
+            if (maxTs.isNaN) None
+            else Some((c.asOfMicros - maxTs) / 1e6)
+          val failed = lagSec.exists(_ > maxLag)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  lagSec.get.toString,
+                  s"lag<=${maxLag}s as of ${c.asOf}", c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, 0.0))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // ---- pass 12: entropy bound ---------------------------------------------
     // one hash aggregation per constraint (groupBy value → count, map-side
     // combined — only distinct values ride the exchange), then H = ln N −
@@ -1030,7 +1086,8 @@ object Validator {
       sequenceViolations ++ fdViolations ++ asofViolations ++
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
       dupRateResults.flatMap(_._1) ++
-      corrResults.flatMap(_._1) ++ entropyResults.flatMap(_._1) ++
+      corrResults.flatMap(_._1) ++ staleResults.flatMap(_._1) ++
+      entropyResults.flatMap(_._1) ++
       ratioResults.flatMap(_._1) ++
       miResults.flatMap(_._1) ++
       driftResults.map(_._1)).reduce(_ unionByName _)
@@ -1042,6 +1099,7 @@ object Validator {
       case NotNull(_, maxRate) => maxRate
       case Compliance(_, _, maxRate) => maxRate
       case ParsableAs(_, _, maxRate) => maxRate
+      case NoPii(_, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -1125,6 +1183,13 @@ object Validator {
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)
       } ++
+      // no_pii global rate bound, like compliance's
+      piiCs.map { case (c, i) =>
+        val fails = stat(s"__pii__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
       // schema conformance: pass iff zero mismatches (already computed,
       // driver-side, in pass 0)
       schemaResults.map { case (c, ms) =>
@@ -1153,7 +1218,8 @@ object Validator {
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
       dupRateResults.map(_._2) ++
-      corrResults.map(_._2) ++ entropyResults.map(_._2) ++
+      corrResults.map(_._2) ++ staleResults.map(_._2) ++
+      entropyResults.map(_._2) ++
       ratioResults.map(_._2) ++
       miResults.map(_._2) ++
       driftResults.map(_._2))

@@ -343,6 +343,32 @@ final case class ParsableAs(column: String, castTo: String,
   val name = s"parsable($column as $castTo)"
 }
 
+/** PII absence — the content-safety check a transcript pipeline runs
+  * before text ships anywhere: a non-null value of `column` containing any
+  * of the selected `kinds` ([[graft.text.Pii.allKinds]]: email / phone /
+  * ssn / ipv4 / Luhn-verified card) is a violation. The violation row
+  * observes the matched KIND NAMES, never the matched text — the violation
+  * sink must not become a second copy of the PII it flags. `maxFailRate >
+  * 0` turns the verdict into a rate bound while still emitting per-row
+  * violations, exactly like [[NotNull]]. Unknown kind names fail at
+  * suite-BUILD time (the ParsableAs discipline: a typo'd config must not
+  * silently weaken the battery). Scale: pure codegen'd Column composition
+  * (regex + a higher-order Luhn fold, zero UDFs) fused into the SAME
+  * stateless row-flags projection as every row check — one scan, zero
+  * extra jobs, streaming-legal.
+  */
+final case class NoPii(column: String,
+    kinds: Seq[String] = graft.text.Pii.allKinds,
+    maxFailRate: Double = 0.0)
+  extends Constraint {
+  require(kinds.nonEmpty, s"no_pii($column): empty kinds battery")
+  private val unknown = kinds.filterNot(graft.text.Pii.allKinds.contains)
+  require(unknown.isEmpty,
+    s"no_pii($column): unknown kinds ${unknown.mkString(",")} " +
+      s"(supported: ${graft.text.Pii.allKinds.mkString(",")})")
+  val name = s"no_pii($column)"
+}
+
 /** Pearson correlation bound between two numeric columns — "these two
   * measures must (or must not) move together" (a broken join or a unit
   * change upstream shows up as a correlation collapse long before value
@@ -421,6 +447,40 @@ final case class EntropyBetween(column: String, lo: Double = 0.0,
 final case class MutualInformationBetween(x: String, y: String,
     lo: Double = 0.0, hi: Double = Double.MaxValue)
   extends Constraint { val name = s"mutual_info($x,$y)" }
+
+/** Data freshness — "has this table actually been fed lately?": the lag
+  * between `asOf` (the run's logical date, an ISO-8601 wall-clock literal
+  * like "2024-03-01T06:00:00" — validated at suite BUILD, and explicit
+  * rather than wall-clock-now so a verdict is reproducible) and the
+  * newest `column` timestamp must not exceed `maxLagSeconds`. A stalled
+  * ingest is invisible to every value-level check — the rows that would
+  * fail simply never arrive; this is the check that notices. Pass iff
+  * lag ≤ bound; an empty table has no newest row and is "no signal"
+  * (MinRows' finding); data NEWER than asOf passes (future timestamps
+  * are Monotonic/Compliance findings). A failing suite emits ONE global
+  * violation row observing the measured lag in seconds. Scale: fuses
+  * max(unix_micros(column)) into the SAME one-pass global aggregation as
+  * the column stats — zero extra scans at any table size.
+  */
+final case class MaxStaleness(column: String, asOf: String,
+    maxLagSeconds: Long)
+  extends Constraint {
+  /** asOf as epoch micros (wall-clock read as UTC — the same convention
+    * unix_micros applies to a TIMESTAMP_NTZ column, so lag is
+    * tz-convention-free). Parse failure = build-time refusal.
+    */
+  val asOfMicros: Long =
+    try {
+      val ldt = java.time.LocalDateTime.parse(asOf.trim.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        ldt.getNano / 1000L
+    } catch { case e: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(
+        s"max_staleness($column): unparseable asOf '$asOf' " +
+          "(want ISO-8601, e.g. 2024-03-01T06:00:00)", e)
+    }
+  val name = s"fresh($column)"
+}
 
 /** Session-gap bound — the declarative face of [[graft.series.Sessions]]:
   * within each conversation (ordered by (ts, turn_idx) like

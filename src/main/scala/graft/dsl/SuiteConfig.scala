@@ -225,6 +225,27 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "max_staleness" =>
+        known(n, ctx, Set("type", "column", "asOf", "maxLagSeconds"))
+        // the case class validates asOf's ISO shape itself; wrap so the
+        // error carries the config context like parsable_as's does
+        try MaxStaleness(str(n, "column", ctx), str(n, "asOf", ctx),
+          lng(n, "maxLagSeconds", ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
+      case "no_pii" =>
+        known(n, ctx, Set("type", "column", "kinds", "maxFailRate"))
+        val kinds = Option(n.get("kinds")).filterNot(_.isNull)
+          .map(_ => strList(n, "kinds", ctx))
+          .getOrElse(graft.text.Pii.allKinds)
+        // the case class validates kind names itself; wrap so the error
+        // carries the config context like parsable_as's does
+        try NoPii(str(n, "column", ctx), kinds,
+          optD(n, "maxFailRate", 0.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "correlation_between" =>
         known(n, ctx, Set("type", "x", "y", "lo", "hi"))
         CorrelationBetween(str(n, "x", ctx), str(n, "y", ctx),
@@ -298,6 +319,7 @@ object SuiteConfig {
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
           "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
+          "no_pii, max_staleness, " +
           "correlation_between, entropy_between, uniqueness_between, " +
           "distinctness_between, mutual_information_between, " +
           "allowed_transitions, monotonic, no_consecutive_repeats, " +
@@ -417,6 +439,13 @@ object SuiteConfig {
       case ParsableAs(column, castTo, maxFailRate) =>
         n.put("type", "parsable_as").put("column", column)
           .put("castTo", castTo).put("maxFailRate", maxFailRate)
+      case NoPii(column, kinds, maxFailRate) =>
+        n.put("type", "no_pii").put("column", column)
+        strings("kinds", kinds)
+        n.put("maxFailRate", maxFailRate)
+      case MaxStaleness(column, asOf, maxLagSeconds) =>
+        n.put("type", "max_staleness").put("column", column)
+          .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)
       case CorrelationBetween(x, y, lo, hi) =>
         n.put("type", "correlation_between").put("x", x).put("y", y)
           .put("lo", lo).put("hi", hi)

@@ -113,6 +113,8 @@ class SuggestionsSpec extends GraftSuite {
       MaxDuplicateRate("a", 0.2, normalized = true, approx = true),
       Compliance("rule", "v >= 0", 0.1),
       ParsableAs("a", "int", 0.05),
+      NoPii("a", Seq("email", "card"), 0.02),
+      MaxStaleness("t", "2024-03-01T06:00:00", 86400),
       UniquenessBetween(Seq("a", "b"), 0.9, 1.0),
       DistinctnessBetween(Seq("a"), 0.1, 0.9),
       CorrelationBetween("v", "w", 0.5, 1.0),

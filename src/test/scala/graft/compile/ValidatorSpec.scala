@@ -821,6 +821,83 @@ class ValidatorSpec extends GraftSuite {
     assert(ex2.getMessage.contains("a int"))
   }
 
+  test("NoPii: kinds observed (never the text), nulls don't flag, rate bounds, bad kind at build") {
+    val df = Seq(
+        ("a", 0, Some("mail bob@x.io or call 212-555-0198")),
+        ("a", 1, Some("clean prose, nothing sensitive")),
+        ("b", 0, Some("card 4111111111111111 charged")), // Luhn-valid
+        ("b", 1, Some("order 4111111111111112 shipped")), // Luhn-INVALID
+        ("c", 0, None)) // null: NotNull's finding, not ours
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = Validator.validate(df, Check("pii", Seq(
+      NoPii("txt", maxFailRate = 0.25))))
+    val viol = r.violations.where(col("constraint") === "no_pii(txt)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2))).toSet
+    // observed = matched KIND NAMES in battery order — never the payload
+    assert(viol == Set(("a", 0, "email,phone"), ("b", 0, "card")), viol)
+    // per-conversation rate: a (1/2 > 0.25) fails, b fails, c (0/1) passes
+    val conv = r.verdicts.where(col("constraint") === "no_pii(txt)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(conv == Map("a" -> false, "b" -> false, "c" -> true), conv)
+    // global: 2/5 = 0.4 > 0.25 → fail with the rate observed
+    val g = r.verdicts.where(col("constraint") === "no_pii(txt)[global]")
+      .select("pass", "violations", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 2L &&
+      math.abs(g.getDouble(2) - 0.4) < 1e-12, g)
+    r.unpersistAll()
+    // a narrowed battery only fires its own kinds
+    val r2 = Validator.validate(df, Check("pii", Seq(
+      NoPii("txt", kinds = Seq("card")))))
+    val viol2 = r2.violations.where(col("constraint") === "no_pii(txt)")
+      .select("conv_id", "observed").as[(String, String)].collect().toSeq
+    assert(viol2 == Seq(("b", "card")), viol2)
+    r2.unpersistAll()
+    // a typo'd kind fails at CONSTRAINT BUILD, not mid-run
+    val ex = intercept[IllegalArgumentException](
+      NoPii("txt", kinds = Seq("email", "passport")))
+    assert(ex.getMessage.contains("passport"))
+    val ex2 = intercept[IllegalArgumentException](
+      NoPii("txt", kinds = Seq.empty))
+    assert(ex2.getMessage.contains("empty"))
+  }
+
+  test("MaxStaleness: lag vs asOf, fresh passes, empty no-signal, bad asOf at build") {
+    import java.time.LocalDateTime
+    val df = Seq(
+        ("a", 0, LocalDateTime.parse("2024-03-01T00:00:00")),
+        ("a", 1, LocalDateTime.parse("2024-03-01T05:00:00")),
+        ("b", 0, LocalDateTime.parse("2024-02-28T12:00:00")))
+      .toDF("conv_id", "turn_idx", "ts")
+    // newest row is 05:00; asOf 06:00 → lag 3600s > 600s bound → fail
+    val r = Validator.validate(df, Check("f", Seq(
+      MaxStaleness("ts", "2024-03-01T06:00:00", maxLagSeconds = 600))))
+    val v = r.violations.where(col("constraint") === "fresh(ts)")
+      .select("observed", "bound").collect()(0)
+    assert(math.abs(v.getString(0).toDouble - 3600.0) < 1e-9, v)
+    assert(v.getString(1).contains("600s"), v)
+    assert(r.verdicts.where(col("constraint") === "fresh(ts)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(false))
+    r.unpersistAll()
+    // a loose bound passes; newer-than-asOf (negative lag) also passes
+    val r2 = Validator.validate(df, Check("f", Seq(
+      MaxStaleness("ts", "2024-03-01T06:00:00", maxLagSeconds = 7200),
+      MaxStaleness("ts", "2024-02-01T00:00:00", maxLagSeconds = 1))))
+    assert(r2.verdicts.where(col("constraint") === "fresh(ts)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true, true))
+    r2.unpersistAll()
+    // empty table: no newest row, "no signal", passes (MinRows' finding)
+    val r3 = Validator.validate(df.where(lit(false)), Check("f", Seq(
+      MaxStaleness("ts", "2024-03-01T06:00:00", maxLagSeconds = 1))))
+    assert(r3.verdicts.select("pass").as[Boolean].collect().toSeq ==
+      Seq(true))
+    r3.unpersistAll()
+    // garbage asOf fails at CONSTRAINT BUILD, not mid-run
+    val ex = intercept[IllegalArgumentException](
+      MaxStaleness("ts", "yesterday-ish", 60))
+    assert(ex.getMessage.contains("yesterday-ish"))
+  }
+
   test("UniquenessBetween / DistinctnessBetween: ratio census, null exclusion, no-signal") {
     // values: a,a,b,c,null → complete rows 4; groups 3; singletons 2 (b,c)
     val df = Seq(("c1", 0, Some("a")), ("c1", 1, Some("a")),

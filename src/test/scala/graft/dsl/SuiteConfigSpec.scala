@@ -65,6 +65,11 @@ class SuiteConfigSpec extends GraftSuite {
         |     dimColumn: ref_v, maxKs: 0.2}
         |  - {type: uniqueness_between, columns: [k, o], lo: 0.95}
         |  - {type: distinctness_between, columns: [role], lo: 0.1, hi: 0.9}
+        |  - {type: no_pii, column: txt, kinds: [email, card],
+        |     maxFailRate: 0.01}
+        |  - {type: no_pii, column: txt}
+        |  - {type: max_staleness, column: t, asOf: "2024-03-01T06:00:00",
+        |     maxLagSeconds: 86400}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -115,6 +120,29 @@ class SuiteConfigSpec extends GraftSuite {
       maxKs = Some(0.2))) // maxPsi/bins default, KS leg opted in
     assert(cs(37) == UniquenessBetween(Seq("k", "o"), lo = 0.95)) // hi 1.0
     assert(cs(38) == DistinctnessBetween(Seq("role"), 0.1, 0.9))
+    assert(cs(39) == NoPii("txt", Seq("email", "card"), 0.01))
+    assert(cs(40) == NoPii("txt")) // kinds default to the full battery
+    assert(cs(41) == MaxStaleness("t", "2024-03-01T06:00:00", 86400))
+  }
+
+  test("max_staleness: a garbage asOf fails at parse time with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: max_staleness, column: t, asOf: lately, maxLagSeconds: 60}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("max_staleness") &&
+      ex.getMessage.contains("lately"))
+  }
+
+  test("no_pii: a typo'd kind fails at parse time with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: no_pii, column: txt, kinds: [email, passport]}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("no_pii") &&
+      ex.getMessage.contains("passport"))
   }
 
   test("parsable_as: a typo'd DDL type fails at parse time with context") {

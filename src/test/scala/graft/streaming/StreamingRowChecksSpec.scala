@@ -32,7 +32,8 @@ class StreamingRowChecksSpec extends GraftSuite {
     T("c1", 2, Some("robot"), Some("t_2"), Some(3.0)),
     T("c2", 0, Some("assistant"), Some("oops"), Some(-9.0)),
     T("c2", 1, Some("assistant"), Some("t_1"), None), // pred: null OR false = null
-    T("c2", 2, Some("user"), None, Some(0.5)))
+    T("c2", 2, Some("user"), None, Some(0.5)),
+    T("c3", 0, Some("user"), Some("mail me at a@b.io"), Some(1.0))) // NoPii
 
   private val check = Check("rows", Seq(
     NotNull("role"),
@@ -42,7 +43,9 @@ class StreamingRowChecksSpec extends GraftSuite {
     Compliance("v_or_user", "v >= 0 OR role = 'user'"),
     // the seventh stateless family: "oops"/"robot" don't cast, "t_N" and
     // nulls don't violate (nulls are NotNull's finding)
-    ParsableAs("role", "int", maxFailRate = 1.0)))
+    ParsableAs("role", "int", maxFailRate = 1.0),
+    // the eighth: c3's email must flag in-stream with the KIND observed
+    NoPii("text")))
 
   private type VRow = (String, String, Int, String, String, String)
 
@@ -72,7 +75,8 @@ class StreamingRowChecksSpec extends GraftSuite {
       val expected = batchRows
       // the fixture must exercise every stateless family, null-compliance
       // fails-closed included
-      assert(Set("not_null", "in_set", "matches", "bounds", "compliance")
+      assert(Set("not_null", "in_set", "matches", "bounds", "compliance",
+          "no_pii")
         .forall(k => expected.exists(_._1.startsWith(k))),
         s"weak fixture: $expected")
       assert(expected.exists(r => r._1.startsWith("compliance") && r._5 == null),
