@@ -1391,6 +1391,20 @@ object SparkEntry {
         Validator.Context())
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("lag_s"))
+    }),
+
+    // MaxNearDuplicateRate: the WHOLE minhash→LSH→verify chain as one
+    // declarative bound over the documents table (q64's operating point,
+    // where LSH recall is exact-equivalent); the oracle recomputes the
+    // rate from ITS exact all-pairs Jaccard census — engine candidates ≡
+    // exact pairs or the rates diverge and the hash check fails.
+    "q99_near_dup_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val r = Validator.validate(docs, Check("nd", Seq(
+        MaxNearDuplicateRate("text", maxRate = 0.0)),
+        keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("near_dup_rate"))
     })
   )
 
@@ -3038,6 +3052,29 @@ object SparkEntry {
          |SELECT 'ts' AS "column",
          |  round((epoch_us(TIMESTAMP '2030-01-01 00:00:00')
          |    - max(epoch_us(ts))) / 1e6, 6) AS lag_s
-         |FROM transcripts""".stripMargin
+         |FROM transcripts""".stripMargin,
+
+    // near-dup-rate twin: q64's exact shingle-Jaccard pair census without
+    // the transitive closure — rate = docs appearing in >=1 exact pair at
+    // j >= 0.7 over non-null docs
+    "q99_near_dup_rate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents
+         |  WHERE text IS NOT NULL),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
+         |    FROM d WHERE len(tk) >= 3)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |good AS (SELECT a_id, b_id
+         |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.7),
+         |ends AS (SELECT a_id AS x FROM good UNION SELECT b_id FROM good),
+         |n AS (SELECT count(*) AS n FROM d)
+         |SELECT 'text' AS "column",
+         |  round((SELECT count(*) FROM ends)::DOUBLE / (SELECT n FROM n), 6)
+         |    AS near_dup_rate""".stripMargin
   )
 }

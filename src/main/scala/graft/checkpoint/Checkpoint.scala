@@ -237,6 +237,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
            _: graft.dsl.UniquenessBetween |
            _: graft.dsl.DistinctnessBetween |
            _: graft.dsl.MaxStaleness |
+           _: graft.dsl.MaxNearDuplicateRate |
            _: graft.dsl.MaxKeyShare => true
       case fd: graft.dsl.FunctionalDependency =>
         !fd.determinant.contains(check.keyCol)

@@ -887,6 +887,59 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 10b: near-duplicate rate bound ----------------------------------
+    // the full minhash → LSH banding → exact-Jaccard-verify chain (the
+    // audited q64 shape) with the suite's (key, ord) composite as the doc
+    // id, digest-reduced map-side so the key text never rides the dedup
+    // shuffles. Rate = docs with ≥1 verified near-dup / non-null docs.
+    val nearDupResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ MaxNearDuplicateRate(columnName, maxRate, threshold,
+            shingleK, numHashes, bands, estJaccardMin) =>
+          // fixed-width md5 per component (no separator ambiguity), outer
+          // md5 for a compact 32-char id — the ratioCensusFrame discipline
+          val base = df.where(col(columnName).isNotNull)
+            .select(md5(concat(
+                md5(key.cast("string").cast("binary")),
+                md5(ord.cast("string").cast("binary"))).cast("binary"))
+                .as("__nd_id"),
+              col(columnName))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = base.count()
+          val flagged: Long = if (n == 0L) 0L else {
+            val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
+              columnName, shingleK, numHashes)
+            val cands = graft.dedup.Dedup.minhashLshCandidates(sigs,
+              "__nd_id", bands, estJaccardMin)
+            val verified = graft.dedup.Dedup.verifyJaccard(base,
+              cands.select("a_id", "b_id"), "__nd_id", columnName, shingleK,
+              threshold)
+            // endpoints of verified pairs = docs with >=1 near-duplicate
+            verified.select(col("a_id").as("__vid"))
+              .union(verified.select(col("b_id"))).distinct().count()
+          }
+          base.unpersist()
+          val rate = if (n == 0L) 0.0 else flagged.toDouble / n.toDouble
+          val failed = n > 0L && rate > maxRate
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  rate.toString, s"near_dup_rate<=$maxRate@j>=$threshold",
+                  c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          // rows = the dedup census (non-null docs), the dup-rate precedent
+          val verdictDf = Seq(("(global)", c.name, !failed, n,
+              if (failed) 1L else 0L, rate))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // ---- pass 11: correlation bound (reads the fused stats row — no job) ----
     val corrResults: Seq[(Option[DataFrame], DataFrame)] =
       check.constraints.collect {
@@ -1085,7 +1138,7 @@ object Validator {
       uniqueViolations ++ contiguousViolations ++ refViolations ++
       sequenceViolations ++ fdViolations ++ asofViolations ++
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
-      dupRateResults.flatMap(_._1) ++
+      dupRateResults.flatMap(_._1) ++ nearDupResults.flatMap(_._1) ++
       corrResults.flatMap(_._1) ++ staleResults.flatMap(_._1) ++
       entropyResults.flatMap(_._1) ++
       ratioResults.flatMap(_._1) ++
@@ -1217,7 +1270,7 @@ object Validator {
 
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
-      dupRateResults.map(_._2) ++
+      dupRateResults.map(_._2) ++ nearDupResults.map(_._2) ++
       corrResults.map(_._2) ++ staleResults.map(_._2) ++
       entropyResults.map(_._2) ++
       ratioResults.map(_._2) ++

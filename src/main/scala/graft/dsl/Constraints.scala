@@ -298,6 +298,37 @@ final case class MaxDuplicateRate(column: String, maxRate: Double = 0.0,
   val name = s"max_dup_rate($column)"
 }
 
+/** Near-duplicate rate bound — the declarative face of the FULL
+  * minhash → LSH → exact-verify pipeline ([[graft.dedup.Dedup]]): the
+  * fraction of non-null `column` values that have at least one verified
+  * near-duplicate (true shingle Jaccard ≥ `threshold` against some other
+  * row) must not exceed `maxRate`. [[MaxDuplicateRate]] sees exact/
+  * normalized copies; this sees the paraphrase-and-retry loops, templated
+  * boilerplate, and near-identical re-ingests that exact digests miss —
+  * the census a training-data pipeline runs before dedup, as a bound.
+  * One global verdict; a failing suite emits ONE global violation row
+  * observing the measured rate.
+  *
+  * Doc identity is the suite's (keyCol, orderCol) composite, reduced
+  * map-side to a fixed-width md5 digest (the ratio-census discipline —
+  * the key text never rides the dedup shuffles); duplicate (key, order)
+  * rows collapse into one doc node — exact copies are UniqueKey's /
+  * MaxDuplicateRate's finding, not this one's. Scale shape is the
+  * audited q64 chain: banded candidate joins carry ids only, signature
+  * state is O(numHashes)/doc, exact verification touches only candidate
+  * docs. Recall at the defaults (64 hashes / 32 bands, est ≥ 0.4,
+  * verify ≥ 0.7) is 1 − (1 − s²)³² — ≥ 1 − 4e-10 at s = 0.7, the
+  * operating point the q64/q99 oracles prove exact-equivalent.
+  */
+final case class MaxNearDuplicateRate(column: String, maxRate: Double = 0.0,
+    threshold: Double = 0.7, shingleK: Int = 3, numHashes: Int = 64,
+    bands: Int = 32, estJaccardMin: Double = 0.4)
+  extends Constraint {
+  require(numHashes % bands == 0,
+    s"max_near_dup_rate($column): bands=$bands must divide numHashes=$numHashes")
+  val name = s"near_dup_rate($column)"
+}
+
 /** Arbitrary-predicate compliance — the workhorse "business rule" check
   * (Deequ's `Compliance` shape): every row must satisfy `predicate`, a SQL
   * boolean expression over the table's own columns (config-expressible —

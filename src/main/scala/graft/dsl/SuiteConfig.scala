@@ -225,6 +225,17 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "max_near_duplicate_rate" =>
+        known(n, ctx, Set("type", "column", "maxRate", "threshold",
+          "shingleK", "numHashes", "bands", "estJaccardMin"))
+        // the case class validates bands|numHashes itself; wrap for context
+        try MaxNearDuplicateRate(str(n, "column", ctx),
+          optD(n, "maxRate", 0.0, ctx), optD(n, "threshold", 0.7, ctx),
+          optI(n, "shingleK", 3, ctx), optI(n, "numHashes", 64, ctx),
+          optI(n, "bands", 32, ctx), optD(n, "estJaccardMin", 0.4, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "max_staleness" =>
         known(n, ctx, Set("type", "column", "asOf", "maxLagSeconds"))
         // the case class validates asOf's ISO shape itself; wrap so the
@@ -319,7 +330,7 @@ object SuiteConfig {
           "max_key_share, robust_z, iqr_outliers, global_z, " +
           "rolling_z_drift, max_session_gap, contiguous_index, " +
           "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
-          "no_pii, max_staleness, " +
+          "no_pii, max_staleness, max_near_duplicate_rate, " +
           "correlation_between, entropy_between, uniqueness_between, " +
           "distinctness_between, mutual_information_between, " +
           "allowed_transitions, monotonic, no_consecutive_repeats, " +
@@ -446,6 +457,12 @@ object SuiteConfig {
       case MaxStaleness(column, asOf, maxLagSeconds) =>
         n.put("type", "max_staleness").put("column", column)
           .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)
+      case MaxNearDuplicateRate(column, maxRate, threshold, shingleK,
+          numHashes, bands, estJaccardMin) =>
+        n.put("type", "max_near_duplicate_rate").put("column", column)
+          .put("maxRate", maxRate).put("threshold", threshold)
+          .put("shingleK", shingleK).put("numHashes", numHashes)
+          .put("bands", bands).put("estJaccardMin", estJaccardMin)
       case CorrelationBetween(x, y, lo, hi) =>
         n.put("type", "correlation_between").put("x", x).put("y", y)
           .put("lo", lo).put("hi", hi)

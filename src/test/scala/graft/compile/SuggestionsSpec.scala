@@ -115,6 +115,7 @@ class SuggestionsSpec extends GraftSuite {
       ParsableAs("a", "int", 0.05),
       NoPii("a", Seq("email", "card"), 0.02),
       MaxStaleness("t", "2024-03-01T06:00:00", 86400),
+      MaxNearDuplicateRate("a", 0.1, 0.8, 4, 64, 16, 0.5),
       UniquenessBetween(Seq("a", "b"), 0.9, 1.0),
       DistinctnessBetween(Seq("a"), 0.1, 0.9),
       CorrelationBetween("v", "w", 0.5, 1.0),

@@ -862,6 +862,48 @@ class ValidatorSpec extends GraftSuite {
     assert(ex2.getMessage.contains("empty"))
   }
 
+  test("MaxNearDuplicateRate: verified near-dups flag, paraphrases below threshold don't") {
+    // c1/0 and c1/1 are near-dups (9 shared shingles of 9 vs 10 → j=0.9);
+    // c2/0 shares only a prefix with them (j << 0.7); c2/1 is unrelated;
+    // c3/0 is null (excluded from the census)
+    val near1 = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = near1 + " again"
+    val df = Seq(
+        ("c1", 0, Some(near1)),
+        ("c1", 1, Some(near2)),
+        ("c2", 0, Some("the quick brown cat sleeps all day long here")),
+        ("c2", 1, Some("completely different words about spark shuffles")),
+        ("c3", 0, None))
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = Validator.validate(df, Check("nd", Seq(
+      MaxNearDuplicateRate("txt", maxRate = 0.1))))
+    // 2 of 4 non-null docs have a near-dup → rate 0.5 > 0.1 → fail
+    val v = r.violations.where(col("constraint") === "near_dup_rate(txt)")
+      .select("observed", "bound").collect()(0)
+    assert(math.abs(v.getString(0).toDouble - 0.5) < 1e-12, v)
+    val g = r.verdicts.where(col("constraint") === "near_dup_rate(txt)")
+      .select("pass", "rows", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 4L &&
+      math.abs(g.getDouble(2) - 0.5) < 1e-12, g)
+    r.unpersistAll()
+    // raising the Jaccard threshold above the pair's 0.9 empties the census
+    val r2 = Validator.validate(df, Check("nd", Seq(
+      MaxNearDuplicateRate("txt", maxRate = 0.0, threshold = 0.95))))
+    assert(r2.verdicts.select("pass").as[Boolean].collect().toSeq ==
+      Seq(true))
+    r2.unpersistAll()
+    // empty census (all-null column) is "no signal" and passes
+    val r3 = Validator.validate(df.where(col("txt").isNull), Check("nd", Seq(
+      MaxNearDuplicateRate("txt"))))
+    assert(r3.verdicts.select("pass").as[Boolean].collect().toSeq ==
+      Seq(true))
+    r3.unpersistAll()
+    // a bands/numHashes mismatch refuses at CONSTRAINT BUILD
+    val ex = intercept[IllegalArgumentException](
+      MaxNearDuplicateRate("txt", numHashes = 64, bands = 48))
+    assert(ex.getMessage.contains("48"))
+  }
+
   test("MaxStaleness: lag vs asOf, fresh passes, empty no-signal, bad asOf at build") {
     import java.time.LocalDateTime
     val df = Seq(

@@ -70,6 +70,9 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: no_pii, column: txt}
         |  - {type: max_staleness, column: t, asOf: "2024-03-01T06:00:00",
         |     maxLagSeconds: 86400}
+        |  - {type: max_near_duplicate_rate, column: txt, maxRate: 0.02,
+        |     threshold: 0.8, bands: 16}
+        |  - {type: max_near_duplicate_rate, column: txt}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -123,6 +126,19 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(39) == NoPii("txt", Seq("email", "card"), 0.01))
     assert(cs(40) == NoPii("txt")) // kinds default to the full battery
     assert(cs(41) == MaxStaleness("t", "2024-03-01T06:00:00", 86400))
+    assert(cs(42) == MaxNearDuplicateRate("txt", 0.02, threshold = 0.8,
+      bands = 16))
+    assert(cs(43) == MaxNearDuplicateRate("txt")) // defaults: q64's point
+  }
+
+  test("max_near_duplicate_rate: bands not dividing numHashes fails at parse") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: max_near_duplicate_rate, column: txt, bands: 48}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("max_near_duplicate_rate") &&
+      ex.getMessage.contains("48"))
   }
 
   test("max_staleness: a garbage asOf fails at parse time with context") {
