@@ -905,7 +905,11 @@ object Validator {
                 .as("__nd_id"),
               col(columnName))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val n = base.count()
+          // census = distinct doc NODES: duplicate (key, ord) rows collapse
+          // into one node everywhere in the chain (signatures union their
+          // shingles), so the denominator must collapse them too or the
+          // rate deflates under exact-dup keys
+          val n = base.select("__nd_id").distinct().count()
           val flagged: Long = if (n == 0L) 0L else {
             val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
               columnName, shingleK, numHashes)

@@ -326,6 +326,11 @@ final case class MaxNearDuplicateRate(column: String, maxRate: Double = 0.0,
   extends Constraint {
   require(numHashes % bands == 0,
     s"max_near_dup_rate($column): bands=$bands must divide numHashes=$numHashes")
+  // pruning candidates ABOVE the verify bar silently loses recall even
+  // under perfect estimation — the pre-filter must sit at or below it
+  require(estJaccardMin <= threshold,
+    s"max_near_dup_rate($column): estJaccardMin=$estJaccardMin must not " +
+      s"exceed threshold=$threshold (candidates pruned above the verify bar)")
   val name = s"near_dup_rate($column)"
 }
 

@@ -902,6 +902,32 @@ class ValidatorSpec extends GraftSuite {
     val ex = intercept[IllegalArgumentException](
       MaxNearDuplicateRate("txt", numHashes = 64, bands = 48))
     assert(ex.getMessage.contains("48"))
+    // pruning candidates above the verify bar refuses at BUILD too
+    val ex2 = intercept[IllegalArgumentException](
+      MaxNearDuplicateRate("txt", threshold = 0.3, estJaccardMin = 0.4))
+    assert(ex2.getMessage.contains("estJaccardMin"))
+  }
+
+  test("MaxNearDuplicateRate: duplicate (key, ord) rows collapse into one doc node") {
+    val near1 = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = near1 + " again"
+    // (c2, 1) appears TWICE with identical text: one doc node, so the
+    // census stays 4 and the rate stays 0.5 — exact copies are
+    // UniqueKey's / MaxDuplicateRate's finding, not this one's
+    val df = Seq(
+        ("c1", 0, near1),
+        ("c1", 1, near2),
+        ("c2", 0, "the quick brown cat sleeps all day long here"),
+        ("c2", 1, "completely different words about spark shuffles"),
+        ("c2", 1, "completely different words about spark shuffles"))
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = Validator.validate(df, Check("nd", Seq(
+      MaxNearDuplicateRate("txt", maxRate = 0.1))))
+    val g = r.verdicts.where(col("constraint") === "near_dup_rate(txt)")
+      .select("pass", "rows", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 4L &&
+      math.abs(g.getDouble(2) - 0.5) < 1e-12, g)
+    r.unpersistAll()
   }
 
   test("MaxStaleness: lag vs asOf, fresh passes, empty no-signal, bad asOf at build") {
