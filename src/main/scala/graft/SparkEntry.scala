@@ -1430,6 +1430,30 @@ object SparkEntry {
   private val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
 
+  /** The exact 3-token-shingle Jaccard pair census — the d / sh / sz /
+    * pairs / good CTE chain shared by the q40 / q64 / q99 oracles. ONE
+    * copy: a change to shingle semantics edited here re-twins all three
+    * at once instead of silently desynchronizing hand-kept duplicates.
+    * `docFilter` narrows the doc census (q99 bounds its rate to non-null
+    * docs, mirroring the engine pass's isNotNull pre-filter); `sh`
+    * DISTINCTs (doc_id, shingle) — the same set-union doc collapse the
+    * engine's minhashSignatures and verifyJaccard apply.
+    */
+  private def shingleCensusSql(docFilter: String = "",
+      threshold: Double = 0.7): String =
+    s"""d AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents$docFilter),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+       |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
+       |    FROM d WHERE len(tk) >= 3)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
+       |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |good AS (SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= $threshold)""".stripMargin
+
   /** SQL twin of the classical decomposition CTE chain (period 24). */
   private val decompSql =
     """series AS (
@@ -1863,17 +1887,8 @@ object SparkEntry {
     // Exact all-pairs 3-token-shingle Jaccard >= 0.7 — the minhash-LSH +
     // exact-verify pipeline must reproduce this set (miss prob ~4e-10).
     "q40_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
-         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
-         |    FROM d WHERE len(tk) >= 3)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
-         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-         |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.7""".stripMargin,
+      s"""WITH ${shingleCensusSql()}
+         |SELECT a_id, b_id, jaccard FROM good""".stripMargin,
 
     // Finite-window adjusted EWM (cap 138 = the engine's 1e-12 truncation
     // bound for span 10), replayed per row over the trailing value list in
@@ -2401,18 +2416,7 @@ object SparkEntry {
 
     // q40's exact >=0.7 pair twin, transitively closed over all docs
     "q64_dup_groups" ->
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
-         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
-         |    FROM d WHERE len(tk) >= 3)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
-         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |good AS (SELECT a_id, b_id
-         |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.7),
+      s"""WITH RECURSIVE ${shingleCensusSql()},
          |edges AS (SELECT a_id AS a, b_id AS b FROM good
          |  UNION ALL SELECT b_id, a_id FROM good),
          |reach(a, b) AS (
@@ -3056,23 +3060,13 @@ object SparkEntry {
 
     // near-dup-rate twin: q64's exact shingle-Jaccard pair census without
     // the transitive closure — rate = docs appearing in >=1 exact pair at
-    // j >= 0.7 over non-null docs
+    // j >= 0.7 over non-null doc NODES (count DISTINCT doc_id: the engine
+    // census counts distinct (key, ord) nodes, so the twin must collapse
+    // duplicate keys the same way or the rates diverge under dup rows)
     "q99_near_dup_rate" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents
-         |  WHERE text IS NOT NULL),
-         |sh AS (SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
-         |      i -> concat_ws(' ', tk[i+1], tk[i+2], tk[i+3]))) AS sh
-         |    FROM d WHERE len(tk) >= 3)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::DOUBLE AS inter
-         |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         |good AS (SELECT a_id, b_id
-         |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-         |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.7),
+      s"""WITH ${shingleCensusSql(" WHERE text IS NOT NULL")},
          |ends AS (SELECT a_id AS x FROM good UNION SELECT b_id FROM good),
-         |n AS (SELECT count(*) AS n FROM d)
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM d)
          |SELECT 'text' AS "column",
          |  round((SELECT count(*) FROM ends)::DOUBLE / (SELECT n FROM n), 6)
          |    AS near_dup_rate""".stripMargin

@@ -303,10 +303,11 @@ object Validator {
         Seq(covar_samp(wx, wy).as(s"__corrcv__${x}__${y}"),
           stddev_samp(wx).as(s"__corrsx__${x}__${y}"),
           stddev_samp(wy).as(s"__corrsy__${x}__${y}")) } ++
-      // cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ, and
-      // the NTZ→TS cast under the engine's session tz (UTC in every main
-      // and the test base) IS the wall-clock-as-UTC convention asOfMicros
-      // uses — the Sessions.withGap idiom
+      // cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ; the
+      // NTZ→TS cast applies the SESSION tz, and pass 11b interprets asOf
+      // in that same zone, so the offset cancels and lag is the plain
+      // wall-clock difference in any session zone — the Sessions.withGap
+      // idiom
       staleCols.map(c =>
         max(unix_micros(col(c).cast("timestamp"))).as(s"__maxts__$c")) ++
       nullCols.map(c => count(when(col(c).isNull, 1)).as(s"__nulls__$c")) ++
@@ -906,22 +907,30 @@ object Validator {
               col(columnName))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // census = distinct doc NODES: duplicate (key, ord) rows collapse
-          // into one node everywhere in the chain (signatures union their
-          // shingles), so the denominator must collapse them too or the
+          // into one node everywhere in the chain (signatures AND the
+          // exact verifier both take the shingle-set UNION over a node's
+          // rows), so the denominator must collapse them too or the
           // rate deflates under exact-dup keys
           val n = base.select("__nd_id").distinct().count()
+          // the dedup helpers persist their internal frames (signatures,
+          // banded pairs, candidate shingles) for the chain's duration;
+          // collect them so THIS pass can honor the Result.cached
+          // contract — every count below is materialized eagerly, so all
+          // of them release right here rather than riding Result.cached
+          val chainCached = scala.collection.mutable.Buffer.empty[DataFrame]
           val flagged: Long = if (n == 0L) 0L else {
             val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
               columnName, shingleK, numHashes)
             val cands = graft.dedup.Dedup.minhashLshCandidates(sigs,
-              "__nd_id", bands, estJaccardMin)
+              "__nd_id", bands, estJaccardMin, chainCached += _)
             val verified = graft.dedup.Dedup.verifyJaccard(base,
               cands.select("a_id", "b_id"), "__nd_id", columnName, shingleK,
-              threshold)
+              threshold, chainCached += _)
             // endpoints of verified pairs = docs with >=1 near-duplicate
             verified.select(col("a_id").as("__vid"))
               .union(verified.select(col("b_id"))).distinct().count()
           }
+          chainCached.foreach(_.unpersist())
           base.unpersist()
           val rate = if (n == 0L) 0.0 else flagged.toDouble / n.toDouble
           val failed = n > 0L && rate > maxRate
@@ -981,10 +990,14 @@ object Validator {
           // NaN max = empty table (or all-null column): no newest row, "no
           // signal", passes — emptiness is MinRows' finding. Data newer
           // than asOf gives a NEGATIVE lag and passes (future skew is
-          // Monotonic/Compliance's finding).
+          // Monotonic/Compliance's finding). asOf is read in the SESSION
+          // zone — the zone the NTZ→TS cast in the fused agg applied — so
+          // the offset cancels and lag is wall-clock-true in any zone.
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
           val lagSec: Option[Double] =
             if (maxTs.isNaN) None
-            else Some((c.asOfMicros - maxTs) / 1e6)
+            else Some((c.asOfMicrosIn(zone) - maxTs) / 1e6)
           val failed = lagSec.exists(_ > maxLag)
           val violationDf: Option[DataFrame] =
             if (!failed) None

@@ -170,15 +170,21 @@ object ConnectedComponents {
     * signature prefilter, which is what actually bounds candidate volume.
     * Verification then makes precision exact, so recall of the banding is
     * the ONLY approximation in the whole pipeline.
+    *
+    * `track` observes every DataFrame the composed stages persist (see
+    * [[graft.dedup.Dedup.verifyJaccard]]) — long-running callers pass a
+    * collector and unpersist once the returned frame is materialized.
     */
   def dupGroups(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      estJaccardMin: Double = 0.4, threshold: Double = 0.7): DataFrame = {
+      estJaccardMin: Double = 0.4, threshold: Double = 0.7,
+      track: DataFrame => Unit = _ => ()): DataFrame = {
     requireIntegralId(df, idCol, "dupGroups")
     val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin)
+    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin,
+      track)
     val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),
-      idCol, textCol, shingleK, threshold)
+      idCol, textCol, shingleK, threshold, track)
     val comp = assign(df.select(idCol), idCol, verified, "a_id", "b_id")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_size"))
     comp.join(sizes, "component")

@@ -129,11 +129,14 @@ object Dedup {
     * and tripled the query wall). Signature state is O(numHashes)/doc —
     * at 10^12 turns this is the doc-count × ~0.5 KB, storage-level
     * MEMORY_AND_DISK spills the tail. The tiny id-only pair set is
-    * persisted for the same reason (3 consumers downstream).
+    * persisted for the same reason (3 consumers downstream). `track`
+    * observes every DataFrame this call persists — see [[verifyJaccard]].
     */
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
-      bands: Int, estJaccardMin: Double = 0.5): DataFrame = {
-    signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands: Int, estJaccardMin: Double = 0.5,
+      track: DataFrame => Unit = _ => ()): DataFrame = {
+    track(signatures
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // a non-divisor bands silently misaligns the slice offsets (fractional
     // starts truncate) and leaves tail positions uncovered by any band —
     // the recall guarantee degrades with no error. 1-row probe, persisted.
@@ -154,6 +157,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(pairs)
     val matches = aggregate(zip_with(col("sig_a"), col("sig_b"),
       (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
     pairs
@@ -241,25 +245,39 @@ object Dedup {
     * of the production minhash→LSH→verify pipeline): recompute the TRUE
     * shingle Jaccard for each candidate pair and keep pairs >= threshold.
     *
+    * Doc identity is SET-valued: duplicate `idCol` rows collapse into one
+    * doc whose shingle set is the UNION over its rows — the same collapse
+    * [[minhashSignatures]] applies (min over the union), so estimate and
+    * verification agree on what a "doc" is. Without the distinct, a doc
+    * duplicated m times would carry m× sizes and intersections and its
+    * verified Jaccard would inflate above the true set value.
+    *
     * Scale shape: shingles are materialized only for docs that appear in
     * at least one candidate pair (semi-join pushdown), the intersection
     * count is an id-keyed equi-join on (doc, shingle) — never all-pairs —
     * and candidate sets are tiny relative to the corpus by construction.
+    *
+    * `track` observes every DataFrame this call persists (callers that
+    * must honor an unpersist contract — Validator's near-dup pass —
+    * collect and release them once their counts are materialized).
     */
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+      textCol: String, shingleK: Int = 3, threshold: Double = 0.7,
+      track: DataFrame => Unit = _ => ()): DataFrame = {
     // `pairs` feeds 3 consumers (id semi-join, intersection, final base)
     // and the candidate-doc shingles feed 2 (intersection both sides) —
     // persist both so the upstream plans run once; both are bounded by
     // the candidate set, not the corpus
-    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = pairs.select(col("a_id").as("__vid"))
       .union(pairs.select(col("b_id"))).distinct()
     val sh = df.join(ids, col(idCol) === col("__vid"))
       .select(col(idCol),
         explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK)))
           .as("sh"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(sh)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col(idCol).as("a_id"), col("sh")), Seq("a_id"))

@@ -497,24 +497,38 @@ final case class MutualInformationBetween(x: String, y: String,
   * violation row observing the measured lag in seconds. Scale: fuses
   * max(unix_micros(column)) into the SAME one-pass global aggregation as
   * the column stats — zero extra scans at any table size.
+  *
+  * Timezone convention: `asOf` is interpreted in the SESSION timezone
+  * (`spark.sql.session.timeZone` — UTC in every graft main), the same
+  * zone Spark applies when casting a TIMESTAMP_NTZ wall-clock to an
+  * instant, so for NTZ columns the offset cancels and lag is the plain
+  * wall-clock difference in ANY session zone (within a DST transition
+  * straddling asOf and the newest row, lag shifts by the DST delta —
+  * pick a fixed-offset session zone if that hour matters). Pinning asOf
+  * to UTC instead would skew NTZ lag by the session offset — a
+  * Tokyo-session consumer would see a spurious 9 h of staleness.
   */
 final case class MaxStaleness(column: String, asOf: String,
     maxLagSeconds: Long)
   extends Constraint {
-  /** asOf as epoch micros (wall-clock read as UTC — the same convention
-    * unix_micros applies to a TIMESTAMP_NTZ column, so lag is
-    * tz-convention-free). Parse failure = build-time refusal.
+  /** asOf parsed at BUILD time (a typo'd config must refuse before any
+    * job runs, the ParsableAs discipline).
     */
-  val asOfMicros: Long =
-    try {
-      val ldt = java.time.LocalDateTime.parse(asOf.trim.replace(' ', 'T'))
-      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-        ldt.getNano / 1000L
-    } catch { case e: java.time.format.DateTimeParseException =>
+  val asOfLocal: java.time.LocalDateTime =
+    try java.time.LocalDateTime.parse(asOf.trim.replace(' ', 'T'))
+    catch { case e: java.time.format.DateTimeParseException =>
       throw new IllegalArgumentException(
         s"max_staleness($column): unparseable asOf '$asOf' " +
           "(want ISO-8601, e.g. 2024-03-01T06:00:00)", e)
     }
+  /** asOf as epoch micros in `zone` — the Validator passes the session
+    * timezone so the comparison against max(unix_micros(cast)) is
+    * zone-consistent by construction.
+    */
+  def asOfMicrosIn(zone: java.time.ZoneId): Long = {
+    val inst = asOfLocal.atZone(zone).toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
   val name = s"fresh($column)"
 }
 

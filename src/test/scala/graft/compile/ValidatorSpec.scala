@@ -921,6 +921,7 @@ class ValidatorSpec extends GraftSuite {
         ("c2", 1, "completely different words about spark shuffles"),
         ("c2", 1, "completely different words about spark shuffles"))
       .toDF("conv_id", "turn_idx", "txt")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r = Validator.validate(df, Check("nd", Seq(
       MaxNearDuplicateRate("txt", maxRate = 0.1))))
     val g = r.verdicts.where(col("constraint") === "near_dup_rate(txt)")
@@ -928,6 +929,11 @@ class ValidatorSpec extends GraftSuite {
     assert(!g.getBoolean(0) && g.getLong(1) == 4L &&
       math.abs(g.getDouble(2) - 0.5) < 1e-12, g)
     r.unpersistAll()
+    // the dedup chain's internal persists (signatures, banded pairs,
+    // candidate shingles) must not outlive the run — the Result.cached
+    // contract holds even though the chain caches behind the pass's back
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"near-dup pass leaked persisted RDDs: $leaked")
   }
 
   test("MaxStaleness: lag vs asOf, fresh passes, empty no-signal, bad asOf at build") {
@@ -964,6 +970,32 @@ class ValidatorSpec extends GraftSuite {
     val ex = intercept[IllegalArgumentException](
       MaxStaleness("ts", "yesterday-ish", 60))
     assert(ex.getMessage.contains("yesterday-ish"))
+  }
+
+  test("MaxStaleness: lag is wall-clock-true under a non-UTC session timezone") {
+    import java.time.LocalDateTime
+    // asOf is interpreted in the SESSION zone — the same zone the NTZ→TS
+    // cast applies to the column — so the offset cancels: a Tokyo-session
+    // consumer must see the same 3600 s wall-clock lag as a UTC one, not
+    // a spurious extra 9 h (the old UTC-pinned asOf did exactly that)
+    val df = Seq(
+        ("a", 0, LocalDateTime.parse("2024-03-01T05:00:00")),
+        ("b", 0, LocalDateTime.parse("2024-02-28T12:00:00")))
+      .toDF("conv_id", "turn_idx", "ts")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val r = Validator.validate(df, Check("f", Seq(
+        MaxStaleness("ts", "2024-03-01T06:00:00", maxLagSeconds = 600),
+        MaxStaleness("ts", "2024-03-01T06:00:00", maxLagSeconds = 7200))))
+      val v = r.violations.where(col("constraint") === "fresh(ts)")
+        .select("observed").collect()
+      assert(v.length == 1 &&
+        math.abs(v(0).getString(0).toDouble - 3600.0) < 1e-9, v.toSeq)
+      assert(r.verdicts.where(col("constraint") === "fresh(ts)")
+        .select("pass").as[Boolean].collect().toSeq == Seq(false, true))
+      r.unpersistAll()
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("UniquenessBetween / DistinctnessBetween: ratio census, null exclusion, no-signal") {

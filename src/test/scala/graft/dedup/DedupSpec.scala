@@ -149,6 +149,38 @@ class DedupSpec extends GraftSuite {
       s"sizes must use the same filtered shingles as the intersection: ${got.toSeq}")
   }
 
+  test("verifyJaccard: duplicate id rows collapse to the shingle-set union") {
+    // doc 1 appears TWICE with the same text: one doc whose shingle set is
+    // the union over its rows. 10-token texts → 8 shingles each; 4 shared
+    // ("a b c".."d e f") → true j = 4 / (8 + 8 − 4) = 1/3. Before the
+    // (doc, shingle) distinct, the duplicate doubled doc 1's size and the
+    // intersection: j = 8 / (16 + 8 − 8) = 0.5 — inflated above truth.
+    val dup = Seq(
+        (1L, "a b c d e f g h i j"),
+        (1L, "a b c d e f g h i j"),
+        (2L, "a b c d e f q r s t"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val j = Dedup.verifyJaccard(dup, pairs, "doc_id", "text", shingleK = 3,
+      threshold = 0.0).select("jaccard").as[Double].collect()
+    assert(j.length == 1 && math.abs(j(0) - 1.0 / 3.0) < 1e-12, j.toSeq)
+  }
+
+  test("verifyJaccard/minhashLshCandidates: track observes every persisted frame") {
+    val pairs = Seq((1L, 3L)).toDF("a_id", "b_id")
+    val tracked = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    Dedup.minhashLshCandidates(sigs, "doc_id", bands = 16,
+      estJaccardMin = 0.4, track = tracked += _).count()
+    Dedup.verifyJaccard(docs, pairs, "doc_id", "text", track = tracked += _)
+      .count()
+    // candidates persist signatures + the id pair set; verify persists
+    // its pair arg + the candidate shingles — all four must be released
+    // by a caller honoring an unpersist contract
+    assert(tracked.size == 4, s"tracked ${tracked.size}")
+    tracked.foreach(_.unpersist())
+  }
+
   test("scales: dedup families run on the documents testdata") {
     val d = spark.read.parquet(s"$sfTiny/documents.parquet")
     assert(Dedup.exactDuplicates(d, "doc_id", "text").count() >= 0)
