@@ -1405,6 +1405,36 @@ object SparkEntry {
         keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("near_dup_rate"))
+    }),
+
+    // MinTextQuality: q34's score formula as a declarative row-level
+    // bound over the documents table — violations observe the SCORE, not
+    // the text; the oracle replays the identical feature CTEs + the same
+    // deterministic floor-half-up rounding and filters at the same bar
+    "q100_quality_violations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val r = Validator.validate(docs, Check("q", Seq(
+        MinTextQuality("text", minScore = 0.6)),
+        keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
+      // row-check violations carry the suite key as conv_id (stringified
+      // doc_id here) — cast back to the oracle's BIGINT doc id
+      r.violations.select(col("conv_id").cast("bigint").as("doc_id"),
+        col("observed").cast("double").as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // LanguageShare: q33's langId as a declarative mix bound — the en
+    // share of the documents fixture (~0.91) sits below the 0.95 floor,
+    // so the verdict fails and observes the measured share; the oracle
+    // recomputes the share from ITS lang_pred chain and emits the row
+    // under the SAME condition (conditional twin — parity at any SF)
+    "q101_language_share" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val r = Validator.validate(docs, Check("l", Seq(
+        LanguageShare("text", "en", lo = 0.95)),
+        keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("en_share"))
     })
   )
 
@@ -1439,8 +1469,7 @@ object SparkEntry {
     * DISTINCTs (doc_id, shingle) — the same set-union doc collapse the
     * engine's minhashSignatures and verifyJaccard apply.
     */
-  private def shingleCensusSql(docFilter: String = "",
-      threshold: Double = 0.7): String =
+  private def shingleCensusSql(docFilter: String = ""): String =
     s"""d AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents$docFilter),
        |sh AS (SELECT DISTINCT doc_id, sh FROM (
@@ -1452,7 +1481,63 @@ object SparkEntry {
        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
        |good AS (SELECT a_id, b_id, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
        |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-       |  WHERE inter / (sa.sz + sb.sz - inter) >= $threshold)""".stripMargin
+       |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.7)""".stripMargin
+
+  /** langId's SQL twin — the toks / h / b / pred CTE chain ending in a
+    * per-doc `lang_pred`, shared by the q33 and q101 oracles (ONE copy of
+    * the marker sets and the tie-break order, like [[shingleCensusSql]]).
+    */
+  private def langPredSql(docFilter: String = ""): String =
+    s"""toks AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents$docFilter),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
+       |  len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','sich','auf'))) AS h_de,
+       |  len(list_filter(tk, t -> t IN ('el','la','los','y','es','un','una','en','que','por'))) AS h_es,
+       |  len(list_filter(tk, t -> t IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS h_fr
+       |  FROM toks),
+       |b AS (SELECT doc_id, h_en, h_de, h_es, h_fr,
+       |  greatest(h_en, h_de, h_es, h_fr) AS best FROM h),
+       |pred AS (SELECT doc_id,
+       |  CASE WHEN h_en > 0 AND h_en = best THEN 'en'
+       |       WHEN h_de > 0 AND h_de = best THEN 'de'
+       |       WHEN h_es > 0 AND h_es = best THEN 'es'
+       |       WHEN h_fr > 0 AND h_fr = best THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |  FROM b)""".stripMargin
+
+  /** Quality-feature CTE chain (f raw counts → g ratios), shared by the
+    * q34 and q100 oracles.
+    */
+  private def qualityFgSql(docFilter: String = ""): String =
+    s"""f AS (SELECT doc_id, text,
+       |    length(text) AS n_chars,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens,
+       |    length(regexp_replace(text, '[\\p{L}0-9\\s]', '', 'g'))::DOUBLE AS punct_n,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit_n,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_n
+       |  FROM documents$docFilter),
+       |g AS (SELECT doc_id, n_chars, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / n_tokens END AS mean_token_len,
+       |    CASE WHEN n_chars > 0 THEN punct_n / n_chars ELSE 0 END AS punct_ratio,
+       |    CASE WHEN n_chars > 0 THEN digit_n / n_chars ELSE 0 END AS digit_ratio,
+       |    CASE WHEN n_tokens > 0 THEN stop_n / n_tokens ELSE 0 END AS stopword_ratio
+       |  FROM f)""".stripMargin
+
+  /** The quality-score expression over `g`'s columns — ONE SQL copy of
+    * TextAnalysis.qualityScoreCol's formula. floor(x*1e6+0.5)/1e6 =
+    * deterministic half-up (scores land exactly on round()
+    * half-boundaries, where engine round() semantics diverge).
+    */
+  private val qualityScoreSqlExpr: String =
+    """floor(greatest(0.0, least(1.0,
+      |    least(coalesce(n_tokens, 0) / 64.0, 1.0) * 0.3 +
+      |    coalesce(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0), 0.0) * 0.3 +
+      |    least(stopword_ratio * 5.0, 1.0) * 0.2 +
+      |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)) * 1e6 + 0.5) / 1e6""".stripMargin
 
   /** SQL twin of the classical decomposition CTE chain (period 24). */
   private val decompSql =
@@ -1779,52 +1864,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q33_lang_id" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
-        |h AS (SELECT doc_id,
-        |  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS h_en,
-        |  len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','sich','auf'))) AS h_de,
-        |  len(list_filter(tk, t -> t IN ('el','la','los','y','es','un','una','en','que','por'))) AS h_es,
-        |  len(list_filter(tk, t -> t IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS h_fr
-        |  FROM toks),
-        |b AS (SELECT doc_id, h_en, h_de, h_es, h_fr,
-        |  greatest(h_en, h_de, h_es, h_fr) AS best FROM h)
-        |SELECT doc_id,
-        |  CASE WHEN h_en > 0 AND h_en = best THEN 'en'
-        |       WHEN h_de > 0 AND h_de = best THEN 'de'
-        |       WHEN h_es > 0 AND h_es = best THEN 'es'
-        |       WHEN h_fr > 0 AND h_fr = best THEN 'fr'
-        |       ELSE 'und' END AS lang_pred
-        |FROM b""".stripMargin,
+      s"""WITH ${langPredSql()}
+         |SELECT doc_id, lang_pred FROM pred""".stripMargin,
 
     "q34_quality" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    length(text) AS n_chars,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
-        |    length(regexp_replace(text, '[\p{L}0-9\s]', '', 'g'))::DOUBLE AS punct_n,
-        |    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digit_n,
-        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |      t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE AS stop_n
-        |  FROM documents),
-        |g AS (SELECT doc_id, n_chars, n_tokens,
-        |    CASE WHEN n_tokens > 0 THEN length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / n_tokens END AS mean_token_len,
-        |    CASE WHEN n_chars > 0 THEN punct_n / n_chars ELSE 0 END AS punct_ratio,
-        |    CASE WHEN n_chars > 0 THEN digit_n / n_chars ELSE 0 END AS digit_ratio,
-        |    CASE WHEN n_tokens > 0 THEN stop_n / n_tokens ELSE 0 END AS stopword_ratio
-        |  FROM f)
-        |SELECT doc_id, n_chars, n_tokens,
-        |  round(mean_token_len, 6) AS mean_token_len,
-        |  round(punct_ratio, 6) AS punct_ratio,
-        |  round(digit_ratio, 6) AS digit_ratio,
-        |  round(stopword_ratio, 6) AS stopword_ratio,
-        |  -- floor(x*1e6+0.5)/1e6 = deterministic half-up (scores land exactly
-        |  -- on round() half-boundaries, where engine round() semantics diverge)
-        |  floor(greatest(0.0, least(1.0,
-        |    least(coalesce(n_tokens, 0) / 64.0, 1.0) * 0.3 +
-        |    coalesce(1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0), 0.0) * 0.3 +
-        |    least(stopword_ratio * 5.0, 1.0) * 0.2 +
-        |    (1.0 - least(punct_ratio * 3.0 + digit_ratio * 2.0, 1.0)) * 0.2)) * 1e6 + 0.5) / 1e6 AS quality_score
-        |FROM g""".stripMargin,
+      s"""WITH ${qualityFgSql()}
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(mean_token_len, 6) AS mean_token_len,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(digit_ratio, 6) AS digit_ratio,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  $qualityScoreSqlExpr AS quality_score
+         |FROM g""".stripMargin,
 
     "q35_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents WHERE doc_id < 60),
@@ -3069,6 +3120,26 @@ object SparkEntry {
          |n AS (SELECT count(DISTINCT doc_id) AS n FROM d)
          |SELECT 'text' AS "column",
          |  round((SELECT count(*) FROM ends)::DOUBLE / (SELECT n FROM n), 6)
-         |    AS near_dup_rate""".stripMargin
+         |    AS near_dup_rate""".stripMargin,
+
+    // min_quality twin: q34's shared feature CTEs + the identical
+    // floor-half-up score, filtered at the same bar the engine's row
+    // check uses (non-null text only — null content is NotNull's finding)
+    "q100_quality_violations" ->
+      s"""WITH ${qualityFgSql(" WHERE text IS NOT NULL")},
+         |s AS (SELECT doc_id, $qualityScoreSqlExpr AS quality_score FROM g)
+         |SELECT doc_id, quality_score FROM s WHERE quality_score < 0.6
+         |ORDER BY doc_id""".stripMargin,
+
+    // language-share twin: q33's shared lang_pred chain aggregated to the
+    // en share over non-null docs, emitted under the SAME failure
+    // condition as the engine verdict (conditional twin — parity at any
+    // scale factor, not just the one where the fixture's share is known)
+    "q101_language_share" ->
+      s"""WITH ${langPredSql(" WHERE text IS NOT NULL")},
+         |sh AS (SELECT count(CASE WHEN lang_pred = 'en' THEN 1 END)::DOUBLE
+         |    / count(*) AS share FROM pred)
+         |SELECT 'text' AS "column", round(share, 6) AS en_share
+         |FROM sh WHERE share < 0.95""".stripMargin
   )
 }

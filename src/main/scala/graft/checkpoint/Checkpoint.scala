@@ -206,7 +206,8 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
   private def requireDistinctRateNames(check: Check): Unit = {
     val rateNames = check.constraints.collect {
       case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
-          _: graft.dsl.ParsableAs | _: graft.dsl.NoPii) => c.name
+          _: graft.dsl.ParsableAs | _: graft.dsl.NoPii |
+          _: graft.dsl.MinTextQuality) => c.name
     }
     val dups = rateNames.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n }
@@ -238,6 +239,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
            _: graft.dsl.DistinctnessBetween |
            _: graft.dsl.MaxStaleness |
            _: graft.dsl.MaxNearDuplicateRate |
+           _: graft.dsl.LanguageShare |
            _: graft.dsl.MaxKeyShare => true
       case fd: graft.dsl.FunctionalDependency =>
         !fd.determinant.contains(check.keyCol)
@@ -307,6 +309,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case c @ graft.dsl.Compliance(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.ParsableAs(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.NoPii(_, _, r) => s"${c.name}[global]" -> r
+      case c @ graft.dsl.MinTextQuality(_, _, r) => s"${c.name}[global]" -> r
     }.toMap
     val rateKeys = rateBounds.keys.toSeq
     val verdicts = if (rateKeys.isEmpty) sliceVerdicts else {

@@ -73,8 +73,9 @@ object Validator {
     * shared VERBATIM by the batch row-flags pass and the streaming face
     * ([[graft.streaming.StreamingRowChecks]]): these families (NotNull /
     * InSet / MatchesRegex / ValueBounds / TextEquals / Compliance /
-    * ParsableAs / NoPii) read only the current row, so one compile site
-    * keeps batch and stream semantics identical by construction.
+    * ParsableAs / NoPii / MinTextQuality) read only the current row, so
+    * one compile site keeps batch and stream semantics identical by
+    * construction.
     * Constraints outside the subset are simply not returned (callers that
     * must refuse them compare against the input length).
     */
@@ -122,6 +123,14 @@ object Validator {
       StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNotNull && size(matched) > 0,
         concat_ws(",", matched), s"no pii (${kinds.mkString(",")})")
+    case c @ MinTextQuality(columnName, minScore, maxRate) =>
+      // observed = the SCORE, not the text (low-quality text is exactly
+      // what a violation sink shouldn't accumulate); nulls are NotNull's
+      // finding
+      val score = graft.text.TextAnalysis.qualityScoreCol(col(columnName))
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        col(columnName).isNotNull && score < minScore,
+        score.cast("string"), s"quality >= $minScore")
   }
 
   /** One projection emitting every configured check's violation rows:
@@ -267,6 +276,16 @@ object Validator {
       .collect { case (c: ParsableAs, i) => (c, i) }
     val piiCs: Seq[(NoPii, Int)] = check.constraints.zipWithIndex
       .collect { case (c: NoPii, i) => (c, i) }
+    val qualCs: Seq[(MinTextQuality, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: MinTextQuality, i) => (c, i) }
+    // language share: two conditional counts per (column, lang) pair —
+    // the non-null census aliases by column only so two langs on one
+    // column share it, not collide on it
+    val langCs: Seq[LanguageShare] = check.constraints.collect {
+      case c: LanguageShare => c }
+    val langCols: Seq[String] = langCs.map(_.column).distinct
+    val langPairs: Seq[(String, String)] =
+      langCs.map(c => (c.column, c.lang)).distinct
     val corrNeeds: Seq[(String, String)] = check.constraints.collect {
       case c: CorrelationBetween => (c.x, c.y) }.distinct
     // freshness: one max(unix_micros) per distinct column — two bounds on
@@ -289,6 +308,20 @@ object Validator {
         // the ONE compile site's predicate, like ParsableAs
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__pii__$i") } ++
+      qualCs.map { case (c, i) =>
+        // the ONE compile site's predicate, like ParsableAs
+        count(when(compileStateless(Seq(c)).head.violated, 1))
+          .as(s"__qual__$i") } ++
+      // language mix: matched count per (column, lang) + the shared
+      // non-null census per column — the counts read the ONE pre-projected
+      // __langpred__ column (see statsInput below), so the langId array
+      // fold runs once per row per column however many langs are bounded
+      langPairs.map { case (cn, lang) =>
+        count(when(col(cn).isNotNull &&
+            col(s"__langpred__$cn") === lang, 1))
+          .as(s"__lang__${cn}__$lang") } ++
+      langCols.map(cn =>
+        count(when(col(cn).isNotNull, 1)).as(s"__langn__$cn")) ++
       corrNeeds.flatMap { case (x, y) =>
         // r assembled DRIVER-SIDE from covar_samp and the two stddevs:
         // corr() itself divides in-plan and ANSI mode throws
@@ -328,8 +361,17 @@ object Validator {
     // every stat()/totalRows consumer below implies needsStats = true
     val needsStats = aggExprs.size > 1 ||
       check.constraints.exists { case _: MinRows => true; case _ => false }
+    // langId evaluated ONCE per column in a pre-projection: lambda
+    // subtrees are excluded from Catalyst's common-subexpression
+    // elimination (the TextAnalysis.langId single-pass rationale), so
+    // per-(column, lang) folds in the agg would re-walk the token array
+    // once per configured language
+    val statsInput = if (langCols.isEmpty) df else
+      langCols.foldLeft(df)((d, cn) => d.withColumn(s"__langpred__$cn",
+        graft.text.TextAnalysis.langId(col(cn))))
     val statsRow: Row =
-      if (needsStats) df.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+      if (needsStats)
+        statsInput.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
       else null
     def stat(name: String): Double = statsRow.getAs[Any](name) match {
       case null => Double.NaN
@@ -409,7 +451,8 @@ object Validator {
       // the streaming face also uses (batch/stream semantic parity by
       // construction — see compileStateless)
       case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
-          _: TextEquals | _: Compliance | _: ParsableAs | _: NoPii) =>
+          _: TextEquals | _: Compliance | _: ParsableAs | _: NoPii |
+          _: MinTextQuality) =>
         val sc = compileStateless(Seq(c)).head
         Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
@@ -1017,6 +1060,35 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 11c: language-mix bound (reads the fused stats row — no job) --
+    val langResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ LanguageShare(columnName, lang, lo, hi) =>
+          val n = stat(s"__langn__$columnName")
+          // empty census (no non-null rows): no mix to bound, "no
+          // signal", passes — emptiness is MinRows'/NotNull's finding
+          val share: Option[Double] =
+            if (n.isNaN || n == 0.0) None
+            else Some(stat(s"__lang__${columnName}__$lang") / n)
+          val failed = share.exists(s => s < lo || s > hi)
+          val violationDf: Option[DataFrame] =
+            if (!failed) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                Seq(Row(c.name, "(global)", -1, columnName,
+                  share.get.toString,
+                  s"share($lang) in [$lo,$hi]", c.severity)).asJava,
+                violationSchema))
+            }
+          import spark.implicits._
+          val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+              if (failed) 1L else 0L, share.getOrElse(0.0)))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // ---- pass 12: entropy bound ---------------------------------------------
     // one hash aggregation per constraint (groupBy value → count, map-side
     // combined — only distinct values ride the exchange), then H = ln N −
@@ -1157,6 +1229,7 @@ object Validator {
       schemaViolationDfs ++ distDriftResults.flatMap(_._1) ++
       dupRateResults.flatMap(_._1) ++ nearDupResults.flatMap(_._1) ++
       corrResults.flatMap(_._1) ++ staleResults.flatMap(_._1) ++
+      langResults.flatMap(_._1) ++
       entropyResults.flatMap(_._1) ++
       ratioResults.flatMap(_._1) ++
       miResults.flatMap(_._1) ++
@@ -1170,6 +1243,7 @@ object Validator {
       case Compliance(_, _, maxRate) => maxRate
       case ParsableAs(_, _, maxRate) => maxRate
       case NoPii(_, _, maxRate) => maxRate
+      case MinTextQuality(_, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -1260,6 +1334,13 @@ object Validator {
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)
       } ++
+      // min_quality global rate bound, like compliance's
+      qualCs.map { case (c, i) =>
+        val fails = stat(s"__qual__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
       // schema conformance: pass iff zero mismatches (already computed,
       // driver-side, in pass 0)
       schemaResults.map { case (c, ms) =>
@@ -1289,6 +1370,7 @@ object Validator {
       keyShareVerdicts ++ fdGlobalVerdicts ++ distDriftResults.map(_._2) ++
       dupRateResults.map(_._2) ++ nearDupResults.map(_._2) ++
       corrResults.map(_._2) ++ staleResults.map(_._2) ++
+      langResults.map(_._2) ++
       entropyResults.map(_._2) ++
       ratioResults.map(_._2) ++
       miResults.map(_._2) ++

@@ -405,6 +405,51 @@ final case class NoPii(column: String,
   val name = s"no_pii($column)"
 }
 
+/** Text-quality floor — the web-corpus pre-filter rate as a bound: a
+  * non-null value of `column` whose [[graft.text.TextAnalysis.qualityScore]]
+  * (length / word-shape / stopword / punctuation-noise blend in [0, 1],
+  * deterministically rounded) falls BELOW `minScore` is a violation. The
+  * violation row observes the score, not the text. `maxFailRate > 0`
+  * turns the verdict into a rate bound while still emitting per-row
+  * violations ([[NotNull]]'s shape) — "at most 2% of turns may be
+  * boilerplate/noise" is the form a training-data gate actually takes.
+  * Null text has no content and is [[NotNull]]'s finding. Scale: pure
+  * codegen'd Column composition (the same expression q34's oracle
+  * replays) fused into the one stateless row-flags projection — one
+  * scan, zero extra jobs, streaming-legal.
+  */
+final case class MinTextQuality(column: String, minScore: Double = 0.3,
+    maxFailRate: Double = 0.0)
+  extends Constraint {
+  require(minScore >= 0.0 && minScore <= 1.0,
+    s"min_text_quality($column): minScore=$minScore outside [0,1]")
+  val name = s"min_quality($column)"
+}
+
+/** Language-mix bound — "the share of `lang`-identified documents must
+  * sit in [lo, hi]": the fraction of non-null `column` values whose
+  * [[graft.text.TextAnalysis.langId]] prediction equals `lang`, over all
+  * non-null values. Catches a corpus drifting away from its intended
+  * language mix (a scraper following the wrong links, a locale filter
+  * silently dropped) that no value-level check sees. `lang` must be one
+  * of the battery's languages or "und" (undetermined) — a typo'd config
+  * refuses at suite BUILD. An empty census (no non-null rows) is "no
+  * signal" and passes (emptiness is MinRows' finding). A failing suite
+  * emits ONE global violation row observing the measured share. Scale:
+  * fuses two conditional counts into the SAME one-pass global
+  * aggregation as the column stats — zero extra scans.
+  */
+final case class LanguageShare(column: String, lang: String,
+    lo: Double = 0.0, hi: Double = 1.0)
+  extends Constraint {
+  private val knownLangs = graft.text.TextAnalysis.stopwords.keySet + "und"
+  require(knownLangs.contains(lang),
+    s"language_share($column): unknown lang '$lang' " +
+      s"(supported: ${knownLangs.toSeq.sorted.mkString(",")})")
+  require(lo <= hi, s"language_share($column): lo=$lo > hi=$hi")
+  val name = s"lang_share($column,$lang)"
+}
+
 /** Pearson correlation bound between two numeric columns — "these two
   * measures must (or must not) move together" (a broken join or a unit
   * change upstream shows up as a correlation collapse long before value

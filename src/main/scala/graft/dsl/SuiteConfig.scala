@@ -257,6 +257,24 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "min_text_quality" =>
+        known(n, ctx, Set("type", "column", "minScore", "maxFailRate"))
+        // the case class validates minScore's range itself; wrap so the
+        // error carries the config context like parsable_as's does
+        try MinTextQuality(str(n, "column", ctx),
+          optD(n, "minScore", 0.3, ctx), optD(n, "maxFailRate", 0.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
+      case "language_share" =>
+        known(n, ctx, Set("type", "column", "lang", "lo", "hi"))
+        // the case class validates the lang name itself; wrap so the
+        // error carries the config context like parsable_as's does
+        try LanguageShare(str(n, "column", ctx), str(n, "lang", ctx),
+          optD(n, "lo", 0.0, ctx), optD(n, "hi", 1.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "correlation_between" =>
         known(n, ctx, Set("type", "x", "y", "lo", "hi"))
         CorrelationBetween(str(n, "x", ctx), str(n, "y", ctx),
@@ -331,6 +349,7 @@ object SuiteConfig {
           "rolling_z_drift, max_session_gap, contiguous_index, " +
           "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
           "no_pii, max_staleness, max_near_duplicate_rate, " +
+          "min_text_quality, language_share, " +
           "correlation_between, entropy_between, uniqueness_between, " +
           "distinctness_between, mutual_information_between, " +
           "allowed_transitions, monotonic, no_consecutive_repeats, " +
@@ -454,6 +473,12 @@ object SuiteConfig {
         n.put("type", "no_pii").put("column", column)
         strings("kinds", kinds)
         n.put("maxFailRate", maxFailRate)
+      case MinTextQuality(column, minScore, maxFailRate) =>
+        n.put("type", "min_text_quality").put("column", column)
+          .put("minScore", minScore).put("maxFailRate", maxFailRate)
+      case LanguageShare(column, lang, lo, hi) =>
+        n.put("type", "language_share").put("column", column)
+          .put("lang", lang).put("lo", lo).put("hi", hi)
       case MaxStaleness(column, asOf, maxLagSeconds) =>
         n.put("type", "max_staleness").put("column", column)
           .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)

@@ -8,7 +8,7 @@ import graft.dsl.{Check, Constraint}
 /** Stateless streaming validation — the row-level half of the batch
   * Validator run directly on a `readStream` DataFrame: NotNull / InSet /
   * MatchesRegex / ValueBounds / TextEquals / Compliance / ParsableAs /
-  * NoPii all read only the
+  * NoPii / MinTextQuality all read only the
   * current row, so they evaluate per micro-batch as a pure projection —
   * no state store, no watermark, no shuffle, and violation rows land in
   * the sink within one trigger of the bad turn arriving (hours before a

@@ -91,19 +91,32 @@ object TextAnalysis {
         when(nTok > 0, markerHits(t, "en").cast("double") / nTok).otherwise(0.0))
   }
 
-  /** Scalar quality score in [0,1]: rewards mid-length docs with natural
-    * word lengths, some stopwords, low punctuation/digit noise.
+  /** Scalar quality score in [0,1] as ONE Column expression (the single
+    * source of the formula — the DataFrame face below and the
+    * MinTextQuality constraint both compile it): rewards mid-length docs
+    * with natural word lengths, some stopwords, low punctuation/digit
+    * noise.
     */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
-    val f = qualityFeatures(df, textCol)
+  def qualityScoreCol(t: Column): Column = {
+    val nChars = length(t)
+    val nTok = tokenCount(t)
+    val meanTokenLen =
+      when(nTok > 0, length(regexp_replace(t, "\\s", "")).cast("double") / nTok)
+    val punctRatio = when(nChars > 0,
+      length(regexp_replace(t, "[\\p{L}0-9\\s]", "")).cast("double") / nChars)
+      .otherwise(0.0)
+    val digitRatio = when(nChars > 0,
+      length(regexp_replace(t, "[^0-9]", "")).cast("double") / nChars)
+      .otherwise(0.0)
+    val stopwordRatio =
+      when(nTok > 0, markerHits(t, "en").cast("double") / nTok).otherwise(0.0)
     // coalesce BEFORE least: least() skips nulls, so a NULL text's null
     // n_tokens would otherwise make lenScore 1.0 and gift contentless
     // rows a 0.5 score; with 0 they score like empty strings (~0.2)
-    val lenScore = least(coalesce(col("n_tokens").cast("double"), lit(0.0)) / 64.0, lit(1.0))
-    val wordScore = lit(1.0) -
-      least(abs(col("mean_token_len") - 5.0) / 5.0, lit(1.0))
-    val stopScore = least(col("stopword_ratio") * 5.0, lit(1.0))
-    val noise = least(col("punct_ratio") * 3.0 + col("digit_ratio") * 2.0, lit(1.0))
+    val lenScore = least(coalesce(nTok.cast("double"), lit(0.0)) / 64.0, lit(1.0))
+    val wordScore = lit(1.0) - least(abs(meanTokenLen - 5.0) / 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio * 5.0, lit(1.0))
+    val noise = least(punctRatio * 3.0 + digitRatio * 2.0, lit(1.0))
     // deterministic half-up rounding at 6 decimals: floor(x*1e6 + 0.5)/1e6.
     // The weight/ratio arithmetic lands scores EXACTLY on rounding half-
     // boundaries (e.g. 0.5223125), where engines' round() disagree (Spark
@@ -112,8 +125,13 @@ object TextAnalysis {
     val raw = greatest(lit(0.0), least(lit(1.0),
       lenScore * 0.3 + coalesce(wordScore, lit(0.0)) * 0.3 +
         stopScore * 0.2 + (lit(1.0) - noise) * 0.2))
-    f.withColumn("quality_score", floor(raw * 1e6 + 0.5) / 1e6)
+    floor(raw * 1e6 + 0.5) / 1e6
   }
+
+  /** [[qualityScoreCol]] alongside the [[qualityFeatures]] columns. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol)
+      .withColumn("quality_score", qualityScoreCol(col(textCol)))
 
   /** Normalization for fingerprinting: lowercase, strip punctuation,
     * collapse whitespace.

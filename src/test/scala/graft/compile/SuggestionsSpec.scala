@@ -116,6 +116,8 @@ class SuggestionsSpec extends GraftSuite {
       NoPii("a", Seq("email", "card"), 0.02),
       MaxStaleness("t", "2024-03-01T06:00:00", 86400),
       MaxNearDuplicateRate("a", 0.1, 0.8, 4, 64, 16, 0.5),
+      MinTextQuality("a", 0.4, 0.02),
+      LanguageShare("a", "en", 0.5, 1.0),
       UniquenessBetween(Seq("a", "b"), 0.9, 1.0),
       DistinctnessBetween(Seq("a"), 0.1, 0.9),
       CorrelationBetween("v", "w", 0.5, 1.0),

@@ -862,6 +862,90 @@ class ValidatorSpec extends GraftSuite {
     assert(ex2.getMessage.contains("empty"))
   }
 
+  test("MinTextQuality: low-quality rows flag with the score observed, nulls don't, rate bounds") {
+    val junk = "@@@@ !!!! ####"
+    val good = "the cat sat on the mat and it is a good day for all of us"
+    val df = Seq(
+        ("a", 0, Some(good)),
+        ("a", 1, Some(junk)),
+        ("b", 0, Some(good)),
+        ("c", 0, None)) // null: NotNull's finding, not ours
+      .toDF("conv_id", "turn_idx", "txt")
+    // the observed score must be the ONE shared expression's value
+    val expected = df.where(col("turn_idx") === 1)
+      .select(graft.text.TextAnalysis.qualityScoreCol(col("txt")))
+      .as[Double].collect()(0)
+    assert(expected < 0.5, s"fixture junk text must score < 0.5: $expected")
+    val r = Validator.validate(df, Check("q", Seq(
+      MinTextQuality("txt", minScore = 0.5, maxFailRate = 0.3))))
+    val viol = r.violations.where(col("constraint") === "min_quality(txt)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2).toDouble))
+    assert(viol.length == 1 && viol(0)._1 == "a" && viol(0)._2 == 1 &&
+      math.abs(viol(0)._3 - expected) < 1e-12, viol.toSeq)
+    // per-conversation rate: a (1/2 > 0.3) fails, b and c pass
+    val conv = r.verdicts.where(col("constraint") === "min_quality(txt)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(conv == Map("a" -> false, "b" -> true, "c" -> true), conv)
+    // global: 1/4 = 0.25 <= 0.3 → pass with the rate observed
+    val g = r.verdicts.where(col("constraint") === "min_quality(txt)[global]")
+      .select("pass", "violations", "violation_rate").collect()(0)
+    assert(g.getBoolean(0) && g.getLong(1) == 1L &&
+      math.abs(g.getDouble(2) - 0.25) < 1e-12, g)
+    r.unpersistAll()
+    // an out-of-range floor fails at CONSTRAINT BUILD, not mid-run
+    val ex = intercept[IllegalArgumentException](
+      MinTextQuality("txt", minScore = 1.5))
+    assert(ex.getMessage.contains("1.5"))
+  }
+
+  test("LanguageShare: mix bounds from the fused census, no-signal empty, bad lang at build") {
+    val en = "the cat is on a mat and it is good for the dog"
+    val de = "der hund ist nicht die katze und das auto hier"
+    val df = Seq(
+        ("a", 0, Some(en)), ("a", 1, Some(en)), ("b", 0, Some(en)),
+        ("b", 1, Some(de)),
+        ("c", 0, None)) // null text: out of the census
+      .toDF("conv_id", "turn_idx", "txt")
+    // en share 3/4 < 0.8 → fail observing 0.75; de share 1/4 > 0.1 → fail
+    val r = Validator.validate(df, Check("l", Seq(
+      LanguageShare("txt", "en", lo = 0.8),
+      LanguageShare("txt", "de", hi = 0.1))))
+    val viol = r.violations
+      .where(col("constraint").startsWith("lang_share"))
+      .select("constraint", "observed").collect()
+      .map(x => (x.getString(0), x.getString(1).toDouble)).toMap
+    assert(viol.keySet == Set("lang_share(txt,en)", "lang_share(txt,de)"),
+      viol)
+    assert(math.abs(viol("lang_share(txt,en)") - 0.75) < 1e-12 &&
+      math.abs(viol("lang_share(txt,de)") - 0.25) < 1e-12, viol)
+    val v = r.verdicts.where(col("constraint").startsWith("lang_share"))
+      .select("constraint", "pass", "violation_rate").collect()
+      .map(x => (x.getString(0), (x.getBoolean(1), x.getDouble(2)))).toMap
+    assert(v("lang_share(txt,en)") == ((false, 0.75)) &&
+      v("lang_share(txt,de)") == ((false, 0.25)), v)
+    r.unpersistAll()
+    // a satisfied bound passes
+    val r2 = Validator.validate(df, Check("l", Seq(
+      LanguageShare("txt", "en", lo = 0.5))))
+    assert(r2.verdicts.where(col("constraint") === "lang_share(txt,en)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r2.unpersistAll()
+    // empty census (all-null column): "no signal", passes
+    val r3 = Validator.validate(df.where(col("txt").isNull), Check("l", Seq(
+      LanguageShare("txt", "en", lo = 0.99))))
+    assert(r3.verdicts.where(col("constraint") === "lang_share(txt,en)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r3.unpersistAll()
+    // a typo'd lang or inverted bounds fail at CONSTRAINT BUILD
+    val ex = intercept[IllegalArgumentException](
+      LanguageShare("txt", "klingon"))
+    assert(ex.getMessage.contains("klingon"))
+    val ex2 = intercept[IllegalArgumentException](
+      LanguageShare("txt", "en", lo = 0.9, hi = 0.1))
+    assert(ex2.getMessage.contains("lo"))
+  }
+
   test("MaxNearDuplicateRate: verified near-dups flag, paraphrases below threshold don't") {
     // c1/0 and c1/1 are near-dups (9 shared shingles of 9 vs 10 → j=0.9);
     // c2/0 shares only a prefix with them (j << 0.7); c2/1 is unrelated;

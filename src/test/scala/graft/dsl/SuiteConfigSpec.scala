@@ -73,6 +73,11 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: max_near_duplicate_rate, column: txt, maxRate: 0.02,
         |     threshold: 0.8, bands: 16}
         |  - {type: max_near_duplicate_rate, column: txt}
+        |  - {type: min_text_quality, column: txt, minScore: 0.4,
+        |     maxFailRate: 0.02}
+        |  - {type: min_text_quality, column: txt}
+        |  - {type: language_share, column: txt, lang: en, lo: 0.5}
+        |  - {type: language_share, column: txt, lang: und, hi: 0.2}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -129,6 +134,27 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(42) == MaxNearDuplicateRate("txt", 0.02, threshold = 0.8,
       bands = 16))
     assert(cs(43) == MaxNearDuplicateRate("txt")) // defaults: q64's point
+    assert(cs(44) == MinTextQuality("txt", 0.4, 0.02))
+    assert(cs(45) == MinTextQuality("txt")) // defaults minScore 0.3
+    assert(cs(46) == LanguageShare("txt", "en", lo = 0.5)) // hi defaults 1.0
+    assert(cs(47) == LanguageShare("txt", "und", hi = 0.2)) // lo defaults 0
+  }
+
+  test("min_text_quality / language_share: bad score or lang fails at parse with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: min_text_quality, column: txt, minScore: 1.5}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("min_text_quality") &&
+      ex.getMessage.contains("1.5"))
+    val ex2 = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: language_share, column: txt, lang: klingon}
+        |""".stripMargin))
+    assert(ex2.getMessage.contains("language_share") &&
+      ex2.getMessage.contains("klingon"))
   }
 
   test("max_near_duplicate_rate: bands not dividing numHashes fails at parse") {

@@ -45,7 +45,10 @@ class StreamingRowChecksSpec extends GraftSuite {
     // nulls don't violate (nulls are NotNull's finding)
     ParsableAs("role", "int", maxFailRate = 1.0),
     // the eighth: c3's email must flag in-stream with the KIND observed
-    NoPii("text")))
+    NoPii("text"),
+    // the ninth: every "t_N" fixture text is junk-short (score ~0.2), so
+    // the quality floor flags it in-stream with the SCORE observed
+    MinTextQuality("text", minScore = 0.3, maxFailRate = 1.0)))
 
   private type VRow = (String, String, Int, String, String, String)
 
@@ -76,7 +79,7 @@ class StreamingRowChecksSpec extends GraftSuite {
       // the fixture must exercise every stateless family, null-compliance
       // fails-closed included
       assert(Set("not_null", "in_set", "matches", "bounds", "compliance",
-          "no_pii")
+          "no_pii", "min_quality")
         .forall(k => expected.exists(_._1.startsWith(k))),
         s"weak fixture: $expected")
       assert(expected.exists(r => r._1.startsWith("compliance") && r._5 == null),
