@@ -243,4 +243,57 @@ class PlanSpec extends GraftSuite {
         s"row-level try_cast must not shuffle: ${v.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q100 quality row check: a pure shuffle-free projection (streaming-legal)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val t = Seq(("a", 0, "the quick brown fox"), ("a", 1, "@@@@"))
+        .toDF("conv_id", "turn_idx", "txt")
+      val v = graft.streaming.StreamingRowChecks.violations(t,
+        graft.dsl.Check("q",
+          Seq(graft.dsl.MinTextQuality("txt", minScore = 0.5))))
+      v.collect()
+      val exchanges = v.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"row-level quality score must not shuffle: ${v.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("language-share census: langId pre-projected ONCE per column in the fused agg") {
+    // three bounded langs on one column must ride ONE __langpred__txt
+    // pre-projection (lambda subtrees are excluded from Catalyst CSE — a
+    // per-(column,lang) langId fold would re-walk the token array once
+    // per configured language, per row). The stats collect runs inside
+    // validate(), so the gate reads its plan from the SQL UI store: the
+    // aggregation execution must reference the pre-projected column, and
+    // the de-marker literal 'nicht' (which appears only inside the ONE
+    // langId fold) must not be multiplied across lang bounds.
+    import spark.implicits._
+    val store = spark.sharedState.statusStore
+    val before = store.executionsList().map(_.executionId).toSet
+    val t = Seq(("a", 0, "the cat is here"), ("a", 1, "der hund ist da"))
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = graft.compile.Validator.validate(t, graft.dsl.Check("l", Seq(
+      graft.dsl.LanguageShare("txt", "en", lo = 0.0),
+      graft.dsl.LanguageShare("txt", "de", lo = 0.0),
+      graft.dsl.LanguageShare("txt", "und", hi = 1.0))))
+    assert(r.verdicts.where(org.apache.spark.sql.functions.col("constraint")
+      .startsWith("lang_share")).count() == 3)
+    r.unpersistAll()
+    // the UI store fills asynchronously — poll briefly for the agg plan
+    def aggPlans(): Seq[String] = store.executionsList()
+      .filterNot(e => before(e.executionId))
+      .map(_.physicalPlanDescription)
+      .filter(_.contains("__langpred__txt"))
+    var tries = 0
+    while (aggPlans().isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+    val plan = aggPlans().headOption.getOrElse(
+      fail("no execution referencing __langpred__txt — pre-projection lost"))
+    val folds = "nicht".r.findAllIn(plan).size
+    assert(folds <= 1,
+      s"langId fold instantiated $folds times for 3 lang bounds on one column")
+  }
 }
