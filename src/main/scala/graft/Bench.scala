@@ -379,9 +379,24 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    def jStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n") + "\""
+    // escape backslash, quote, and ALL control chars (< 0x20) — a tab or
+    // CR in a Spark error message would otherwise make the driver's JSON
+    // parse fail and zero the round's artifact (the Verify.q discipline);
+    // also drop a lone trailing high surrogate a .take() truncation can
+    // leave, which is equally invalid JSON
+    def jStr(s: String): String = {
+      val t = if (s.nonEmpty && Character.isHighSurrogate(s.last))
+        s.dropRight(1) else s
+      "\"" + t.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    }
     def emit(): Unit = {
       // 0.1ms precision: full-precision doubles made the one-line JSON
       // long enough that the driver's tail capture truncated it (r4)
@@ -629,24 +644,34 @@ object Bench {
           else Thread.sleep(15000)
         }
       }
-      def tryFork(n: Int, costEst: Double, isPeak: Boolean = false): Boolean = {
-        val cap = remaining
-        if (cap <= 30) { errors += s"skipped local[$n]: budget"; false }
+      // peak-only: the scaling legs go through startChild/finishChild
+      // inside runRound (a non-peak branch here would be dead code a
+      // future edit could mistake for the rounds path)
+      def tryPeakFork(n: Int, costEst: Double): Boolean = {
+        if (remaining <= 30) { errors += s"skipped local[$n]: budget"; false }
         else {
           waitForQuiet(costEst)
+          // cap re-read AFTER waitForQuiet: the quiet wait can sleep up
+          // to 120s, and a cap priced before it would let a hung child
+          // overrun the budget by the whole wait (the runRound re-clamp
+          // discipline) — the emit reserve depends on the cap being real
+          val cap = remaining
+          if (cap <= 30) {
+            errors += s"skipped local[$n]: budget after quiet wait"
+            return false
+          }
           val before = loadAvg
           val r = forkSuite(n, dataPath, warmPath, cap)
           forkLoads += n -> ((before, loadAvg) :: forkLoads(n))
           r match {
-            case Right((w, c)) =>
-              if (isPeak) peakWalls ::= w
-              else { walls += n -> (w :: walls(n)); cpus3 += n -> (c :: cpus3(n)) }
+            case Right((w, _)) =>
+              peakWalls ::= w
               true
             case Left(e) =>
               errors += e
               // a timed-out peak is still information: the cap is a hard
               // LOWER bound on the wall — record it instead of nothing
-              if (isPeak && e.contains("timed out")) peakPartialSec = Some(cap)
+              if (e.contains("timed out")) peakPartialSec = Some(cap)
               false
           }
         }
@@ -702,8 +727,9 @@ object Bench {
       // only calibrated at >=100k convs — 20k tables are STRUCTURALLY
       // asymmetric at 1.6-1.9x), so a smaller round would answer a
       // different question
-      val minRoundConvs =
-        sys.env.getOrElse("SPARK_GRAFT_MIN_ROUND_CONVS", "100000").toLong
+      // the same knob the floor-table insurance priced — ONE parse, so
+      // the two can never drift apart
+      val minRoundConvs = floorConvs
 
       /** One concurrent round on the CURRENT table: start both legs
         * together, reap hi then lo, record walls/CPUs, apply the
@@ -712,10 +738,18 @@ object Bench {
       def runRound(roundCapSec: Double): Unit = {
         val capUsed = math.min(remaining, roundCapSec)
         val before = loadAvg
+        val roundT0 = System.nanoTime()
         val (pLo, fLo) = startChild(loN, curPath, warmPath)
         val (pHi, fHi) = startChild(hiN, curPath, warmPath)
         val rHi = finishChild(hiN, pHi, fHi, capUsed)
-        val rLo = finishChild(loN, pLo, fLo, capUsed)
+        // the legs run CONCURRENTLY and capUsed is the ROUND's cap: the
+        // second reap gets what the first left of it, not a fresh cap —
+        // two deep-brown-out timeouts would otherwise run the round to
+        // ~2x its cap and blow the emit reserve the JSON line depends on
+        // (finishChild's 30s floor still lets a nearly-done leg land)
+        val roundElapsed = (System.nanoTime() - roundT0) / 1e9
+        val rLo = finishChild(loN, pLo, fLo,
+          math.max(0.0, capUsed - roundElapsed))
         val after = loadAvg
         forkLoads += loN -> ((before, after) :: forkLoads(loN))
         forkLoads += hiN -> ((before, after) :: forkLoads(hiN))
@@ -771,9 +805,11 @@ object Bench {
       // when the table is already on scratch (generation is pure-hash,
       // cacheable by conv count — phase 2 pre-prices the floor), else
       // the measured main-gen wall scaled by size
+      val cachedCountEst = 12.0
+      def genEstUncached(nc: Long): Double =
+        0.6 * genWallMain * (nc.toDouble / nConvs) + 20.0
       def genEstFor(nc: Long): Double =
-        if (tableCached(nc)) 12.0
-        else 0.6 * genWallMain * (nc.toDouble / nConvs) + 20.0
+        if (tableCached(nc)) cachedCountEst else genEstUncached(nc)
       // margin for the LAST round that fits: a round killed by its cap
       // records as incomplete and costs nothing versus ending the run
       // with the budget unused (r4 left 301s on the table), so the final
@@ -810,10 +846,14 @@ object Bench {
           // cheap (cached-table) sizing first: if the larger candidate it
           // yields is already on scratch, regeneration never happens and
           // the round keeps the extra turns; else price regeneration in
-          val cheap = fitConvs(12.0)
+          // (at full size — a conservative upper bound, since the convs
+          // count isn't known until fitConvs returns). Both prices come
+          // from the genEstFor constants so the floor-fit check below can
+          // never disagree with the sizing about the same regeneration.
+          val cheap = fitConvs(cachedCountEst)
           val newConvs =
             if (cheap >= minRoundConvs && tableCached(cheap)) cheap
-            else fitConvs(0.6 * genWallMain + 20.0)
+            else fitConvs(genEstUncached(nConvs))
           if (newConvs >= minRoundConvs) {
             val (p, t) = ensureTable(newConvs)
             curConvs = newConvs; curPath = p; curTurns = t
@@ -883,35 +923,51 @@ object Bench {
         probeBw("pre_query")
         val spark1 = newSession(cpus) // fresh session; the phase-2 one was
         // stopped so it couldn't contaminate the scaling rounds
-        // warm the codegen paths before measuring
-        Tables.events(spark1, sfDir).count()
-        SparkEntry.queries("q03_column_stats")(spark1, sfDir).count()
-        // NEWEST queries first: budget expiry in a slow window skips the
-        // tail, and under ascending order the tail is exactly the queries
-        // with no prior-round timing on record (the overnight r5-S run lost
-        // q66-q75, this round's entire new surface, while re-timing q01
-        // for the fifth time). Timings are order-independent — the cache is
-        // cleared between queries — so the skip should land on the
-        // best-characterized names. Emission re-sorts ascending.
-        results = SparkEntry.queries.toSeq.sortBy(_._1).reverse.map { case (name, fn) =>
-          if (remaining < 20) name -> Left("skipped(budget)")
-          else {
-            val t0 = System.nanoTime()
-            try {
-              fn(spark1, sfDir).count()
-              name -> Right((System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
-              name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-            } finally {
-              // queries persist intermediates (dedup signatures, drift
-              // buckets); clearing between queries keeps every timing
-              // cold-start honest — q64 must not reuse q40's cached
-              // identical signature subplan — and bounds cache growth
-              spark1.sharedState.cacheManager.clearCache()
+        try {
+          // warm the codegen paths before measuring — guarded so a bad
+          // sf dir degrades to per-query recorded errors + a live peak
+          // phase instead of aborting both through the outer catch
+          try {
+            Tables.events(spark1, sfDir).count()
+            SparkEntry.queries("q03_column_stats")(spark1, sfDir).count()
+          } catch { case e: Throwable =>
+            errors += s"query warm-up failed: ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120)
+          }
+          // a query started just under the gate can overrun the emit
+          // reserve in a brown-out window: the gate tracks the heaviest
+          // wall seen this phase so the decision prices the NEXT query
+          // at the current window's observed worst case
+          var maxQWall = 10.0
+          // NEWEST queries first: budget expiry in a slow window skips the
+          // tail, and under ascending order the tail is exactly the queries
+          // with no prior-round timing on record (the overnight r5-S run lost
+          // q66-q75, this round's entire new surface, while re-timing q01
+          // for the fifth time). Timings are order-independent — the cache is
+          // cleared between queries — so the skip should land on the
+          // best-characterized names. Emission re-sorts ascending.
+          results = SparkEntry.queries.toSeq.sortBy(_._1).reverse.map { case (name, fn) =>
+            if (remaining < math.max(20.0, 1.5 * maxQWall))
+              name -> Left("skipped(budget)")
+            else {
+              val t0 = System.nanoTime()
+              try {
+                fn(spark1, sfDir).count()
+                val w = (System.nanoTime() - t0) / 1e9
+                maxQWall = math.max(maxQWall, w)
+                name -> Right(w)
+              } catch { case e: Throwable =>
+                name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+              } finally {
+                // queries persist intermediates (dedup signatures, drift
+                // buckets); clearing between queries keeps every timing
+                // cold-start honest — q64 must not reuse q40's cached
+                // identical signature subplan — and bounds cache growth
+                spark1.sharedState.cacheManager.clearCache()
+              }
             }
           }
-        }
-        spark1.stop()
+        } finally spark1.stop()
       } else if (!skipQueries) {
         results = SparkEntry.queries.toSeq.sortBy(_._1)
           .map { case (name, _) => name -> Left("skipped(budget)") }
@@ -936,16 +992,22 @@ object Bench {
         val bwNow = bwProbes.head._2
         val speedNow = math.min(4.0, math.max(1.0, bwRef / math.max(bwNow, 1.0)))
         val peakEst = peakBase * speedNow
-        if (remaining > 1.25 * peakEst) tryFork(cpus, peakEst, isPeak = true)
+        if (remaining > 1.25 * peakEst) tryPeakFork(cpus, peakEst)
         else if (peakEst > 0)
           errors += f"peak skipped: est ${peakEst}%.0fs (speed-now " +
             f"$speedNow%.2fx) does not fit remaining ${remaining}%.0fs"
         // optional second attempt: only into a quiet window (a 32-thread
         // fork launched into a load spike measures the spike, and min()
-        // never benefits from a knowingly-poisoned observation)
-        if (peakWalls.nonEmpty && remaining > 1.25 * peakEst &&
-            loadAvg <= quietLoad)
-          tryFork(cpus, peakEst, isPeak = true)
+        // never benefits from a knowingly-poisoned observation) — and
+        // RE-priced for the window right now: attempt 1 ran for minutes,
+        // long enough for a brown-out to begin that loadAvg cannot see
+        if (peakWalls.nonEmpty && loadAvg <= quietLoad) {
+          probeBw("pre_peak2")
+          val speed2 = math.min(4.0, math.max(1.0,
+            bwRef / math.max(bwProbes.head._2, 1.0)))
+          val est2 = peakBase * speed2
+          if (remaining > 1.25 * est2) tryPeakFork(cpus, est2)
+        }
       }
     } catch { case e: Throwable =>
       errors += s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}"
