@@ -1250,9 +1250,9 @@ object SparkEntry {
     // Constraint suggestion census — the discovery step that writes a
     // starter suite (profile a blessed snapshot → suggested constraints →
     // SuiteConfig.render YAML). The oracle re-derives every rule
-    // (not_null / in_set / value_bounds / unique_key) from the same
-    // per-column stats; the engine's census is one fused agg with string
-    // distincts digest-reduced map-side.
+    // (not_null / in_set / matches_regex / value_bounds / unique_key /
+    // no_pii) from the same per-column stats; the engine's census is one
+    // fused agg with string distincts digest-reduced map-side.
     "q91_suggested_constraints" -> ((s, dir) => {
       Suggestions.suggestDf(s, Tables.transcripts(s, dir))
         .orderBy("column", "suggestion")
@@ -1562,6 +1562,27 @@ object SparkEntry {
       |    y - trend - (pmean - grand) AS resid
       |  FROM det JOIN pm USING (phase), g)""".stripMargin
 
+  /** SQL: does `v` contain ANY kind of the graft.text.Pii battery? The
+    * q97 patterns (interpolated from the ONE Scala source) as a single
+    * boolean — used by the q91 census's no_pii rule. Card candidates are
+    * Luhn-verified exactly like the engine (every 13–19-digit run).
+    */
+  private def piiAnySql(v: String): String = {
+    val p = graft.text.Pii.patterns.toMap
+    s"""(regexp_matches($v, '${p("email")}')
+       |  OR regexp_matches($v, '${p("phone")}')
+       |  OR regexp_matches($v, '${p("ssn")}')
+       |  OR regexp_matches($v, '${p("ipv4")}')
+       |  OR len(list_filter(regexp_extract_all($v, '(${p("card")})', 1),
+       |    c -> list_sum(list_transform(range(1, length(c) + 1), i ->
+       |      CASE WHEN i % 2 = 0 THEN
+       |        CASE WHEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) > 9
+       |             THEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) - 9
+       |             ELSE 2 * (ascii(substr(reverse(c), i, 1)) - 48) END
+       |      ELSE ascii(substr(reverse(c), i, 1)) - 48 END)) % 10 = 0))
+       |    > 0)""".stripMargin
+  }
+
   /** q91 twin: per-column census rows over the transcripts view. One UNION
     * branch per column, mirroring Suggestions.census — string columns carry
     * a sorted distinct-value list for the in_set rule (gated later).
@@ -1589,10 +1610,17 @@ object SparkEntry {
             c + ", '" + p + "') THEN 1 ELSE 0 END) AS shape" + i
         else s"NULL::BIGINT AS shape$i"
       }.mkString(", ")
+      // pii census: non-null values hitting the full battery (the same
+      // interpolated patterns + Luhn fold the q97 twin replays)
+      val pii =
+        if (isStr)
+          s"sum(CASE WHEN $c IS NOT NULL AND ${piiAnySql(c)} " +
+            "THEN 1 ELSE 0 END) AS piihits"
+        else "NULL::BIGINT AS piihits"
       s"""SELECT '$c' AS c, count(*) AS n, count(*) - count($c) AS nulls,
          |       count(DISTINCT $c) AS dist, $mn AS mn, $mx AS mx,
          |       $isStr AS is_str, $isNum AS is_num, $vals AS vals,
-         |       $shapes
+         |       $shapes, $pii
          |FROM transcripts""".stripMargin
     }
     s"stats AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
@@ -2943,7 +2971,11 @@ object SparkEntry {
          |  WHERE n > 0 AND is_num AND mn IS NOT NULL
          |  UNION ALL
          |  SELECT c, 'unique_key', NULL, NULL, NULL FROM stats
-         |  WHERE nulls = 0 AND dist = n AND n > 1)
+         |  WHERE nulls = 0 AND dist = n AND n > 1
+         |  UNION ALL
+         |  SELECT c, 'no_pii', NULL, NULL,
+         |         '${graft.text.Pii.allKinds.mkString(",")}' FROM stats
+         |  WHERE n > 0 AND is_str AND n - nulls > 0 AND piihits = 0)
          |SELECT c AS "column", suggestion, round(lo, 6) AS lo,
          |       round(hi, 6) AS hi, details
          |FROM sugg ORDER BY "column", suggestion""".stripMargin,

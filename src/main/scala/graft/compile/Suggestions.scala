@@ -44,7 +44,8 @@ object Suggestions {
       max: Option[Double],
       isString: Boolean,
       isNumeric: Boolean,
-      shapeBreaks: Seq[Long] = Nil)
+      shapeBreaks: Seq[Long] = Nil,
+      piiHits: Option[Long] = None)
 
   /** One suggested constraint plus the census evidence that produced it. */
   final case class Suggested(
@@ -101,9 +102,23 @@ object Suggestions {
         }
         case _ => Nil
       }
+      // PII census: per string column, how many non-null values hit the
+      // full graft.text.Pii battery — a clean column becomes a `no_pii`
+      // suggestion (bound 0), locking in the observed property the same
+      // way value_bounds locks in [min, max]. A column WITH hits gets no
+      // suggestion: whether its PII is legitimate is the owner's call,
+      // not a profiler's. Fused into the same single pass — the battery
+      // is pure codegen'd regex + the Luhn fold.
+      val pii = f.dataType match {
+        case StringType => Seq(count(when(c.isNotNull &&
+            size(graft.text.Pii.matchedKinds(c, graft.text.Pii.allKinds)) > 0,
+            1)).as(s"pii__${f.name}"))
+        case _ => Nil
+      }
       Seq(
         count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
-        count_distinct(distArg).as(s"dist__${f.name}")) ++ minMax ++ shapes
+        count_distinct(distArg).as(s"dist__${f.name}")) ++
+        minMax ++ shapes ++ pii
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -135,7 +150,11 @@ object Suggestions {
           if (f.dataType == StringType)
             shapeBattery.indices.map(i =>
               row.getAs[Long](s"shape${i}__${f.name}"))
-          else Nil)
+          else Nil,
+        piiHits =
+          if (f.dataType == StringType)
+            Some(row.getAs[Long](s"pii__${f.name}"))
+          else None)
     }
   }
 
@@ -155,6 +174,10 @@ object Suggestions {
     *  - `value_bounds` [observed min, observed max] for numeric columns.
     *  - `unique_key` for a non-null column whose distinct count equals the
     *    row count.
+    *  - `no_pii` for string columns with zero hits across the full
+    *    [[graft.text.Pii]] battery — observed-clean becomes a locked-in
+    *    bound, like value_bounds; columns WITH hits get no suggestion
+    *    (whether their PII is legitimate is the owner's call).
     */
   def suggest(df: DataFrame, columns: Seq[String] = Nil,
       maxSetSize: Int = 20,
@@ -206,7 +229,16 @@ object Suggestions {
           Some(Suggested(c.column, "unique_key", None, None, None,
             UniqueKey(Seq(c.column))))
         else None
-      Seq(notNull, inSet, shape, bounds, unique).flatten
+      // no_pii: a string column observed CLEAN across the whole battery
+      // locks that property in (bound 0) — a column with hits gets no
+      // suggestion; whether its PII is legitimate is the owner's call
+      val noPii =
+        if (c.isString && c.rows - c.nulls > 0 && c.piiHits.contains(0L))
+          Some(Suggested(c.column, "no_pii", None, None,
+            Some(graft.text.Pii.allKinds.mkString(",")),
+            NoPii(c.column)))
+        else None
+      Seq(notNull, inSet, shape, bounds, unique, noPii).flatten
     }.sortBy(s => (s.column, s.suggestion))
   }
 

@@ -39,21 +39,20 @@ class SuggestionsSpec extends GraftSuite {
 
   test("rules: unique id, small-set category, bounded score, no not_null on mostly-null") {
     val by = suggested.groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
-    // id_0042-style values fit the snake+counter battery shape
-    assert(by("id") == Set("not_null", "unique_key", "matches_regex"))
+    // id_0042-style values fit the snake+counter battery shape; every
+    // string column here is PII-clean, so each also locks in no_pii
+    assert(by("id") == Set("not_null", "unique_key", "matches_regex", "no_pii"))
     assert(suggested.find(s => s.column == "id" &&
       s.suggestion == "matches_regex").get.details
       .contains("^[a-z]+_[0-9]+$"))
     // category is an enum (in_set), NOT a shape; text has spaces — no
     // battery pattern fires
-    assert(by("category") == Set("not_null", "in_set"))
+    assert(by("category") == Set("not_null", "in_set", "no_pii"))
     assert(!by("text").contains("matches_regex"))
     assert(by("score") == Set("not_null", "value_bounds"))
-    // high-cardinality text: complete but neither enum nor key (distinct <
-    // rows would be needed for in_set, == rows for unique... text IS
-    // unique here, so it suggests unique_key too — ids and texts look the
-    // same to the census, review is the human step)
-    assert(!by.contains("ghost")) // 90% null: no rule fires
+    // 90% null: no rate/shape rule fires, but the 20 clean non-null
+    // values still support the no_pii lock-in
+    assert(by("ghost") == Set("no_pii"))
     val inSet = suggested.find(s => s.column == "category" &&
       s.suggestion == "in_set").get
     assert(inSet.details.contains("alpha,beta,gamma"))
@@ -61,6 +60,22 @@ class SuggestionsSpec extends GraftSuite {
       s.suggestion == "not_null").get
     // 1/200 = 0.005 exactly; ceil to 4dp keeps it
     assert(notNullScore.hi.contains(0.005))
+  }
+
+  test("no_pii rule: a column with any battery hit gets NO suggestion") {
+    val dirty = Seq(
+        (1, "clean prose here", "mail me at a@b.io"),
+        (2, "more clean prose", "nothing here"))
+      .toDF("n", "clean_txt", "dirty_txt")
+    val s = Suggestions.suggest(dirty)
+      .groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
+    assert(s("clean_txt").contains("no_pii"), s)
+    assert(!s.getOrElse("dirty_txt", Set.empty).contains("no_pii"), s)
+    // the census carries the evidence
+    val cen = Suggestions.census(dirty).map(c => c.column -> c).toMap
+    assert(cen("clean_txt").piiHits.contains(0L))
+    assert(cen("dirty_txt").piiHits.contains(1L))
+    assert(cen("n").piiHits.isEmpty)
   }
 
   test("suggested suite passes on the data that produced it") {
