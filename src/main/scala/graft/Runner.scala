@@ -111,45 +111,33 @@ object Runner {
           val i = restWithFlags.indexOfSlice(Seq("--format", "csv"))
           if (i < 0) restWithFlags else restWithFlags.patch(i, Nil, 2)
         }
-        // --sample <rate>: validate a deterministic whole-conversation
-        // sample (graft.sample.Sampling — salted-md5 threshold, pure
-        // codegen filter; the same conversations are selected on every
-        // engine and every run, so a sampled validation is reproducible)
-        val sampleRate = {
-          val i = restWithFmt.indexOf("--sample")
-          if (i < 0) None
-          else if (i + 1 < restWithFmt.length)
-            Some(restWithFmt(i + 1).toDouble)
-          else sys.error("--sample requires a rate argument (e.g. " +
-            "--sample 0.01); refusing to silently run a FULL validation")
-        }
-        val restNoSample = {
-          val i = restWithFmt.indexOf("--sample")
-          if (i < 0) restWithFmt else restWithFmt.patch(i, Nil, 2)
-        }
-        // --suite <file>: the config-driven surface — YAML/JSON parsed to
-        // the same Constraint ADT the Scala API uses, strict on typos
-        val suitePath = {
-          val i = restNoSample.indexOf("--suite")
-          if (i < 0) None
-          else if (i + 1 < restNoSample.length) Some(restNoSample(i + 1))
-          else sys.error("--suite requires a config-file path argument")
-        }
-        val restNoSuite = {
-          val i = restNoSample.indexOf("--suite")
-          if (i < 0) restNoSample else restNoSample.patch(i, Nil, 2)
-        }
-        // --metrics-dir <dir> [--run-id <id>]: append this run's
-        // per-constraint metrics to a cross-run history and emit
-        // rate-of-change anomalies vs that history (checkpoint.MetricHistory)
-        def takeValueFlag(args: List[String], name: String)
-            : (Option[String], List[String]) = {
+        // ONE value-flag extractor for every <flag> <value> pair (three
+        // hand-rolled copies of this indexOf/patch block diverged on the
+        // missing-value error contract before it was hoisted)
+        def takeValueFlag(args: List[String], name: String,
+            missingMsg: String = ""): (Option[String], List[String]) = {
           val i = args.indexOf(name)
           if (i < 0) (None, args)
           else if (i + 1 < args.length)
             (Some(args(i + 1)), args.patch(i, Nil, 2))
-          else sys.error(s"$name requires a value argument")
+          else sys.error(if (missingMsg.nonEmpty) missingMsg
+            else s"$name requires a value argument")
         }
+        // --sample <rate>: validate a deterministic whole-conversation
+        // sample (graft.sample.Sampling — salted-md5 threshold, pure
+        // codegen filter; the same conversations are selected on every
+        // engine and every run, so a sampled validation is reproducible)
+        val (sampleOpt, restNoSample) = takeValueFlag(restWithFmt, "--sample",
+          "--sample requires a rate argument (e.g. --sample 0.01); " +
+            "refusing to silently run a FULL validation")
+        val sampleRate = sampleOpt.map(_.toDouble)
+        // --suite <file>: the config-driven surface — YAML/JSON parsed to
+        // the same Constraint ADT the Scala API uses, strict on typos
+        val (suitePath, restNoSuite) = takeValueFlag(restNoSample, "--suite",
+          "--suite requires a config-file path argument")
+        // --metrics-dir <dir> [--run-id <id>]: append this run's
+        // per-constraint metrics to a cross-run history and emit
+        // rate-of-change anomalies vs that history (checkpoint.MetricHistory)
         val (metricsDir, restNoMetrics) =
           takeValueFlag(restNoSuite, "--metrics-dir")
         val (runIdOpt, rest) = takeValueFlag(restNoMetrics, "--run-id")
@@ -164,7 +152,13 @@ object Runner {
         // the pin becomes a snapshot id instead of a file list
         val provider: graft.sources.TableProvider = graft.sources.ParquetDirProvider
         val manifest = s"$out/input_manifest.json"
-        provider.pin(spark, in, manifest)
+        // a RESUMED run must reuse the manifest its first attempt pinned:
+        // re-pinning would hand the already-done slices one snapshot and
+        // the global-scoped/schema passes another — a hybrid verdict over
+        // two file sets, the exact thing the pin exists to prevent
+        val resuming = rest.headOption.contains("--resumable") &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(manifest))
+        if (!resuming) provider.pin(spark, in, manifest)
         val pinnedAll = provider.readPinned(spark, manifest)
         val pinned = sampleRate match {
           case Some(r) => graft.sample.Sampling
@@ -174,6 +168,10 @@ object Runner {
         val t0 = System.nanoTime()
         val (violations, verdicts) = rest match {
           case "--resumable" :: ckpt :: p :: Nil =>
+            // refuse here: P=0 would otherwise surface deep inside
+            // collectResults as an unrelated "unable to infer schema"
+            require(p.toInt >= 1,
+              s"--resumable partition count must be >= 1, got $p")
             val rv = new ResumableValidation(spark, ckpt, p.toInt)
             val Some((vio, ver, metrics)) = rv.run(pinned, suite, ctx)
             println(metrics.map(m =>
@@ -307,15 +305,24 @@ object Runner {
         val cap = capacity.toLong
         val shards = flag("--shards", "8").toInt
         require(shards >= 1, s"--shards must be >= 1, got $shards")
+        // hash shard (the Checkpoint.stage idiom): `col % shards` is NULL
+        // for string ids — every document would land in one NULL shard,
+        // silently defeating the per-shard parallelism — and negative for
+        // negative numeric ids
         val d = spark.read.parquet(in)
-          .withColumn("shard", (col(id) % shards).cast("int"))
+          .withColumn("shard",
+            pmod(xxhash64(col(id)), lit(shards)).cast("int"))
           .withColumn("__tok",
             graft.text.TextAnalysis.tokenCount(col(flag("--text", "text"))))
-        graft.pack.Packing.nextFitPack(d, "shard", id, "__tok", cap)
-          .drop("__tok")
+        // ONE packing pass: the summary reads the same packed frame
+        // instead of re-running the repartition+sort+pack a second time
+        val packed = graft.pack.Packing.nextFitPack(d, "shard", id, "__tok", cap)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        packed.drop("__tok")
           .write.mode("overwrite").parquet(s"$out/packed")
-        val fill = graft.pack.Packing.packSummary(d, "shard", id, "__tok", cap)
+        val fill = graft.pack.Packing.packSummaryOf(packed, "shard", "__tok", cap)
         fill.write.mode("overwrite").parquet(s"$out/packs")
+        packed.unpersist()
         val Array(nPacks, meanFill) = spark.read.parquet(s"$out/packs")
           .agg(count(lit(1)).cast("double"), avg(col("fill_ratio")))
           .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray

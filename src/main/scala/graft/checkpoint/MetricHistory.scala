@@ -24,11 +24,24 @@ object MetricHistory {
   /** Global per-constraint metrics from a verdicts frame: total rows,
     * total violations, the violation rate, and how many partition verdicts
     * failed. Long format, ready to append.
+    *
+    * A family emitting per-key rows AND a '(global)' total row under ONE
+    * name (MaxKeyShare: hot-key rows plus the census total) contributes
+    * its global row's counts, not the sum of both — summing them mixes
+    * units (census rows + per-key rows) and a hot key merely GROWING
+    * would fire a rate-of-change anomaly with no qualitative change.
+    * failed_partitions still counts every failing verdict row (per-key
+    * FAIL rows are exactly the partition-level signal that metric
+    * tracks).
     */
   def fromVerdicts(verdicts: DataFrame): DataFrame = {
+    val isGlobal = col("partition_key") === "(global)"
+    val hasGlobal = max(when(isGlobal, 1).otherwise(0)) === 1
     val g = verdicts.groupBy(col("constraint")).agg(
-      sum(col("rows")).cast("double").as("rows"),
-      sum(col("violations")).cast("double").as("violations"),
+      coalesce(when(hasGlobal, sum(when(isGlobal, col("rows")))),
+        sum(col("rows"))).cast("double").as("rows"),
+      coalesce(when(hasGlobal, sum(when(isGlobal, col("violations")))),
+        sum(col("violations"))).cast("double").as("violations"),
       sum(when(!col("pass"), 1).otherwise(0)).cast("double")
         .as("failed_partitions"))
       .withColumn("violation_rate",

@@ -79,11 +79,22 @@ object Packing {
     * padding waste; oversize packs show up as fill_ratio > 1).
     */
   def packSummary(df: DataFrame, keyCol: String, ordCol: String,
+      tokensCol: String, capacity: Long): DataFrame =
+    packSummaryOf(nextFitPack(df, keyCol, ordCol, tokensCol, capacity),
+      keyCol, tokensCol, capacity)
+
+  /** [[packSummary]] over an ALREADY-packed frame (one with `pack_idx`):
+    * callers that just ran [[nextFitPack]] summarize the same frame
+    * instead of paying the repartition+sort+pack pass a second time.
+    */
+  def packSummaryOf(packed: DataFrame, keyCol: String,
       tokensCol: String, capacity: Long): DataFrame = {
+    require(packed.columns.contains("pack_idx"),
+      "packSummaryOf needs a nextFitPack output (missing pack_idx)")
     // the same null/negative normalization nextFitPack applies per row
     val tok: Column = greatest(coalesce(col(tokensCol).cast("long"),
       lit(0L)), lit(0L))
-    nextFitPack(df, keyCol, ordCol, tokensCol, capacity)
+    packed
       .groupBy(col(keyCol), col("pack_idx"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -39,17 +39,30 @@ object Reports {
     // thresholds. The aggregate is one driver row either way.
     val summary = verdicts.agg(
       count_distinct(col("partition_key")).as("parts"),
-      count_distinct(when(!col("pass"), col("partition_key"))).as("failed"),
-      sum(col("violations")).as("viol"))
+      count_distinct(when(!col("pass"), col("partition_key"))).as("failed"))
       .collect().head
     val byConstraint = verdicts.groupBy(col("constraint")).agg(
         count(lit(1)).as("partitions"),
         sum(when(!col("pass"), 1L).otherwise(0L)).as("failed_partitions"),
-        sum(col("violations")).as("violations"),
+        // a family emitting per-key rows AND a '(global)' total row under
+        // ONE name (MaxKeyShare) must count the global total once, not
+        // the sum of both
+        coalesce(
+          when(max(when(col("partition_key") === "(global)", 1)
+            .otherwise(0)) === 1,
+            sum(when(col("partition_key") === "(global)", col("violations")))),
+          sum(col("violations"))).as("violations"),
         max(col("violation_rate")).as("worst_rate"))
       .orderBy(desc("failed_partitions"), desc("violations"), col("constraint"))
       .as[(String, Long, Long, Long, Double)].collect().toSeq
       .map(ConstraintRollup.tupled)
+    // the headline total sums each constraint ONCE: the rate-bound
+    // families re-state their per-conversation counts in a separate
+    // "name[global]" verdict row — summing both printed ~2x the
+    // violations parquet the user compares against
+    val totalViolations = byConstraint
+      .filterNot(_.constraint.endsWith("[global]"))
+      .map(_.violations).sum
     val worst = verdicts.where(!col("pass"))
       .orderBy(desc("violation_rate"), desc("violations"), col("partition_key"),
         col("constraint"))
@@ -66,7 +79,8 @@ object Reports {
       else summary.getLong(1).toDouble / summary.getLong(0)
     val recs = Seq(
       if (failedFrac > 0.5)
-        Some(f"High failure rate (${failedFrac * 100}%.1f%% of partitions): " +
+        Some(fmt("High failure rate (%.1f%% of partitions): ",
+          failedFrac * 100) +
           "suspect a systemic upstream change (schema drift, producer bug) " +
           "rather than isolated bad conversations.")
       else None,
@@ -76,19 +90,28 @@ object Reports {
         s"${c.constraint}: ${c.violations} rows reference unknown dimension " +
           "values — refresh the role/tool dimension tables or quarantine the " +
           "producing pipeline."),
-      byConstraint.find(c => c.constraint.startsWith("unique") &&
+      // "unique(" exactly: "uniqueness(...)" is the RATIO bound, a
+      // different constraint with a different remedy; the key columns
+      // come from the constraint's own name, not a hardcoded default
+      byConstraint.find(c => c.constraint.startsWith("unique(") &&
           c.violations > 0).map(c =>
-        s"${c.constraint}: duplicate (conv_id, turn_idx) keys — check for " +
+        s"${c.constraint}: duplicate key tuples — check for " +
           "at-least-once replays in ingestion."),
       if (failedFrac == 0.0) Some("All partitions passed — no action needed.")
       else None).flatten
 
-    Report(summary.getLong(0), summary.getLong(1),
-      if (summary.isNullAt(2)) 0L else summary.getLong(2),
+    Report(summary.getLong(0), summary.getLong(1), totalViolations,
       byConstraint, worst, recs)
   }
 
-  private def fmtRate(r: Double): String = f"${r * 100}%.3f%%"
+  /** Locale-pinned printf: a comma-decimal default locale would corrupt
+    * SVG width attributes and every percentage in the report.
+    */
+  private def fmt(pattern: String, args: Any*): String =
+    pattern.formatLocal(java.util.Locale.ROOT,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
+  private def fmtRate(r: Double): String = fmt("%.3f%%", r * 100)
 
   /** Markdown rendering (the engine-side analog of the reference's text
     * report sections).
@@ -104,7 +127,7 @@ object Reports {
     sb ++= "| constraint | partitions | failed | violations | worst rate |\n"
     sb ++= "|---|---|---|---|---|\n"
     r.byConstraint.foreach { c =>
-      sb ++= s"| ${c.constraint} | ${c.partitions} | ${c.failedPartitions} " +
+      sb ++= s"| ${mdCell(c.constraint)} | ${c.partitions} | ${c.failedPartitions} " +
         s"| ${c.violations} | ${fmtRate(c.worstRate)} |\n"
     }
     sb ++= "\n## Worst failing partitions\n\n"
@@ -148,9 +171,9 @@ object Reports {
     val rects = bars.zipWithIndex.map { case ((label, v), i) =>
       val y = 30 + i * (barH + gap)
       val bw = math.max(1.0, (w - labelW - 90) * v / maxV)
-      f"""<text x="${labelW - 8}" y="${y + 15}" text-anchor="end" font-size="12">${esc(label)}</text>""" +
-        f"""<rect x="$labelW" y="$y" width="$bw%.1f" height="$barH" fill="#4878a8"/>""" +
-        f"""<text x="${labelW + bw + 6}%.1f" y="${y + 15}" font-size="12">${esc(fmtNum(v))}$unit</text>"""
+      s"""<text x="${labelW - 8}" y="${y + 15}" text-anchor="end" font-size="12">${esc(label)}</text>""" +
+        s"""<rect x="$labelW" y="$y" width="${fmt("%.1f", bw)}" height="$barH" fill="#4878a8"/>""" +
+        s"""<text x="${fmt("%.1f", labelW + bw + 6)}" y="${y + 15}" font-size="12">${esc(fmtNum(v))}$unit</text>"""
     }.mkString
     s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h" width="$w" height="$h" role="img">""" +
       s"""<text x="0" y="16" font-size="14" font-weight="bold">${esc(title)}</text>$rects</svg>"""
@@ -158,7 +181,7 @@ object Reports {
 
   private def fmtNum(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
-    else f"$v%.4f"
+    else fmt("%.4f", v)
 
   /** HTML rendering (reference's HTML sink shape,
     * `src/main_analysis.py:445-519`: embedded style + one table per

@@ -201,6 +201,42 @@ class RunnerSpec extends GraftSuite {
       "one schema violation row, not one per slice")
   }
 
+  test("a resumed validate reuses the pinned manifest; a fresh one re-pins") {
+    val dir = tmp()
+    TranscriptGen.generate(spark, nConvs = 12, baseTurns = 6)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+      "--resumable", s"$dir/ckpt", "2"))
+    val manifest = java.nio.file.Paths.get(s"$dir/out/input_manifest.json")
+    val pinned = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+    // new files land in the input dir between attempts
+    TranscriptGen.generate(spark, nConvs = 4, baseTurns = 3)
+      .write.mode("append").parquet(s"$dir/in")
+    // the resumed command must see the EXACT snapshot the first attempt
+    // pinned — re-pinning would hand the done slices one file set and the
+    // global passes another (a hybrid verdict)
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+      "--resumable", s"$dir/ckpt", "2"))
+    val after = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+    assert(after == pinned, "resume must not re-pin the input manifest")
+    // a NON-resumable validate on the same out dir re-pins freshly
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out"))
+    val fresh = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+    assert(fresh != pinned, "a fresh run must re-pin the current file set")
+  }
+
+  test("pack verb shards STRING ids by hash (col % n would null-shard them all)") {
+    val dir = tmp()
+    Seq(("doc_a", "a b"), ("doc_b", "a b c"), ("doc_c", "a b c d"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Runner.main(Array("pack", s"$dir/in", s"$dir/out", "4", "--shards", "2"))
+    val packed = spark.read.parquet(s"$dir/out/packed")
+    assert(packed.count() == 3, "every string-id document must be packed")
+    assert(packed.where(col("shard").isNull).count() == 0,
+      "string ids must hash-shard, never land in a NULL shard")
+  }
+
   test("sessions verb writes per-session summaries at the given gap") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

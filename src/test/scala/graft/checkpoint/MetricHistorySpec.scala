@@ -27,6 +27,25 @@ class MetricHistorySpec extends GraftSuite {
     assert(m(("unique(conv_id,turn_idx)", "failed_partitions")) == 0.0)
   }
 
+  test("fromVerdicts: same-name per-key + '(global)' rows use the global counts") {
+    // MaxKeyShare's shape: hot-key rows (rows=violations=the key's count)
+    // plus ONE '(global)' census row under the same name. Mixing them
+    // would record rows=1300/violations=302 — meaningless units where a
+    // hot key merely growing fires a spurious rate-of-change anomaly.
+    val verdicts = Seq(
+      ("hot_a", "max_key_share(conv_id)", false, 200L, 200L),
+      ("hot_b", "max_key_share(conv_id)", false, 100L, 100L),
+      ("(global)", "max_key_share(conv_id)", false, 1000L, 2L)
+    ).toDF("partition_key", "constraint", "pass", "rows", "violations")
+    val m = MetricHistory.fromVerdicts(verdicts)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("max_key_share(conv_id)", "rows")) == 1000.0)
+    assert(m(("max_key_share(conv_id)", "violations")) == 2.0)
+    // per-key FAIL rows still count as failed partition verdicts
+    assert(m(("max_key_share(conv_id)", "failed_partitions")) == 3.0)
+  }
+
   test("append/load round-trip preserves runs") {
     val dir = java.nio.file.Files.createTempDirectory("mh").toString + "/h"
     val metrics = Seq(("c1", "violations", 5.0))

@@ -31,6 +31,27 @@ class ReportsSpec extends GraftSuite {
     assert(r.recommendations.exists(_.contains("duplicate")))
   }
 
+  test("headline total counts each constraint once: [global] twins and same-name global rows") {
+    // not_null emits per-conv rows AND a re-stated "[global]" twin (5);
+    // max_key_share emits per-key rows AND a '(global)' total under ONE
+    // name. The headline must read 5 (per-conv) + 2 (the global hot-key
+    // count) = 7 — summing every row would print 5+5+300+2 = 312.
+    val v = Seq(
+      ("conv_1", "not_null(text)", false, 100L, 5L, 0.05),
+      ("(global)", "not_null(text)[global]", false, 100L, 5L, 0.05),
+      ("hot_key_a", "max_key_share(conv_id)", false, 200L, 200L, 0.2),
+      ("hot_key_b", "max_key_share(conv_id)", false, 100L, 100L, 0.1),
+      ("(global)", "max_key_share(conv_id)", false, 1000L, 2L, 0.002))
+      .toDF("partition_key", "constraint", "pass", "rows", "violations",
+        "violation_rate")
+    val r = Reports.build(v)
+    assert(r.totalViolations == 7, r.totalViolations)
+    val byName = r.byConstraint.map(c => c.constraint -> c).toMap
+    // the by-constraint rollup prefers the '(global)' total too
+    assert(byName("max_key_share(conv_id)").violations == 2)
+    assert(byName("not_null(text)").violations == 5)
+  }
+
   test("markdown and html render every section") {
     val r = Reports.build(verdicts)
     val md = Reports.markdown(r)
