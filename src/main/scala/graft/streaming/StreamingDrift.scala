@@ -13,12 +13,20 @@ object StreamingDrift {
 
   /** Watermarked per-conversation turn-rate aggregation over a streaming
     * transcripts source. Append-mode compatible (watermark closes windows).
+    *
+    * Null-ts rows are filtered up front: a null window group can NEVER be
+    * emitted in append mode (no watermark ever passes a null window end)
+    * — without the filter those turns silently vanish from the sink while
+    * one state-store entry per (conv_id, null-window) lives forever. A
+    * null ts is NotNull's finding; the batch kernel's null-bucket row is
+    * the one shape this stream cannot reproduce, by Spark's own rules.
     */
   def turnRateStream(stream: DataFrame, bucket: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     stream
       // watermarks need TIMESTAMP (ltz); parquet sources often carry NTZ
       .withColumn("ts", col("ts").cast("timestamp"))
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(col("conv_id"), window(col("ts"), bucket).as("w"))
       .agg(count(lit(1)).as("n_turns"))
@@ -60,6 +68,9 @@ object StreamingDrift {
       watermark: String = "2 hours"): DataFrame =
     stream
       .withColumn("ts", col("ts").cast("timestamp"))
+      // null-ts sessions can never close in append mode — see
+      // turnRateStream; a null ts is NotNull's finding
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(col("conv_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_turns"))

@@ -42,9 +42,21 @@ object StreamingRowChecks {
         unsupported.map(_.name).mkString(", ") +
         " — route to the batch Validator or a stateful streaming kernel")
     val compiled = Validator.compileStateless(check.constraints)
-    Validator.explodeChecks(df, check.keyCol, check.orderCol,
-      compiled.map(sc =>
-        (sc.name, sc.column, sc.observed, sc.bound, sc.severity,
-          sc.violated)))
+    // an empty battery is a valid degenerate suite (the batch path
+    // guards it too): exploding a ZERO-struct array would die in the
+    // analyzer with an unrelated-looking array<null> resolver error —
+    // return the empty stream with the violation schema instead
+    if (compiled.isEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      df.where(lit(false)).select(
+        lit("").as("constraint"), col(check.keyCol).as("conv_id"),
+        col(check.orderCol).cast("int").as("turn_idx"),
+        lit("").as("column"), lit("").as("observed"), lit("").as("bound"),
+        lit("").as("severity"))
+    } else
+      Validator.explodeChecks(df, check.keyCol, check.orderCol,
+        compiled.map(sc =>
+          (sc.name, sc.column, sc.observed, sc.bound, sc.severity,
+            sc.violated)))
   }
 }

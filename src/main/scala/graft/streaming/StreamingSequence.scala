@@ -20,6 +20,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * backwards is exactly the case to route to the batch path (and is
   * itself a `Monotonic(ts)` violation).
   *
+  * State-expiry trade (idleTimeoutMs > 0): a conversation resuming AFTER
+  * its state expired has no previous turn on record, so the adjacency
+  * checks across that one boundary are SKIPPED — never fabricated: the
+  * resuming turn is not mistaken for a conversation opener (firstIn
+  * applies only at turn_idx 0), and a gap longer than the timeout is not
+  * flagged in-stream (the batch pass owns it — size idleTimeoutMs well
+  * above maxGapSeconds, as the defaults are). Duplicate redelivery of an
+  * already-processed turn_idx (at-least-once sources) is skipped via the
+  * state's turnIdx watermark instead of being compared against itself.
+  *
   * Violation rows carry the batch Validator's shape (constraint / conv_id
   * / turn_idx / column / observed / bound / severity), byte-compatible
   * with [[StreamingValidator.Violation]].
@@ -80,10 +90,19 @@ object StreamingSequence {
             if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
             var prev = state.getOption
             val out = Seq.newBuilder[StreamingValidator.Violation]
-            events.toSeq.sortBy(_.turn_idx).foreach { e =>
+            // redelivery guard: a turn at or below the state's turn_idx
+            // watermark was already processed in an earlier batch — an
+            // at-least-once duplicate must not be compared against itself
+            // (false no_repeats / strict-monotonic violations)
+            events.toSeq.sortBy(_.turn_idx)
+              .filter(e => prev.forall(_.turnIdx < e.turn_idx))
+              .foreach { e =>
               val tsUs = e.ts.map(t => java.util.concurrent.TimeUnit
                 .MILLISECONDS.toMicros(t.getTime) + (t.getNanos / 1000) % 1000)
-              val textMd5 = e.text.map(md5hex)
+              // the digest is only ever read by no_repeats — a suite
+              // without it must not hash every unbounded payload
+              val textMd5 =
+                if (checks.noRepeats) e.text.map(md5hex) else None
 
               // gap: (prev ts, curr ts) both present and over the bound
               for (maxGap <- checks.maxGapSeconds; p <- prev;
@@ -98,10 +117,16 @@ object StreamingSequence {
                 val name = "transitions(role)"
                 prev match {
                   case None =>
-                    for (opening <- firstIn; r <- e.role
-                         if !opening.contains(r))
-                      out += StreamingValidator.Violation(name, convId,
-                        e.turn_idx, "role", r, transBound.get, "medium")
+                    // firstIn applies only to a conversation's ACTUAL
+                    // opener: empty state at a nonzero turn_idx means the
+                    // state expired (or the stream started mid-thread) —
+                    // fabricating an opener violation there is the one
+                    // divergence from batch this kernel must never have
+                    if (e.turn_idx == 0)
+                      for (opening <- firstIn; r <- e.role
+                           if !opening.contains(r))
+                        out += StreamingValidator.Violation(name, convId,
+                          e.turn_idx, "role", r, transBound.get, "medium")
                   case Some(p) =>
                     for (pr <- p.role; r <- e.role
                          if !allowed.contains((pr, r)))

@@ -88,6 +88,22 @@ class StreamingRowChecksSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("an empty battery streams zero rows instead of dying in the analyzer") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[T]
+    val out = StreamingRowChecks.violations(input.toDS().toDF(),
+      Check("empty", Seq.empty))
+    val q = out.writeStream.format("memory").queryName("row_empty")
+      .outputMode("append").start()
+    try {
+      input.addData(turns: _*); q.processAllAvailable()
+      assert(spark.table("row_empty").count() == 0)
+      assert(spark.table("row_empty").columns.toSeq ==
+        Seq("constraint", "conv_id", "turn_idx", "column", "observed",
+          "bound", "severity"))
+    } finally q.stop()
+  }
+
   test("stateful or aggregate constraints are refused, never dropped") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[T]

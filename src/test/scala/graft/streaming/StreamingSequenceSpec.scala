@@ -79,6 +79,40 @@ class StreamingSequenceSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("redelivered turns are skipped; a mid-thread start never fabricates an opener violation") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqTurn]
+    val out = StreamingSequence.sequenceViolations(input.toDS(),
+      SeqChecks(transitions = Some((allowed, firstIn)), noRepeats = true),
+      idleTimeoutMs = 0L)
+    val q = out.writeStream.format("memory").queryName("seq_redeliver")
+      .outputMode("append").start()
+    try {
+      // c3 starts MID-THREAD at turn_idx 2 with a role outside firstIn:
+      // empty state at a nonzero index means the stream joined late (or
+      // state expired) — no opener violation may be fabricated
+      input.addData(SeqTurn("c3", 2, Some("assistant"),
+        Some(ts("2024-01-03 00:00:00")), Some("x"), None))
+      q.processAllAvailable()
+      // an at-least-once source redelivers turn 2 in a later batch: the
+      // duplicate must be skipped, not compared against itself (a false
+      // no_repeats hit — identical text — and a false self-transition)
+      input.addData(SeqTurn("c3", 2, Some("assistant"),
+        Some(ts("2024-01-03 00:00:00")), Some("x"), None))
+      q.processAllAvailable()
+      // a legal continuation still checks against the retained state
+      input.addData(SeqTurn("c3", 3, Some("assistant"),
+        Some(ts("2024-01-03 00:01:00")), Some("y"), None))
+      q.processAllAvailable()
+      val got = spark.table("seq_redeliver")
+        .select("constraint", "conv_id", "turn_idx")
+        .as[(String, String, Int)].collect().toSet
+      // exactly ONE violation: the assistant->assistant transition at
+      // turn 3 (real); nothing from the mid-thread start or the replay
+      assert(got == Set(("transitions(role)", "c3", 3)), got)
+    } finally q.stop()
+  }
+
   test("violation rows are empty when every check is off") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[SeqTurn]
