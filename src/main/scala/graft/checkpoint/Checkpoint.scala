@@ -123,9 +123,18 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     spark.read.parquet(stagingDir)
   }
 
-  /** A resume must use the slice count the data was hashed into. */
+  /** A resume must use the slice count the data was hashed into. Staged
+    * data with NO _PARTITIONS record (a crash between the parquet commit
+    * and recording the count) REFUSES rather than silently accepting any
+    * `partitions` — a smaller resume would complete while never
+    * validating the tail slices.
+    */
   private def requireStagedPartitions(): Unit =
-    if (Files.exists(stagingDone) && Files.exists(stagingParts)) {
+    if (Files.exists(stagingDone)) {
+      require(Files.exists(stagingParts),
+        s"checkpoint at $checkpointDir has staged data but no _PARTITIONS " +
+          "record (staging was interrupted after the parquet commit) — " +
+          "delete the staging dir and restart")
       val staged = Files.readString(stagingParts).trim.toInt
       require(staged == partitions,
         s"checkpoint at $checkpointDir was staged with partitions=$staged; " +
@@ -185,7 +194,10 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       r.unpersistAll()
       val wall = (System.nanoTime() - t0) / 1000000
       import spark.implicits._
-      Seq(PartitionMetrics(p, rows, nViol, check.constraints.size, wall)).toDF()
+      // the count the slice ACTUALLY evaluated — aggregate/global-scoped/
+      // schema constraints are stripped by sliceCheck and run elsewhere
+      Seq(PartitionMetrics(p, rows, nViol,
+        sliceCheck(check).constraints.size, wall)).toDF()
         .write.mode("overwrite").parquet(s"${pDir(p)}/metrics")
       // atomic completion marker — written last
       Files.createDirectories(doneMarker(p).getParent)
@@ -227,6 +239,17 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     * A UniqueKey / FunctionalDependency whose key tuple carries the
     * conversation key IS slice-safe (hash staging keeps a conversation's
     * rows together) and stays in the slices.
+    *
+    * The statistical ROW-FLAG families (GlobalZ / RobustZ / IqrOutliers)
+    * deliberately stay in the slices and compute their stats
+    * slice-locally: their verdicts are per-conversation rate claims (not
+    * whole-table claims), re-deriving whole-table stats at completion
+    * would cost a second full scan — the one thing the resumable path
+    * exists to avoid — and the conversation-hash slicing is an unbiased
+    * sample, so slice stats converge on table stats at any real slice
+    * size. The divergence from a direct validate() is confined to rows
+    * within ~1/sqrt(slice rows) of the threshold; route a suite where
+    * that band matters to the direct path.
     */
   private def globalScoped(check: Check)(c: graft.dsl.Constraint): Boolean =
     c match {

@@ -470,7 +470,13 @@ object Validator {
       case c @ IqrOutliers(columnName, k, _) =>
         val q1 = stat(s"__q0.25__$columnName"); val q3 = stat(s"__q0.75__$columnName")
         val lo = q1 - k * (q3 - q1); val hi = q3 + k * (q3 - q1)
-        Some(RowCheck(c, columnName, col(columnName) < lo || col(columnName) > hi,
+        // NaN fences (a column >=25% NaN puts a quantile in the NaN
+        // region — Spark sorts NaN greatest) degrade to "no signal" like
+        // GlobalZ's sd>0 / RobustZ's mad>0 guards: `v < NaN` is TRUE for
+        // every non-NaN value, which would flag every healthy row
+        Some(RowCheck(c, columnName,
+          if (lo.isNaN || hi.isNaN) lit(false)
+          else col(columnName) < lo || col(columnName) > hi,
           col(columnName).cast("string"), s"[$lo,$hi]"))
       case _ => None
     }
@@ -610,18 +616,27 @@ object Validator {
           // Instead anti-join the fact's DISTINCT keys (map-side combined
           // — only key values ride the exchange) and broadcast the
           // violating keys back as an inner join: the fact never shuffles.
-          val badKeys = antiJoin(base.select(col(columnName)).distinct())
+          // Null keys cannot ride the broadcast-back EQUI-join (null never
+          // equi-matches), so the census runs over NON-null keys and the
+          // null-key rows (violations whenever nullOk=false — a null can
+          // never resolve) union back explicitly: identical violation set
+          // to the anti-join tier, whose left_anti naturally keeps nulls.
+          val nn = base.where(col(columnName).isNotNull)
+          val badKeys = antiJoin(nn.select(col(columnName)).distinct())
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (badKeys.count() <= maxCensusBroadcastKeys(spark)) {
-            censusCached += badKeys
-            base.join(broadcast(badKeys), Seq(columnName), "inner")
-          } else {
-            // mass violation — the rare-violation premise is void; fall
-            // back to the plain anti-join tier (still correct, and the
-            // broadcast that would have OOM'd the driver never builds)
-            badKeys.unpersist()
-            antiJoin(base)
-          }
+          val matched =
+            if (badKeys.count() <= maxCensusBroadcastKeys(spark)) {
+              censusCached += badKeys
+              nn.join(broadcast(badKeys), Seq(columnName), "inner")
+            } else {
+              // mass violation — the rare-violation premise is void; fall
+              // back to the plain anti-join tier (still correct, and the
+              // broadcast that would have OOM'd the driver never builds)
+              badKeys.unpersist()
+              antiJoin(nn)
+            }
+          if (nullOk) matched
+          else matched.unionByName(base.where(col(columnName).isNull))
         }
         joined
           .select(lit(c.name).as("constraint"),
@@ -1247,7 +1262,14 @@ object Validator {
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
-      check.constraints.collect { case c: UniqueKey => (c.name, 0.0) } ++
+      // a UniqueKey whose tuple misses the conversation key verdicts
+      // GLOBALLY (its violation rows carry conv_id "(global)") — a
+      // per-conversation row would report 0/pass for every conversation
+      // regardless of duplicates, like the non-key-determinant FD case
+      check.constraints.collect {
+        case c: UniqueKey if c.columns.contains(check.keyCol) =>
+          (c.name, 0.0)
+      } ++
       // inlined RIs already ride rowChecks under the same constraint name
       check.constraints.collect {
         case c: ReferentialIntegrity
@@ -1275,10 +1297,18 @@ object Validator {
         .toDF("partition_key", "constraint", "pass", "rows", "violations",
           "violation_rate")
     } else {
-      val convRows = df.groupBy(key.cast("string").as("conv_id"))
+      // the null-key conversation group joins under a "(null)" sentinel:
+      // a null conv_id can never EQUI-match between the row census and
+      // the violation counts, so without it the null group's verdict
+      // reported 0/pass regardless of its violation rows (verdicts
+      // contradicting the violation sink — pass-by-omission)
+      val convRows = df
+        .groupBy(coalesce(key.cast("string"), lit("(null)")).as("conv_id"))
         .agg(count(lit(1)).as("rows"))
       val cDf = perConvConstraints.toDF("constraint", "max_rate")
-      val vCounts = allViolations.groupBy(col("conv_id"), col("constraint"))
+      val vCounts = allViolations
+        .groupBy(coalesce(col("conv_id"), lit("(null)")).as("conv_id"),
+          col("constraint"))
         .agg(count(lit(1)).as("violations"))
       convRows.crossJoin(broadcast(cDf))
         .join(vCounts, Seq("conv_id", "constraint"), "left")
@@ -1352,18 +1382,26 @@ object Validator {
       .select("partition_key", "constraint", "pass", "rows", "violations",
         "violation_rate")
 
-    // FDs whose determinant does NOT carry the conversation key verdict
-    // globally: one count over the (persisted) violation set — no rescan
+    // FDs and UniqueKeys whose tuple does NOT carry the conversation key
+    // verdict globally (their violation rows carry conv_id "(global)",
+    // which no per-conversation verdict row can ever count — without this
+    // a duplicate-key table would read all-pass in the verdicts while the
+    // violation sink disagrees): one count over the (persisted) violation
+    // set — no rescan
     val fdGlobalVerdicts: Seq[DataFrame] = check.constraints.collect {
       case c: FunctionalDependency if !c.determinant.contains(check.keyCol) =>
-        allViolations.where(col("constraint") === c.name)
-          .agg(count(lit(1)).as("violations"))
-          .select(lit("(global)").as("partition_key"),
-            lit(c.name).as("constraint"),
-            (col("violations") === 0).as("pass"),
-            lit(totalRows).as("rows"), col("violations"),
-            (col("violations") / lit(math.max(1L, totalRows).toDouble))
-              .as("violation_rate"))
+        c.name
+      case c: UniqueKey if !c.columns.contains(check.keyCol) =>
+        c.name
+    }.map { name =>
+      allViolations.where(col("constraint") === name)
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("(global)").as("partition_key"),
+          lit(name).as("constraint"),
+          (col("violations") === 0).as("pass"),
+          lit(totalRows).as("rows"), col("violations"),
+          (col("violations") / lit(math.max(1L, totalRows).toDouble))
+            .as("violation_rate"))
     }
 
     val allVerdicts = (Seq(perConvVerdicts, globalVerdictDf) ++

@@ -162,6 +162,19 @@ class CheckpointSpec extends GraftSuite {
     assert(ex.getMessage.contains("partitions=8"))
   }
 
+  test("staged data with no _PARTITIONS record refuses instead of silently skipping slices") {
+    // simulate a crash between the staging parquet commit and the
+    // _PARTITIONS write: a resume with a smaller count would otherwise
+    // complete while never validating the tail slices
+    val dir = Files.createTempDirectory("graft_cp_noparts").toString
+    val r1 = new ResumableValidation(spark, dir, partitions = 4)
+    assert(r1.run(transcripts, check, ctx, maxPartitionsThisRun = 1).isEmpty)
+    Files.delete(java.nio.file.Paths.get(s"$dir/staging/_PARTITIONS"))
+    val r2 = new ResumableValidation(spark, dir, partitions = 2)
+    val ex = intercept[IllegalArgumentException] { r2.run(transcripts, check, ctx) }
+    assert(ex.getMessage.contains("_PARTITIONS"), ex.getMessage)
+  }
+
   test("withStatsState=false refuses a check whose aggregate verdicts would vanish") {
     val dir = Files.createTempDirectory("graft_cp_nostate").toString
     val r = new ResumableValidation(spark, dir, partitions = 2)

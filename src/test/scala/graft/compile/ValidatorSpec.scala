@@ -567,6 +567,79 @@ class ValidatorSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("RI key-census tier: nullOk=false flags null keys like the anti-join tier") {
+    // nulls can't ride the census's broadcast-back equi-join; without the
+    // explicit null-branch union the census tier silently PASSED rows the
+    // anti-join tier flags — a tier-parity break the DSL forbids
+    val df = Seq(
+        ("c1", 0, Some("user")),
+        ("c1", 1, None),
+        ("c2", 0, Some("ghost_role")),
+        ("c2", 1, None))
+      .toDF("conv_id", "turn_idx", "role")
+    def viol(census: Boolean): Set[(String, Int)] = {
+      val r = Validator.validate(df, Check("t", Seq(
+        ReferentialIntegrity("role", "role_dim", "role", nullOk = false,
+          keyCensus = census))), dims)
+      val rows = r.violations.where(col("constraint").startsWith("ref("))
+        .select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+      r.unpersistAll(); rows
+    }
+    val expected = Set(("c1", 1), ("c2", 0), ("c2", 1))
+    assert(viol(census = false) == expected)
+    assert(viol(census = true) == expected,
+      "census tier must flag the SAME null-key rows as the anti-join tier")
+  }
+
+  test("non-key UniqueKey verdicts globally; a duplicate table cannot read all-pass") {
+    // msg_id doesn't carry conv_id: duplicates group ACROSS conversations
+    // and the violation rows carry conv_id "(global)" — the verdict for
+    // the constraint must be the global one that counts them, never
+    // per-conversation rows that structurally report 0/pass
+    val df = Seq(
+        ("c1", 0, "m1"), ("c1", 1, "m2"),
+        ("c2", 0, "m1"), // m1 duplicated across conversations
+        ("c2", 1, "m3"))
+      .toDF("conv_id", "turn_idx", "msg_id")
+    val r = Validator.validate(df, Check("u", Seq(UniqueKey(Seq("msg_id")))))
+    val v = r.verdicts.where(col("constraint") === "unique(msg_id)")
+      .select("partition_key", "pass", "violations").collect()
+    // one violation ROW per duplicated key group (m1), counted globally
+    assert(v.length == 1 && v(0).getString(0) == "(global)" &&
+      !v(0).getBoolean(1) && v(0).getLong(2) == 1L, v.toSeq)
+    r.unpersistAll()
+  }
+
+  test("IqrOutliers: NaN quantiles degrade to no-signal instead of flagging every row") {
+    // >=25% NaN values put q3 in the NaN region (Spark sorts NaN
+    // greatest); NaN fences with `v < NaN` would flag EVERY healthy row
+    val df = Seq(
+        ("c1", 0, 1.0), ("c1", 1, 2.0), ("c1", 2, 3.0),
+        ("c2", 0, Double.NaN), ("c2", 1, Double.NaN))
+      .toDF("conv_id", "turn_idx", "v")
+    val r = Validator.validate(df, Check("i", Seq(
+      IqrOutliers("v", approx = false))))
+    assert(r.violations.where(col("constraint").startsWith("iqr")).count() == 0,
+      "NaN fences must not flag healthy rows")
+    r.unpersistAll()
+  }
+
+  test("null-key conversation verdicts count their violations under the (null) sentinel") {
+    val df = Seq(
+        (Some("c1"), 0, Some("user")),
+        (None, 0, Some("not_a_role")), // null conv, failing row check
+        (None, 1, Some("user")))
+      .toDF("conv_id", "turn_idx", "role")
+    val r = Validator.validate(df, Check("n", Seq(
+      InSet("role", Seq("user", "assistant")))))
+    val v = r.verdicts.where(col("partition_key") === "(null)")
+      .select("pass", "rows", "violations").collect()
+    assert(v.length == 1 && !v(0).getBoolean(0) && v(0).getLong(1) == 2L &&
+      v(0).getLong(2) == 1L,
+      s"the null-key group must count its violation rows: ${v.toSeq}")
+    r.unpersistAll()
+  }
+
   test("RI key-census tier: mass violation falls back to the anti-join, still correct") {
     val expected = result.violations
       .where(col("constraint") === "ref(role->role_dim)")
