@@ -1435,6 +1435,58 @@ object SparkEntry {
         keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("en_share"))
+    }),
+
+    // VectorShape: the embedding-column well-formedness battery as a
+    // declarative row check over a deterministically corrupted copy of
+    // the embeddings table — vec_id % 7 == 0 → truncated to 60 dims,
+    // else % 11 == 3 → NaN first element, else % 13 == 5 → ×4 norm
+    // explosion (a power of two is exact in float AND double, so the
+    // oracle's arithmetic matches bit-for-bit whatever width it folds
+    // in). Violation rows observe WHICH legs fired (dim=/element/norm=),
+    // never the vector itself; the NaN guard keeps the norm leg from
+    // double-firing on poisoned vectors.
+    "q102_vector_shape_violations" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val laced = e.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(7)) === 0,
+          slice(col("embedding"), 1, 60))
+          .when(pmod(col("vec_id"), lit(11)) === 3,
+            transform(col("embedding"),
+              (x, i) => when(i === 0, lit(Float.NaN)).otherwise(x)))
+          .when(pmod(col("vec_id"), lit(13)) === 5,
+            transform(col("embedding"), x => x * lit(4.0f)))
+          .otherwise(col("embedding")))
+      val r = Validator.validate(laced, Check("v", Seq(
+        VectorShape("embedding", dim = Some(64), normLo = Some(0.5),
+          normHi = Some(1.5))),
+        keyCol = "vec_id", orderCol = "vec_id"), Validator.Context())
+      r.violations.select(col("conv_id").cast("bigint").as("vec_id"),
+        col("observed"))
+        .orderBy("vec_id")
+    }),
+
+    // TurnCountBetween: the conversation-length bound over the
+    // transcripts view — at sf0.01 per-conversation counts span 49..86,
+    // so [55, 80] flags both tails (conditional twin: the oracle derives
+    // the same census, so parity holds at any SF); violations observe
+    // the census count
+    "q103_turn_count_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("tc", Seq(TurnCountBetween(55L, 80L))))
+      r.violations.select(col("conv_id"), col("observed"))
+        .orderBy("conv_id")
+    }),
+
+    // Constraint suggestion over a table WITH an embedding column: the
+    // vector census (dim range, poisoned count, norm range over clean
+    // vectors) fuses into the same one-pass profile, and the constant-dim
+    // observed-clean embedding column earns a vector_shape suggestion
+    // with the padded norm window; the oracle re-derives every rule from
+    // its own per-column census exactly like q91's
+    "q104_suggested_vector_constraints" -> ((s, dir) => {
+      Suggestions.suggestDf(s, Tables.embeddings(s, dir))
+        .orderBy("column", "suggestion")
     })
   )
 
@@ -3172,6 +3224,113 @@ object SparkEntry {
          |sh AS (SELECT count(CASE WHEN lang_pred = 'en' THEN 1 END)::DOUBLE
          |    / count(*) AS share FROM pred)
          |SELECT 'text' AS "column", round(share, 6) AS en_share
-         |FROM sh WHERE share < 0.95""".stripMargin
+         |FROM sh WHERE share < 0.95""".stripMargin,
+
+    // vector-shape twin: the SAME deterministic lacing (first matching
+    // rule wins, ×4 scale exact in any float width), then an independent
+    // replay of all three legs — length, null/NaN element scan, double
+    // L2 norm with the NaN guard — and the same concat_ws observed string
+    "q102_vector_shape_violations" ->
+      """WITH laced AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 7 = 0 THEN embedding[1:60]
+        |         WHEN vec_id % 11 = 3 THEN
+        |           list_transform(embedding, (x, i) ->
+        |             CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
+        |         WHEN vec_id % 13 = 5 THEN
+        |           list_transform(embedding, x -> (x * 4.0)::FLOAT)
+        |         ELSE embedding END AS v
+        |  FROM embeddings),
+        |legs AS (
+        |  SELECT vec_id, len(v) AS dim_len, len(v) <> 64 AS bad_dim,
+        |    len(list_filter(v, x -> x IS NULL OR isnan(x))) > 0 AS bad_elem,
+        |    sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE)))
+        |      AS norm
+        |  FROM laced),
+        |f AS (
+        |  SELECT vec_id, dim_len, bad_dim, bad_elem,
+        |    NOT bad_elem AND (norm < 0.5 OR norm > 1.5) AS bad_norm, norm
+        |  FROM legs)
+        |SELECT vec_id,
+        |  concat_ws(',',
+        |    CASE WHEN bad_dim THEN 'dim=' || dim_len::VARCHAR END,
+        |    CASE WHEN bad_elem THEN 'element' END,
+        |    CASE WHEN bad_norm THEN 'norm=' || round(norm, 6)::VARCHAR END)
+        |    AS observed
+        |FROM f WHERE bad_dim OR bad_elem OR bad_norm
+        |ORDER BY vec_id""".stripMargin,
+
+    // turn-count twin: the same keyed census (null keys skipped), the
+    // same bounds, the same observed string — conditional at any SF
+    "q103_turn_count_violations" ->
+      s"""WITH $T,
+         |c AS (SELECT conv_id, count(*) AS n FROM transcripts
+         |  WHERE conv_id IS NOT NULL GROUP BY 1)
+         |SELECT conv_id, 'n=' || n::VARCHAR AS observed
+         |FROM c WHERE n < 55 OR n > 80 ORDER BY conv_id""".stripMargin,
+
+    // vector-suggestion twin: an independent per-column census of the
+    // embeddings table (scalar columns like q91's stats; the embedding
+    // column gets the dim/poisoned/norm census) and the same
+    // deterministic rules — incl. the floor/ceil 4-decimal norm padding
+    "q104_suggested_vector_constraints" ->
+      """WITH vc AS (
+        |  SELECT count(*) AS n,
+        |    count(CASE WHEN embedding IS NULL THEN 1 END) AS nulls,
+        |    count(DISTINCT embedding) AS dist,
+        |    min(CASE WHEN embedding IS NOT NULL THEN len(embedding) END)
+        |      AS dimmin,
+        |    max(CASE WHEN embedding IS NOT NULL THEN len(embedding) END)
+        |      AS dimmax,
+        |    count(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+        |      embedding, x -> x IS NULL OR isnan(x))) > 0 THEN 1 END)
+        |      AS vbad,
+        |    min(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+        |      embedding, x -> x IS NULL OR isnan(x))) = 0 THEN
+        |      sqrt(list_sum(list_transform(embedding,
+        |        x -> x::DOUBLE * x::DOUBLE))) END) AS normmin,
+        |    max(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+        |      embedding, x -> x IS NULL OR isnan(x))) = 0 THEN
+        |      sqrt(list_sum(list_transform(embedding,
+        |        x -> x::DOUBLE * x::DOUBLE))) END) AS normmax
+        |  FROM embeddings),
+        |ic AS (
+        |  SELECT 'vec_id' AS c, count(*) AS n,
+        |    count(CASE WHEN vec_id IS NULL THEN 1 END) AS nulls,
+        |    count(DISTINCT vec_id) AS dist,
+        |    min(vec_id)::DOUBLE AS mn, max(vec_id)::DOUBLE AS mx
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 'label', count(*),
+        |    count(CASE WHEN label IS NULL THEN 1 END),
+        |    count(DISTINCT label), min(label)::DOUBLE, max(label)::DOUBLE
+        |  FROM embeddings),
+        |sugg AS (
+        |  SELECT c, 'not_null' AS suggestion, NULL::DOUBLE AS lo,
+        |    ceil((nulls::DOUBLE / n) * 10000) / 10000 AS hi,
+        |    NULL::VARCHAR AS details
+        |  FROM ic WHERE n > 0 AND nulls::DOUBLE / n <= 0.5
+        |  UNION ALL
+        |  SELECT 'embedding', 'not_null', NULL,
+        |    ceil((nulls::DOUBLE / n) * 10000) / 10000, NULL
+        |  FROM vc WHERE n > 0 AND nulls::DOUBLE / n <= 0.5
+        |  UNION ALL
+        |  SELECT c, 'value_bounds', mn, mx, NULL FROM ic
+        |  WHERE n > 0 AND mn IS NOT NULL
+        |  UNION ALL
+        |  SELECT c, 'unique_key', NULL, NULL, NULL FROM ic
+        |  WHERE nulls = 0 AND dist = n AND n > 1
+        |  UNION ALL
+        |  SELECT 'embedding', 'unique_key', NULL, NULL, NULL FROM vc
+        |  WHERE nulls = 0 AND dist = n AND n > 1
+        |  UNION ALL
+        |  SELECT 'embedding', 'vector_shape',
+        |    floor(normmin * 10000) / 10000, ceil(normmax * 10000) / 10000,
+        |    'dim=' || dimmin::VARCHAR
+        |  FROM vc WHERE n - nulls > 0 AND vbad = 0 AND dimmin = dimmax
+        |    AND dimmin IS NOT NULL AND normmin IS NOT NULL)
+        |SELECT c AS "column", suggestion, round(lo, 6) AS lo,
+        |  round(hi, 6) AS hi, details
+        |FROM sugg ORDER BY "column", suggestion""".stripMargin
   )
 }

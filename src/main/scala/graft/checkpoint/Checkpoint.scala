@@ -333,6 +333,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case c @ graft.dsl.ParsableAs(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.NoPii(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.MinTextQuality(_, _, r) => s"${c.name}[global]" -> r
+      case c @ graft.dsl.VectorShape(_, _, _, _, r) => s"${c.name}[global]" -> r
     }.toMap
     val rateKeys = rateBounds.keys.toSeq
     val verdicts = if (rateKeys.isEmpty) sliceVerdicts else {

@@ -2,7 +2,8 @@ package graft.compile
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+  NumericType, StringType}
 
 import graft.dsl._
 
@@ -45,7 +46,13 @@ object Suggestions {
       isString: Boolean,
       isNumeric: Boolean,
       shapeBreaks: Seq[Long] = Nil,
-      piiHits: Option[Long] = None)
+      piiHits: Option[Long] = None,
+      isVector: Boolean = false,
+      dimMin: Option[Long] = None,
+      dimMax: Option[Long] = None,
+      vecBadElems: Option[Long] = None,
+      normMin: Option[Double] = None,
+      normMax: Option[Double] = None)
 
   /** One suggested constraint plus the census evidence that produced it. */
   final case class Suggested(
@@ -115,10 +122,29 @@ object Suggestions {
             1)).as(s"pii__${f.name}"))
         case _ => Nil
       }
+      // vector census: per float/double-array column, the dim range, the
+      // count of null/NaN-poisoned vectors, and the L2-norm range over
+      // well-formed ones — a constant-dim, observed-clean column becomes
+      // a `vector_shape` suggestion (dim + norm bounds locked in the way
+      // value_bounds locks [min, max]). Fused into the same single pass —
+      // size + two higher-order folds, all codegen.
+      val vec = f.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          val bad = exists(c, x => x.isNull || isnan(x.cast("double")))
+          val norm = sqrt(aggregate(c, lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))
+          Seq(
+            min(when(c.isNotNull, size(c))).as(s"dimmin__${f.name}"),
+            max(when(c.isNotNull, size(c))).as(s"dimmax__${f.name}"),
+            count(when(c.isNotNull && bad, 1)).as(s"vbad__${f.name}"),
+            min(when(c.isNotNull && !bad, norm)).as(s"normmin__${f.name}"),
+            max(when(c.isNotNull && !bad, norm)).as(s"normmax__${f.name}"))
+        case _ => Nil
+      }
       Seq(
         count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
         count_distinct(distArg).as(s"dist__${f.name}")) ++
-        minMax ++ shapes ++ pii
+        minMax ++ shapes ++ pii ++ vec
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -137,6 +163,15 @@ object Suggestions {
         if (row.isNullAt(i)) None else Some(row.getDouble(i))
       }
       val numeric = f.dataType.isInstanceOf[NumericType]
+      val vector = f.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      def optL(name: String): Option[Long] = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) None
+        else Some(row.getAs[Number](i).longValue)
+      }
       ColumnCensus(
         column = f.name,
         rows = rows,
@@ -154,7 +189,14 @@ object Suggestions {
         piiHits =
           if (f.dataType == StringType)
             Some(row.getAs[Long](s"pii__${f.name}"))
-          else None)
+          else None,
+        isVector = vector,
+        dimMin = if (vector) optL(s"dimmin__${f.name}") else None,
+        dimMax = if (vector) optL(s"dimmax__${f.name}") else None,
+        vecBadElems =
+          if (vector) Some(row.getAs[Long](s"vbad__${f.name}")) else None,
+        normMin = if (vector) optD(s"normmin__${f.name}") else None,
+        normMax = if (vector) optD(s"normmax__${f.name}") else None)
     }
   }
 
@@ -178,6 +220,12 @@ object Suggestions {
     *    [[graft.text.Pii]] battery — observed-clean becomes a locked-in
     *    bound, like value_bounds; columns WITH hits get no suggestion
     *    (whether their PII is legitimate is the owner's call).
+    *  - `vector_shape` for float/double-array columns whose non-null
+    *    vectors all share ONE dim and carry zero null/NaN elements: the
+    *    observed dim plus [floor(min norm), ceil(max norm)] at 4 decimals
+    *    (padded outward so the bound holds on the data that produced it).
+    *    A column with poisoned vectors or varying dims gets no suggestion
+    *    — which shape is intended is the owner's call, the no_pii rule.
     */
   def suggest(df: DataFrame, columns: Seq[String] = Nil,
       maxSetSize: Int = 20,
@@ -238,7 +286,23 @@ object Suggestions {
             Some(graft.text.Pii.allKinds.mkString(",")),
             NoPii(c.column)))
         else None
-      Seq(notNull, inSet, shape, bounds, unique, noPii).flatten
+      // vector_shape: constant-dim, observed-clean float/double arrays
+      // lock in the dim and the padded norm window; poisoned or
+      // ragged-dim columns get no suggestion (owner's call, like no_pii)
+      val vector =
+        if (c.isVector && c.rows - c.nulls > 0 &&
+            c.vecBadElems.contains(0L) && c.dimMin.nonEmpty &&
+            c.dimMin == c.dimMax)
+          c.normMin.zip(c.normMax).map { case (nLo, nHi) =>
+            val lo = math.floor(nLo * 10000) / 10000
+            val hi = math.ceil(nHi * 10000) / 10000
+            Suggested(c.column, "vector_shape", Some(lo), Some(hi),
+              Some(s"dim=${c.dimMin.get}"),
+              VectorShape(c.column, Some(c.dimMin.get.toInt),
+                Some(lo), Some(hi)))
+          }
+        else None
+      Seq(notNull, inSet, shape, bounds, unique, noPii, vector).flatten
     }.sortBy(s => (s.column, s.suggestion))
   }
 

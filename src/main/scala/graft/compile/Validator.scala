@@ -131,6 +131,29 @@ object Validator {
       StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNotNull && score < minScore,
         score.cast("string"), s"quality >= $minScore")
+    case c @ VectorShape(columnName, dim, normLo, normHi, maxRate) =>
+      // observed = WHICH legs fired (dim=…/element/norm=…), never the
+      // vector itself (a float array does not belong in a violation
+      // sink); a NaN element makes the norm NaN, so the norm leg is
+      // guarded to never double-fire on it (the rolling-z discipline);
+      // null arrays are NotNull's finding
+      val v = col(columnName)
+      val badDim = dim.map(d => size(v) =!= d).getOrElse(lit(false))
+      val badElem = exists(v, x => x.isNull || isnan(x.cast("double")))
+      val norm = sqrt(aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val badNorm = !badElem &&
+        (normLo.map(norm < _) ++ normHi.map(norm > _))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        v.isNotNull && (badDim || badElem || badNorm),
+        concat_ws(",",
+          when(badDim, concat(lit("dim="), size(v).cast("string"))),
+          when(badElem, lit("element")),
+          when(badNorm, concat(lit("norm="), round(norm, 6).cast("string")))),
+        s"vector(dim=${dim.getOrElse("*")}, " +
+          s"norm in [${normLo.getOrElse(0.0)}," +
+          s"${normHi.getOrElse(Double.PositiveInfinity)}])")
   }
 
   /** One projection emitting every configured check's violation rows:
@@ -278,6 +301,8 @@ object Validator {
       .collect { case (c: NoPii, i) => (c, i) }
     val qualCs: Seq[(MinTextQuality, Int)] = check.constraints.zipWithIndex
       .collect { case (c: MinTextQuality, i) => (c, i) }
+    val vecCs: Seq[(VectorShape, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: VectorShape, i) => (c, i) }
     // language share: two conditional counts per (column, lang) pair —
     // the non-null census aliases by column only so two langs on one
     // column share it, not collide on it
@@ -312,6 +337,10 @@ object Validator {
         // the ONE compile site's predicate, like ParsableAs
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__qual__$i") } ++
+      vecCs.map { case (c, i) =>
+        // the ONE compile site's predicate, like ParsableAs
+        count(when(compileStateless(Seq(c)).head.violated, 1))
+          .as(s"__vec__$i") } ++
       // language mix: matched count per (column, lang) + the shared
       // non-null census per column — the counts read the ONE pre-projected
       // __langpred__ column (see statsInput below), so the langId array
@@ -452,7 +481,7 @@ object Validator {
       // construction — see compileStateless)
       case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
           _: TextEquals | _: Compliance | _: ParsableAs | _: NoPii |
-          _: MinTextQuality) =>
+          _: MinTextQuality | _: VectorShape) =>
         val sc = compileStateless(Seq(c)).head
         Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
@@ -592,6 +621,22 @@ object Validator {
               concat(lit("distinct="), col("__nd").cast("string")))
               .as("observed"),
             lit(s"dense from $base").as("bound"),
+            lit(c.severity).as("severity"))
+      // conversation-length bound: groupBy key → count (map-side
+      // combined; only the key rides the exchange), fail outside
+      // [lo, hi]; null-key rows group under no conversation (NotNull's
+      // finding)
+      case c @ TurnCountBetween(lo, hi) =>
+        df.where(key.isNotNull)
+          .groupBy(key)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") < lo || col("__n") > hi)
+          .select(lit(c.name).as("constraint"),
+            key.cast("string").as("conv_id"),
+            lit(-1).as("turn_idx"),
+            lit(check.keyCol).as("column"),
+            concat(lit("n="), col("__n").cast("string")).as("observed"),
+            lit(s"turns in [$lo,$hi]").as("bound"),
             lit(c.severity).as("severity"))
     }
 
@@ -1259,6 +1304,7 @@ object Validator {
       case ParsableAs(_, _, maxRate) => maxRate
       case NoPii(_, _, maxRate) => maxRate
       case MinTextQuality(_, _, maxRate) => maxRate
+      case VectorShape(_, _, _, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -1277,6 +1323,7 @@ object Validator {
           (c.name, 0.0)
       } ++
       check.constraints.collect { case c: ContiguousIndex => (c.name, 0.0) } ++
+      check.constraints.collect { case c: TurnCountBetween => (c.name, 0.0) } ++
       check.constraints.collect { case c: MaxSessionGap => (c.name, 0.0) } ++
       check.constraints.collect { case c: AllowedTransitions => (c.name, 0.0) } ++
       check.constraints.collect { case c: Monotonic => (c.name, 0.0) } ++
@@ -1367,6 +1414,13 @@ object Validator {
       // min_quality global rate bound, like compliance's
       qualCs.map { case (c, i) =>
         val fails = stat(s"__qual__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
+      // vector_shape global rate bound, like compliance's
+      vecCs.map { case (c, i) =>
+        val fails = stat(s"__vec__$i")
         val rate = fails / math.max(1.0, totalRows.toDouble)
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)

@@ -247,6 +247,25 @@ final case class FunctionalDependency(determinant: Seq[String],
 final case class ContiguousIndex(base: Int = 0)
   extends Constraint { val name = s"contiguous_index($base)" }
 
+/** Conversation-length bound — "every conversation must have between
+  * `lo` and `hi` turns": the truncation/runaway detector the index
+  * checks can't see ([[ContiguousIndex]] proves {base..base+n−1} is
+  * dense but says nothing about n itself — a 2-turn stub or a
+  * 10^6-turn runaway both pass it). One partial-agg-friendly hash
+  * aggregation (groupBy key → count — only the key ever aggregates);
+  * a conversation fails iff its turn count falls outside [lo, hi].
+  * Violations are one row per failing conversation observing the
+  * count; null-key rows group under no conversation and are skipped
+  * ([[NotNull]] owns them). Scale: the same exchange shape as the A1
+  * summary census — map-side combined counts, no payload shuffles.
+  */
+final case class TurnCountBetween(lo: Long = 1L, hi: Long = Long.MaxValue)
+  extends Constraint {
+  require(lo >= 0L, s"turn_count: lo=$lo < 0")
+  require(lo <= hi, s"turn_count: lo=$lo > hi=$hi")
+  val name = s"turn_count($lo,$hi)"
+}
+
 /** Distribution drift vs a REFERENCE table — "does this snapshot's column
   * still look like the one we blessed?": PSI between the validated data's
   * `column` (current side) and a registered dimension's `dimColumn`
@@ -448,6 +467,40 @@ final case class LanguageShare(column: String, lang: String,
       s"(supported: ${knownLangs.toSeq.sorted.mkString(",")})")
   require(lo <= hi, s"language_share($column): lo=$lo > hi=$hi")
   val name = s"lang_share($column,$lang)"
+}
+
+/** Embedding-column well-formedness — the vector checks a training
+  * pipeline runs before a single GPU-hour is spent: a non-null ARRAY
+  * value of `column` violates if (a) `dim` is declared and the array's
+  * length differs, (b) any element is null or NaN (one unembedded row
+  * poisons every dot product downstream), or (c) norm bounds are
+  * declared and the L2 norm of an otherwise well-formed vector falls
+  * outside [normLo, normHi] — a zero vector (the classic
+  * failed-embedding sentinel) or an exploding norm both surface here.
+  * The violation row observes WHICH legs fired (`dim=…`/`element`/
+  * `norm=…`), never the vector itself (a 4 KB float array does not
+  * belong in a violation sink). A NaN-bearing vector never double-fires
+  * the norm leg (its norm is NaN — the [[RollingZDrift]] guard
+  * discipline). Null arrays are [[NotNull]]'s finding. At least one leg
+  * must be declared; an impossible norm window refuses at suite BUILD.
+  * `maxFailRate > 0` turns the verdict into a rate bound ([[NotNull]]'s
+  * shape). Scale: pure codegen'd Column composition (size + two
+  * higher-order folds, zero UDFs) fused into the SAME stateless
+  * row-flags projection as every row check — one scan, zero extra jobs,
+  * streaming-legal.
+  */
+final case class VectorShape(column: String, dim: Option[Int] = None,
+    normLo: Option[Double] = None, normHi: Option[Double] = None,
+    maxFailRate: Double = 0.0)
+  extends Constraint {
+  require(dim.nonEmpty || normLo.nonEmpty || normHi.nonEmpty,
+    s"vector_shape($column): declare at least one leg (dim or norm bounds)")
+  require(dim.forall(_ > 0), s"vector_shape($column): dim must be positive")
+  for (lo <- normLo; hi <- normHi)
+    require(lo <= hi, s"vector_shape($column): normLo=$lo > normHi=$hi")
+  require(normHi.forall(_ >= 0.0),
+    s"vector_shape($column): normHi < 0 can never pass (L2 norms are >= 0)")
+  val name = s"vector_shape($column)"
 }
 
 /** Pearson correlation bound between two numeric columns — "these two

@@ -201,6 +201,30 @@ object SuiteConfig {
       case "contiguous_index" =>
         known(n, ctx, Set("type", "base"))
         ContiguousIndex(optI(n, "base", 0, ctx))
+      case "turn_count_between" =>
+        known(n, ctx, Set("type", "lo", "hi"))
+        // the case class validates lo <= hi itself; wrap for context
+        try TurnCountBetween(
+          opt(n, "lo", ctx)(_.canConvertToLong, "an integer")
+            .map(_.asLong()).getOrElse(1L),
+          opt(n, "hi", ctx)(_.canConvertToLong, "an integer")
+            .map(_.asLong()).getOrElse(Long.MaxValue))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
+      case "vector_shape" =>
+        known(n, ctx, Set("type", "column", "dim", "normLo", "normHi",
+          "maxFailRate"))
+        // the case class validates the legs itself; wrap for context
+        try VectorShape(str(n, "column", ctx),
+          opt(n, "dim", ctx)(v => v.isNumber && v.canConvertToInt,
+            "an integer").map(_.asInt()),
+          opt(n, "normLo", ctx)(_.isNumber, "a number").map(_.asDouble()),
+          opt(n, "normHi", ctx)(_.isNumber, "a number").map(_.asDouble()),
+          optD(n, "maxFailRate", 0.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "distribution_drift" =>
         known(n, ctx, Set("type", "column", "dim", "dimColumn", "maxPsi",
           "bins", "maxKs"))
@@ -454,6 +478,14 @@ object SuiteConfig {
         n.put("type", "max_session_gap").put("maxGapSeconds", maxGapSeconds)
       case ContiguousIndex(base) =>
         n.put("type", "contiguous_index").put("base", base)
+      case TurnCountBetween(lo, hi) =>
+        n.put("type", "turn_count_between").put("lo", lo).put("hi", hi)
+      case VectorShape(column, dim, normLo, normHi, maxFailRate) =>
+        n.put("type", "vector_shape").put("column", column)
+        dim.foreach(n.put("dim", _))
+        normLo.foreach(n.put("normLo", _))
+        normHi.foreach(n.put("normHi", _))
+        n.put("maxFailRate", maxFailRate)
       case DistributionDrift(column, dim, dimColumn, maxPsi, bins, maxKs) =>
         n.put("type", "distribution_drift").put("column", column)
           .put("dim", dim).put("dimColumn", dimColumn)

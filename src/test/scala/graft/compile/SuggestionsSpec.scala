@@ -78,6 +78,49 @@ class SuggestionsSpec extends GraftSuite {
     assert(cen("n").piiHits.isEmpty)
   }
 
+  test("vector rule: constant-dim clean column suggested; poisoned or ragged columns aren't") {
+    // exactly-representable norms (1.0, 1.0, 5.0) so the padded bounds
+    // floor/ceil to themselves and the asserts are exact
+    val vecs = Seq(
+        (1, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(1.0f)),
+        (2, Seq(0.0f, 1.0f), Seq(Float.NaN, 1.0f), Seq(1.0f, 0.0f)),
+        (3, Seq(3.0f, 4.0f), Seq(0.0f, 1.0f), Seq(0.0f)))
+      .toDF("n", "clean_emb", "poisoned_emb", "ragged_emb")
+    val cen = Suggestions.census(vecs).map(c => c.column -> c).toMap
+    assert(cen("clean_emb").isVector &&
+      cen("clean_emb").dimMin.contains(2L) &&
+      cen("clean_emb").dimMax.contains(2L) &&
+      cen("clean_emb").vecBadElems.contains(0L))
+    // norms 1.0, 1.0, 5.0 exactly (floats exact at these values)
+    assert(cen("clean_emb").normMin.contains(1.0) &&
+      cen("clean_emb").normMax.contains(5.0))
+    assert(cen("poisoned_emb").vecBadElems.contains(1L))
+    assert(cen("ragged_emb").dimMin.contains(1L) &&
+      cen("ragged_emb").dimMax.contains(2L))
+    assert(cen("n").isVector == false && cen("n").dimMin.isEmpty)
+    val s = Suggestions.suggest(vecs)
+      .groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
+    assert(s("clean_emb").contains("vector_shape"), s)
+    assert(!s.getOrElse("poisoned_emb", Set.empty).contains("vector_shape"), s)
+    assert(!s.getOrElse("ragged_emb", Set.empty).contains("vector_shape"), s)
+    val vs = Suggestions.suggest(vecs).find(x =>
+      x.column == "clean_emb" && x.suggestion == "vector_shape").get
+    assert(vs.lo.contains(1.0) && vs.hi.contains(5.0) &&
+      vs.details.contains("dim=2"), vs)
+    vs.constraint match {
+      case VectorShape("clean_emb", Some(2), Some(lo), Some(hi), _) =>
+        assert(lo == 1.0 && hi == 5.0)
+      case other => fail(s"expected VectorShape, got $other")
+    }
+    // the suggested vector constraint holds on the data that produced it
+    val r = Validator.validate(
+      vecs.withColumn("conv", lit("a")),
+      graft.dsl.Check("v", Seq(vs.constraint), keyCol = "conv",
+        orderCol = "n"))
+    assert(r.verdicts.where(!col("pass")).count() == 0)
+    r.unpersistAll()
+  }
+
   test("suggested suite passes on the data that produced it") {
     // orderCol must stay OUT of the suggested unique keys (a UniqueKey on
     // the order column rides the rolling window's int-cast fast path)
@@ -142,6 +185,9 @@ class SuggestionsSpec extends GraftSuite {
       Monotonic("v", strict = true),
       NoConsecutiveRepeats("a"),
       FunctionalDependency(Seq("a", "b"), "c"),
+      TurnCountBetween(2L, 5000L),
+      VectorShape("e", Some(64), Some(0.5), Some(1.5), 0.01),
+      VectorShape("e", None, None, Some(2.0)), // absent legs stay absent
       TurnRateDrift("30 minutes", 12, "classical", 5, "iqr", 1.5, 0.1, 0.4)
     ), keyCol = "k", orderCol = "o", tsCol = "t")
     assert(SuiteConfig.parse(SuiteConfig.render(all)) == all)

@@ -1287,4 +1287,62 @@ class ValidatorSpec extends GraftSuite {
       .select("pass").as[Boolean].collect().toSeq == Seq(true))
     r3.unpersistAll()
   }
+
+  test("VectorShape: dim/element/norm legs flag with the legs observed; NaN never fires the norm leg") {
+    val df = Seq(
+        ("a", 0, Some(Seq(0.6f, 0.8f))),       // unit norm, right dim: clean
+        ("a", 1, Some(Seq(0.6f, 0.8f, 0.0f))), // wrong dim (norm still fine)
+        ("b", 0, Some(Seq(3.0f, 4.0f))),       // norm 5 > hi
+        ("b", 1, Some(Seq(Float.NaN, 1.0f))),  // element leg ONLY (NaN guard)
+        ("c", 0, Some(Seq(0.0f, 0.0f))),       // zero vector: norm 0 < lo
+        ("c", 1, None))                        // null array: NotNull's finding
+      .toDF("conv_id", "turn_idx", "emb")
+    val r = Validator.validate(df, Check("v", Seq(
+      VectorShape("emb", dim = Some(2), normLo = Some(0.5),
+        normHi = Some(1.5), maxFailRate = 0.5))))
+    val viol = r.violations.where(col("constraint") === "vector_shape(emb)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => ((x.getString(0), x.getInt(1)), x.getString(2))).toMap
+    assert(viol.keySet == Set(("a", 1), ("b", 0), ("b", 1), ("c", 0)), viol)
+    assert(viol(("a", 1)) == "dim=3", viol)
+    assert(viol(("b", 0)) == "norm=5.0", viol)
+    // the poisoned vector's norm is NaN — the guard keeps the norm leg out
+    assert(viol(("b", 1)) == "element", viol)
+    assert(viol(("c", 0)) == "norm=0.0", viol)
+    // global rate: 4/6 > 0.5 → fail carrying the true count
+    val g = r.verdicts.where(col("constraint") === "vector_shape(emb)[global]")
+      .select("pass", "violations").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 4L, g)
+    // per-conversation rates: a 1/2, b 2/2, c 1/2 against 0.5
+    val conv = r.verdicts.where(col("constraint") === "vector_shape(emb)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(conv == Map("a" -> true, "b" -> false, "c" -> true), conv)
+    r.unpersistAll()
+    // build-time refusals: no legs / inverted norms / non-positive dim
+    assert(intercept[IllegalArgumentException](VectorShape("emb"))
+      .getMessage.contains("leg"))
+    assert(intercept[IllegalArgumentException](
+      VectorShape("emb", normLo = Some(2.0), normHi = Some(1.0)))
+      .getMessage.contains("2.0"))
+    assert(intercept[IllegalArgumentException](
+      VectorShape("emb", dim = Some(0))).getMessage.contains("positive"))
+  }
+
+  test("TurnCountBetween: short and long conversations fail observing the count; null keys skipped") {
+    val rows = Seq.tabulate(3)(i => ("a", i)) ++ // 3 turns: below lo
+      Seq.tabulate(5)(i => ("b", i)) ++          // 5: in bounds
+      Seq.tabulate(9)(i => ("c", i)) ++          // 9: above hi
+      Seq((null: String, 0))                     // null key: NotNull's finding
+    val df = rows.toDF("conv_id", "turn_idx")
+    val r = Validator.validate(df, Check("tc", Seq(TurnCountBetween(4L, 8L))))
+    val viol = r.violations.where(col("constraint") === "turn_count(4,8)")
+      .select("conv_id", "observed").as[(String, String)].collect().toMap
+    assert(viol == Map("a" -> "n=3", "c" -> "n=9"), viol)
+    val conv = r.verdicts.where(col("constraint") === "turn_count(4,8)")
+      .select("partition_key", "pass").as[(String, Boolean)].collect().toMap
+    assert(!conv("a") && conv("b") && !conv("c"), conv)
+    r.unpersistAll()
+    assert(intercept[IllegalArgumentException](TurnCountBetween(9L, 3L))
+      .getMessage.contains("9"))
+  }
 }

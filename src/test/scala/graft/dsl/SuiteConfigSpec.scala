@@ -78,6 +78,11 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: min_text_quality, column: txt}
         |  - {type: language_share, column: txt, lang: en, lo: 0.5}
         |  - {type: language_share, column: txt, lang: und, hi: 0.2}
+        |  - {type: turn_count_between, lo: 5, hi: 500}
+        |  - {type: turn_count_between}
+        |  - {type: vector_shape, column: emb, dim: 64, normLo: 0.5,
+        |     normHi: 1.5, maxFailRate: 0.01}
+        |  - {type: vector_shape, column: emb, dim: 8}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -138,6 +143,35 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(45) == MinTextQuality("txt")) // defaults minScore 0.3
     assert(cs(46) == LanguageShare("txt", "en", lo = 0.5)) // hi defaults 1.0
     assert(cs(47) == LanguageShare("txt", "und", hi = 0.2)) // lo defaults 0
+    assert(cs(48) == TurnCountBetween(5L, 500L))
+    assert(cs(49) == TurnCountBetween()) // lo 1, hi unbounded
+    assert(cs(50) == VectorShape("emb", Some(64), Some(0.5), Some(1.5), 0.01))
+    assert(cs(51) == VectorShape("emb", Some(8))) // norm legs off, rate 0
+  }
+
+  test("turn_count_between / vector_shape: impossible bounds fail at parse with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: turn_count_between, lo: 10, hi: 5}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("turn_count") &&
+      ex.getMessage.contains("10"))
+    // no legs declared: the constraint would be vacuously pass-everything
+    val ex2 = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: vector_shape, column: emb}
+        |""".stripMargin))
+    assert(ex2.getMessage.contains("vector_shape") &&
+      ex2.getMessage.contains("leg"))
+    val ex3 = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: vector_shape, column: emb, normLo: 2.0, normHi: 1.0}
+        |""".stripMargin))
+    assert(ex3.getMessage.contains("vector_shape") &&
+      ex3.getMessage.contains("2.0"))
   }
 
   test("min_text_quality / language_share: bad score or lang fails at parse with context") {

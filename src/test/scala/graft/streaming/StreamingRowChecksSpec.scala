@@ -15,7 +15,8 @@ import graft.dsl._
 object StreamingRowChecksSpec {
   // top-level: Spark can't build an Encoder for a suite-inner class
   final case class T(conv_id: String, turn_idx: Int, role: Option[String],
-      text: Option[String], v: Option[Double])
+      text: Option[String], v: Option[Double],
+      emb: Option[Seq[Float]] = Some(Seq(0.6f, 0.8f)))
 }
 
 class StreamingRowChecksSpec extends GraftSuite {
@@ -33,7 +34,12 @@ class StreamingRowChecksSpec extends GraftSuite {
     T("c2", 0, Some("assistant"), Some("oops"), Some(-9.0)),
     T("c2", 1, Some("assistant"), Some("t_1"), None), // pred: null OR false = null
     T("c2", 2, Some("user"), None, Some(0.5)),
-    T("c3", 0, Some("user"), Some("mail me at a@b.io"), Some(1.0))) // NoPii
+    T("c3", 0, Some("user"), Some("mail me at a@b.io"), Some(1.0)), // NoPii
+    // VectorShape: a truncated embedding and a NaN-poisoned one must flag
+    // in-stream with the legs observed (and the NaN norm-leg guard held)
+    T("c3", 1, Some("user"), Some("t_9"), Some(1.0), Some(Seq(1.0f))),
+    T("c3", 2, Some("user"), Some("t_10"), Some(1.0),
+      Some(Seq(Float.NaN, 1.0f))))
 
   private val check = Check("rows", Seq(
     NotNull("role"),
@@ -48,13 +54,16 @@ class StreamingRowChecksSpec extends GraftSuite {
     NoPii("text"),
     // the ninth: every "t_N" fixture text is junk-short (score ~0.2), so
     // the quality floor flags it in-stream with the SCORE observed
-    MinTextQuality("text", minScore = 0.3, maxFailRate = 1.0)))
+    MinTextQuality("text", minScore = 0.3, maxFailRate = 1.0),
+    // the tenth: embedding well-formedness (dim + NaN element legs)
+    VectorShape("emb", dim = Some(2), normLo = Some(0.5),
+      normHi = Some(1.5), maxFailRate = 1.0)))
 
   private type VRow = (String, String, Int, String, String, String)
 
   private def batchRows: Set[VRow] = {
     val r = Validator.validate(
-      turns.toDF("conv_id", "turn_idx", "role", "text", "v"), check)
+      turns.toDF("conv_id", "turn_idx", "role", "text", "v", "emb"), check)
     val rows = r.violations
       .select("constraint", "conv_id", "turn_idx", "column", "observed", "bound")
       .as[VRow].collect().toSet
@@ -79,9 +88,15 @@ class StreamingRowChecksSpec extends GraftSuite {
       // the fixture must exercise every stateless family, null-compliance
       // fails-closed included
       assert(Set("not_null", "in_set", "matches", "bounds", "compliance",
-          "no_pii", "min_quality")
+          "no_pii", "min_quality", "vector_shape")
         .forall(k => expected.exists(_._1.startsWith(k))),
         s"weak fixture: $expected")
+      // both vector legs fired, and the NaN row observed ONLY the
+      // element leg (the norm-leg guard held in-stream)
+      assert(expected.exists(r => r._1.startsWith("vector_shape") &&
+        r._5 == "dim=1"), s"fixture lost the dim leg: $expected")
+      assert(expected.exists(r => r._1.startsWith("vector_shape") &&
+        r._5 == "element"), s"fixture lost the element leg: $expected")
       assert(expected.exists(r => r._1.startsWith("compliance") && r._5 == null),
         s"fixture lost the null-predicate row: $expected")
       assert(got == expected, s"streaming $got vs batch $expected")
