@@ -1487,6 +1487,18 @@ object SparkEntry {
     "q104_suggested_vector_constraints" -> ((s, dir) => {
       Suggestions.suggestDf(s, Tables.embeddings(s, dir))
         .orderBy("column", "suggestion")
+    }),
+
+    // ValueShareBetween: the categorical-mix bound — the user-role share
+    // of the transcripts view (~0.20 by generator design) sits below the
+    // 0.5 floor, so the verdict fails and observes the measured share;
+    // the oracle recomputes the share from its own census and emits under
+    // the SAME condition (conditional twin — parity at any SF)
+    "q105_value_share_violation" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("sh", Seq(ValueShareBetween("role", "user", lo = 0.5))))
+      r.violations.select(col("column"),
+        round(col("observed").cast("double"), 6).as("user_share"))
     })
   )
 
@@ -3331,6 +3343,16 @@ object SparkEntry {
         |    AND dimmin IS NOT NULL AND normmin IS NOT NULL)
         |SELECT c AS "column", suggestion, round(lo, 6) AS lo,
         |  round(hi, 6) AS hi, details
-        |FROM sugg ORDER BY "column", suggestion""".stripMargin
+        |FROM sugg ORDER BY "column", suggestion""".stripMargin,
+
+    // value-share twin: the same non-null census, the same string-form
+    // equality, emitted under the same failure condition as the verdict
+    "q105_value_share_violation" ->
+      s"""WITH $T,
+         |sh AS (SELECT count(CASE WHEN role = 'user' THEN 1 END)::DOUBLE
+         |    / count(CASE WHEN role IS NOT NULL THEN 1 END) AS share
+         |  FROM transcripts)
+         |SELECT 'role' AS "column", round(share, 6) AS user_share
+         |FROM sh WHERE share < 0.5""".stripMargin
   )
 }

@@ -263,6 +263,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
            _: graft.dsl.MaxStaleness |
            _: graft.dsl.MaxNearDuplicateRate |
            _: graft.dsl.LanguageShare |
+           _: graft.dsl.ValueShareBetween |
            _: graft.dsl.MaxKeyShare => true
       case fd: graft.dsl.FunctionalDependency =>
         !fd.determinant.contains(check.keyCol)

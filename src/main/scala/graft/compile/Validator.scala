@@ -303,6 +303,12 @@ object Validator {
       .collect { case (c: MinTextQuality, i) => (c, i) }
     val vecCs: Seq[(VectorShape, Int)] = check.constraints.zipWithIndex
       .collect { case (c: VectorShape, i) => (c, i) }
+    // value share: one matched count per constraint position (two bounds
+    // may target the same (column, value)) + a shared non-null census
+    // per distinct column
+    val shareCs: Seq[(ValueShareBetween, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: ValueShareBetween, i) => (c, i) }
+    val shareCols: Seq[String] = shareCs.map(_._1.column).distinct
     // language share: two conditional counts per (column, lang) pair —
     // the non-null census aliases by column only so two langs on one
     // column share it, not collide on it
@@ -341,6 +347,14 @@ object Validator {
         // the ONE compile site's predicate, like ParsableAs
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__vec__$i") } ++
+      // value share: matched count per constraint + shared non-null
+      // census per column (LanguageShare's shape, string-form equality)
+      shareCs.map { case (c, i) =>
+        count(when(col(c.column).isNotNull &&
+            col(c.column).cast("string") === c.value, 1))
+          .as(s"__share__$i") } ++
+      shareCols.map(cn =>
+        count(when(col(cn).isNotNull, 1)).as(s"__sharen__$cn")) ++
       // language mix: matched count per (column, lang) + the shared
       // non-null census per column — the counts read the ONE pre-projected
       // __langpred__ column (see statsInput below), so the langId array
@@ -1149,6 +1163,35 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // value share: the categorical-mix bound, straight from the fused
+    // counts (LanguageShare's verdict shape)
+    val shareResults: Seq[(Option[DataFrame], DataFrame)] =
+      shareCs.map { case (c, i) =>
+        val n = stat(s"__sharen__${c.column}")
+        // empty census (no non-null rows): no mix to bound — "no signal"
+        val share: Option[Double] =
+          if (n.isNaN || n == 0.0) None
+          else Some(stat(s"__share__$i") / n)
+        val failed = share.exists(s => s < c.lo || s > c.hi)
+        val violationDf: Option[DataFrame] =
+          if (!failed) None
+          else {
+            import scala.jdk.CollectionConverters._
+            Some(spark.createDataFrame(
+              Seq(Row(c.name, "(global)", -1, c.column,
+                share.get.toString,
+                s"share(${c.value}) in [${c.lo},${c.hi}]",
+                c.severity)).asJava,
+              violationSchema))
+          }
+        import spark.implicits._
+        val verdictDf = Seq(("(global)", c.name, !failed, totalRows,
+            if (failed) 1L else 0L, share.getOrElse(0.0)))
+          .toDF("partition_key", "constraint", "pass", "rows",
+            "violations", "violation_rate")
+        (violationDf, verdictDf)
+      }
+
     // ---- pass 12: entropy bound ---------------------------------------------
     // one hash aggregation per constraint (groupBy value → count, map-side
     // combined — only distinct values ride the exchange), then H = ln N −
@@ -1290,6 +1333,7 @@ object Validator {
       dupRateResults.flatMap(_._1) ++ nearDupResults.flatMap(_._1) ++
       corrResults.flatMap(_._1) ++ staleResults.flatMap(_._1) ++
       langResults.flatMap(_._1) ++
+      shareResults.flatMap(_._1) ++
       entropyResults.flatMap(_._1) ++
       ratioResults.flatMap(_._1) ++
       miResults.flatMap(_._1) ++
@@ -1463,6 +1507,7 @@ object Validator {
       dupRateResults.map(_._2) ++ nearDupResults.map(_._2) ++
       corrResults.map(_._2) ++ staleResults.map(_._2) ++
       langResults.map(_._2) ++
+      shareResults.map(_._2) ++
       entropyResults.map(_._2) ++
       ratioResults.map(_._2) ++
       miResults.map(_._2) ++

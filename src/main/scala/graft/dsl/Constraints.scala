@@ -469,6 +469,28 @@ final case class LanguageShare(column: String, lang: String,
   val name = s"lang_share($column,$lang)"
 }
 
+/** Categorical share bound — "the share of non-null `column` values
+  * whose string form equals `value` must sit in [lo, hi]": the
+  * role-mix / source-mix drift detector. [[EntropyBetween]] sees a mix
+  * collapsing, [[InSet]] sees illegal values — neither sees a LEGAL
+  * value quietly taking over (an assistant-only re-ingest) or vanishing
+  * from the mix (a dropped event type); this does. Share is over
+  * non-null values; an empty census is "no signal" and passes
+  * (emptiness is [[MinRows]]'s finding). A failing suite emits ONE
+  * global violation row observing the measured share. Scale: two
+  * conditional counts fused into the ONE-pass global aggregation —
+  * zero extra jobs. Global-scoped in resumable runs (a per-slice share
+  * is not a table claim).
+  */
+final case class ValueShareBetween(column: String, value: String,
+    lo: Double = 0.0, hi: Double = 1.0)
+  extends Constraint {
+  require(lo <= hi, s"value_share($column): lo=$lo > hi=$hi")
+  require(lo >= 0.0 && hi <= 1.0,
+    s"value_share($column): bounds [$lo,$hi] outside [0,1]")
+  val name = s"share($column,$value)"
+}
+
 /** Embedding-column well-formedness — the vector checks a training
   * pipeline runs before a single GPU-hour is spent: a non-null ARRAY
   * value of `column` violates if (a) `dim` is declared and the array's

@@ -299,6 +299,14 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "value_share_between" =>
+        known(n, ctx, Set("type", "column", "value", "lo", "hi"))
+        // the case class validates the bounds itself; wrap for context
+        try ValueShareBetween(str(n, "column", ctx), str(n, "value", ctx),
+          optD(n, "lo", 0.0, ctx), optD(n, "hi", 1.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "correlation_between" =>
         known(n, ctx, Set("type", "x", "y", "lo", "hi"))
         CorrelationBetween(str(n, "x", ctx), str(n, "y", ctx),
@@ -511,6 +519,9 @@ object SuiteConfig {
       case LanguageShare(column, lang, lo, hi) =>
         n.put("type", "language_share").put("column", column)
           .put("lang", lang).put("lo", lo).put("hi", hi)
+      case ValueShareBetween(column, value, lo, hi) =>
+        n.put("type", "value_share_between").put("column", column)
+          .put("value", value).put("lo", lo).put("hi", hi)
       case MaxStaleness(column, asOf, maxLagSeconds) =>
         n.put("type", "max_staleness").put("column", column)
           .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)

@@ -55,6 +55,22 @@ class PlanSpec extends GraftSuite {
     assert(s.contains("BroadcastHashJoin [cell"), s)
   }
 
+  test("vector row check (q102's engine path): a pure projection — no exchange, one scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = graft.sources.Tables.embeddings(spark, sfTiny)
+    val out = graft.streaming.StreamingRowChecks.violations(e,
+      graft.dsl.Check("v", Seq(graft.dsl.VectorShape("embedding",
+        dim = Some(64), normLo = Some(0.5), normHi = Some(1.5))),
+        keyCol = "vec_id", orderCol = "vec_id"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"stateless vector check must not shuffle:\n$plan")
+    val scans = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected exactly one parquet scan:\n$plan")
+  }
+
   test("q52 flagship: the text column never rides a shuffle") {
     // AQE wraps exchanges in opaque query stages — disable it for this
     // one plan inspection so the tree walk sees every ShuffleExchangeExec

@@ -192,6 +192,7 @@ class CheckpointSpec extends GraftSuite {
       UniquenessBetween(Seq("text"), lo = 0.0, hi = 1.0),
       MaxDuplicateRate("text", maxRate = 1.0),
       FunctionalDependency(Seq("role"), "tool"), // non-key determinant
+      ValueShareBetween("role", "user", 0.0, 1.0), // global mix claim
       NotNull("text", maxNullRate = 0.5)))       // rate row check, sliced
     val dir = Files.createTempDirectory("graft_cp_global").toString
     val r = new ResumableValidation(spark, dir, partitions = 4)
@@ -200,7 +201,8 @@ class CheckpointSpec extends GraftSuite {
     // exactly ONE verdict row per global constraint, matching the direct
     // validator's answer (pass AND the mergeable counts)
     for (name <- Seq("entropy(role)", "uniqueness(text)",
-        "max_dup_rate(text)", "not_null(text)[global]")) {
+        "max_dup_rate(text)", "share(role,user)",
+        "not_null(text)[global]")) {
       val res = verdicts.where(col("constraint") === name)
         .select("pass", "rows", "violations").collect()
       val exp = direct.verdicts.where(col("constraint") === name)
@@ -215,6 +217,30 @@ class CheckpointSpec extends GraftSuite {
     val fdExp = direct.verdicts.where(col("constraint").startsWith("fd("))
       .select("partition_key", "pass").collect().toSeq.sortBy(_.toString)
     assert(fdRes == fdExp)
+    direct.unpersistAll()
+  }
+
+  test("VectorShape rate verdict re-aggregates exactly across slices") {
+    // the newest rate-bound row check must ride the same slice-count
+    // re-aggregation as NotNull: one [global] row, true summed counts
+    val df = (0 until 40).map(i => (s"c${i % 8}", i / 8,
+        if (i % 5 == 0) Seq(Float.NaN, 1.0f) else Seq(1.0f, 0.0f)))
+      .toDF("conv_id", "turn_idx", "emb")
+    val vcheck = Check("vs", Seq(
+      VectorShape("emb", dim = Some(2), maxFailRate = 0.5)))
+    val dir = Files.createTempDirectory("graft_cp_vec").toString
+    val r = new ResumableValidation(spark, dir, partitions = 3)
+    val Some((_, verdicts, _)) = r.run(df, vcheck, Validator.Context())
+    val direct = Validator.validate(df, vcheck, Validator.Context())
+    val res = verdicts.where(col("constraint") === "vector_shape(emb)[global]")
+      .select("pass", "rows", "violations").collect()
+    val exp = direct.verdicts
+      .where(col("constraint") === "vector_shape(emb)[global]")
+      .select("pass", "rows", "violations").collect()
+    assert(res.length == 1, s"${res.length} global verdict rows")
+    assert(res.toSeq == exp.toSeq, s"${res.toSeq} vs ${exp.toSeq}")
+    // 8/40 poisoned → pass at 0.5 with the true count
+    assert(res(0).getBoolean(0) && res(0).getLong(2) == 8L, res.toSeq)
     direct.unpersistAll()
   }
 

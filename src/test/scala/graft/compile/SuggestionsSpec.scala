@@ -186,6 +186,7 @@ class SuggestionsSpec extends GraftSuite {
       NoConsecutiveRepeats("a"),
       FunctionalDependency(Seq("a", "b"), "c"),
       TurnCountBetween(2L, 5000L),
+      ValueShareBetween("role", "user", 0.1, 0.9),
       VectorShape("e", Some(64), Some(0.5), Some(1.5), 0.01),
       VectorShape("e", None, None, Some(2.0)), // absent legs stay absent
       TurnRateDrift("30 minutes", 12, "classical", 5, "iqr", 1.5, 0.1, 0.4)

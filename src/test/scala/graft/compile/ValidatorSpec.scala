@@ -1288,6 +1288,41 @@ class ValidatorSpec extends GraftSuite {
     r3.unpersistAll()
   }
 
+  test("ValueShareBetween: mix bounds from the fused census, no-signal empty, bad bounds at build") {
+    // 6 user / 2 tool / 2 null over 10 rows → user share 0.75, tool 0.25
+    val df = ((0 until 6).map(i => ("a", i, Some("user"))) ++
+        Seq(("b", 0, Some("tool")), ("b", 1, Some("tool")),
+          ("b", 2, None), ("b", 3, None)))
+      .toDF("conv_id", "turn_idx", "role")
+    val r = Validator.validate(df, Check("sh", Seq(
+      ValueShareBetween("role", "user", lo = 0.8),    // 0.75 < 0.8 → fail
+      ValueShareBetween("role", "tool", lo = 0.2, hi = 0.3)))) // 0.25 ok
+    val v = r.violations.where(col("constraint") === "share(role,user)")
+      .select("conv_id", "observed").collect()
+    assert(v.length == 1 && v(0).getString(0) == "(global)" &&
+      math.abs(v(0).getString(1).toDouble - 0.75) < 1e-12, v.mkString(","))
+    val passes = r.verdicts
+      .where(col("constraint").startsWith("share("))
+      .select("constraint", "pass").as[(String, Boolean)].collect().toMap
+    assert(passes == Map("share(role,user)" -> false,
+      "share(role,tool)" -> true), passes)
+    r.unpersistAll()
+    // all-null census: no signal → passes any bound
+    val r2 = Validator.validate(
+      Seq(("a", 0, null: String)).toDF("conv_id", "turn_idx", "role"),
+      Check("sh", Seq(ValueShareBetween("role", "user", lo = 0.99))))
+    assert(r2.verdicts.where(col("constraint") === "share(role,user)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r2.unpersistAll()
+    // impossible bounds refuse at BUILD
+    assert(intercept[IllegalArgumentException](
+      ValueShareBetween("role", "user", lo = 0.9, hi = 0.1))
+      .getMessage.contains("0.9"))
+    assert(intercept[IllegalArgumentException](
+      ValueShareBetween("role", "user", lo = -0.1))
+      .getMessage.contains("-0.1"))
+  }
+
   test("VectorShape: dim/element/norm legs flag with the legs observed; NaN never fires the norm leg") {
     val df = Seq(
         ("a", 0, Some(Seq(0.6f, 0.8f))),       // unit norm, right dim: clean

@@ -83,6 +83,8 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: vector_shape, column: emb, dim: 64, normLo: 0.5,
         |     normHi: 1.5, maxFailRate: 0.01}
         |  - {type: vector_shape, column: emb, dim: 8}
+        |  - {type: value_share_between, column: role, value: user, lo: 0.1}
+        |  - {type: value_share_between, column: role, value: tool, hi: 0.3}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -147,6 +149,19 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(49) == TurnCountBetween()) // lo 1, hi unbounded
     assert(cs(50) == VectorShape("emb", Some(64), Some(0.5), Some(1.5), 0.01))
     assert(cs(51) == VectorShape("emb", Some(8))) // norm legs off, rate 0
+    assert(cs(52) == ValueShareBetween("role", "user", lo = 0.1)) // hi 1.0
+    assert(cs(53) == ValueShareBetween("role", "tool", hi = 0.3)) // lo 0.0
+  }
+
+  test("value_share_between: impossible bounds fail at parse with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: value_share_between, column: role, value: user,
+        |     lo: 0.9, hi: 0.1}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("value_share") &&
+      ex.getMessage.contains("0.9"))
   }
 
   test("turn_count_between / vector_shape: impossible bounds fail at parse with context") {
