@@ -21,7 +21,7 @@ import graft.sources.{Tables, TranscriptGen}
   *       [--id doc_id] [--text text] [--shards 8]
   *   graft.Runner suggest <parquet> <suite.yaml>
   *       [--max-set 20] [--name suggested] [--key conv_id]
-  *       [--order turn_idx] [--ts ts]
+  *       [--order turn_idx] [--ts ts] [--sample <rate>]
   *   graft.Runner history <metrics-dir> <out-dir>
   *       [--max-rel 0.5] [--z-window 5] [--z-threshold 3.0]
   *   graft.Runner diff <old-parquet> <new-parquet> <out-dir>
@@ -253,9 +253,17 @@ object Runner {
       // as-is — the full profile -> config -> validate loop with no Scala
       case "suggest" :: in :: outYaml :: flags =>
         val f = parseFlags(flags,
-          Set("--max-set", "--name", "--key", "--order", "--ts"))
+          Set("--max-set", "--name", "--key", "--order", "--ts", "--sample"))
         def flag(name: String, dflt: String): String = f.getOrElse(name, dflt)
-        val df = spark.read.parquet(in)
+        val full = spark.read.parquet(in)
+        // --sample <rate>: profile a deterministic whole-conversation
+        // sample (the documented 10^12-turn path — suggestion thresholds
+        // are heuristics, so sampling is sound here in a way it never is
+        // for the validator; same Sampling.uniform as `validate --sample`,
+        // keyed on --key so sampled conversations stay whole)
+        val df = f.get("--sample").map(r =>
+          graft.sample.Sampling.uniform(full, flag("--key", "conv_id"),
+            r.toDouble)).getOrElse(full)
         val suggested = graft.compile.Suggestions.suggest(df,
           maxSetSize = flag("--max-set", "20").toInt)
         val check = graft.compile.Suggestions.toCheck(

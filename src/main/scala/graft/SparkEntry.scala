@@ -1499,6 +1499,17 @@ object SparkEntry {
         Check("sh", Seq(ValueShareBetween("role", "user", lo = 0.5))))
       r.violations.select(col("column"),
         round(col("observed").cast("double"), 6).as("user_share"))
+    }),
+
+    // TimeBucketCoverage: the ingest-gap detector — every hour between
+    // the table's first and last turn must hold >= 8 turns (the fixture's
+    // hourly counts span 4..30, so the thin tail flags); the oracle walks
+    // the same span-complete hourly axis with generate_series and emits
+    // the same "bucket-ts n=count" strings
+    "q106_time_coverage_violations" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("cov", Seq(TimeBucketCoverage("ts", "hour", minRows = 8L))))
+      r.violations.select(col("observed")).orderBy("observed")
     })
   )
 
@@ -3353,6 +3364,23 @@ object SparkEntry {
          |    / count(CASE WHEN role IS NOT NULL THEN 1 END) AS share
          |  FROM transcripts)
          |SELECT 'role' AS "column", round(share, 6) AS user_share
-         |FROM sh WHERE share < 0.5""".stripMargin
+         |FROM sh WHERE share < 0.5""".stripMargin,
+
+    // time-coverage twin: the same hourly census, the same span-complete
+    // axis (generate_series from the census' own min to max), missing
+    // buckets joined in at count 0, the same formatted observed string
+    "q106_time_coverage_violations" ->
+      s"""WITH $T,
+         |c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+         |  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1),
+         |span AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+         |allb AS (SELECT unnest(generate_series(
+         |    (SELECT lo FROM span), (SELECT hi FROM span),
+         |    INTERVAL 1 HOUR)) AS h),
+         |j AS (SELECT a.h, coalesce(c.n, 0) AS n
+         |  FROM allb a LEFT JOIN c ON a.h = c.h)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') || ' n=' || n::VARCHAR
+         |  AS observed
+         |FROM j WHERE n < 8 ORDER BY observed""".stripMargin
   )
 }

@@ -219,7 +219,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     val rateNames = check.constraints.collect {
       case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
           _: graft.dsl.ParsableAs | _: graft.dsl.NoPii |
-          _: graft.dsl.MinTextQuality) => c.name
+          _: graft.dsl.MinTextQuality | _: graft.dsl.VectorShape) => c.name
     }
     val dups = rateNames.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n }
@@ -264,6 +264,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
            _: graft.dsl.MaxNearDuplicateRate |
            _: graft.dsl.LanguageShare |
            _: graft.dsl.ValueShareBetween |
+           _: graft.dsl.TimeBucketCoverage |
            _: graft.dsl.MaxKeyShare => true
       case fd: graft.dsl.FunctionalDependency =>
         !fd.determinant.contains(check.keyCol)

@@ -1005,6 +1005,69 @@ object Validator {
           (violationDf, verdictDf)
       }
 
+    // ---- pass 10c: time-bucket coverage ---------------------------------------
+    // one hash aggregation on the truncated bucket (only the bucket
+    // timestamp rides the exchange, map-side combined); the census is
+    // collected driver-side — bounded by span/bucket, the constraint's
+    // documented contract — and the span-complete bucket axis is walked
+    // in fixed UTC steps so a silent mid-range hole (count 0) surfaces
+    val coverageResults: Seq[(Option[DataFrame], DataFrame)] =
+      check.constraints.collect {
+        case c @ TimeBucketCoverage(columnName, bucket, minRowsBound) =>
+          val stepSec = bucket match {
+            case "minute" => 60L
+            case "hour" => 3600L
+            case "day" => 86400L
+            case "week" => 604800L
+          }
+          // cast("timestamp") first: date_trunc/unix_timestamp on an NTZ
+          // column (the MaxStaleness discipline; identity under the UTC
+          // session zone)
+          val census = df.where(col(columnName).isNotNull)
+            .groupBy(date_trunc(bucket,
+              col(columnName).cast("timestamp")).as("__b"))
+            .agg(count(lit(1)).as("__n"))
+            .select(unix_timestamp(col("__b")).as("__e"), col("__n"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val starved: Seq[(Long, Long)] =
+            if (census.isEmpty) Nil
+            else {
+              val lo = census.keys.min
+              val hi = census.keys.max
+              (lo to hi by stepSec).iterator
+                .map(e => e -> census.getOrElse(e, 0L))
+                .filter(_._2 < minRowsBound).toSeq
+            }
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss")
+            .withZone(java.time.ZoneOffset.UTC)
+          val violationDf: Option[DataFrame] =
+            if (starved.isEmpty) None
+            else {
+              import scala.jdk.CollectionConverters._
+              Some(spark.createDataFrame(
+                starved.map { case (e, n) =>
+                  Row(c.name, "(global)", -1, columnName,
+                    s"${fmt.format(java.time.Instant.ofEpochSecond(e))} n=$n",
+                    s"every $bucket >= $minRowsBound rows", c.severity)
+                }.asJava, violationSchema))
+            }
+          import spark.implicits._
+          // rows = the coverage census (non-null timestamps examined);
+          // violation_rate = starved share of the span's buckets
+          val spanBuckets: Long =
+            if (census.isEmpty) 0L
+            else (census.keys.max - census.keys.min) / stepSec + 1L
+          val verdictDf = Seq(("(global)", c.name, starved.isEmpty,
+              census.values.sum, starved.size.toLong,
+              if (spanBuckets == 0L) 0.0
+              else starved.size.toDouble / spanBuckets))
+            .toDF("partition_key", "constraint", "pass", "rows",
+              "violations", "violation_rate")
+          (violationDf, verdictDf)
+      }
+
     // ---- pass 10b: near-duplicate rate bound ----------------------------------
     // the full minhash → LSH banding → exact-Jaccard-verify chain (the
     // audited q64 shape) with the suite's (key, ord) composite as the doc
@@ -1334,6 +1397,7 @@ object Validator {
       corrResults.flatMap(_._1) ++ staleResults.flatMap(_._1) ++
       langResults.flatMap(_._1) ++
       shareResults.flatMap(_._1) ++
+      coverageResults.flatMap(_._1) ++
       entropyResults.flatMap(_._1) ++
       ratioResults.flatMap(_._1) ++
       miResults.flatMap(_._1) ++
@@ -1508,6 +1572,7 @@ object Validator {
       corrResults.map(_._2) ++ staleResults.map(_._2) ++
       langResults.map(_._2) ++
       shareResults.map(_._2) ++
+      coverageResults.map(_._2) ++
       entropyResults.map(_._2) ++
       ratioResults.map(_._2) ++
       miResults.map(_._2) ++

@@ -469,6 +469,34 @@ final case class LanguageShare(column: String, lang: String,
   val name = s"lang_share($column,$lang)"
 }
 
+/** Time-bucket coverage — the ingest-GAP detector: every `bucket`
+  * (minute/hour/day/week) between the column's first and last non-null
+  * timestamp must contain at least `minRows` rows. [[MaxStaleness]] sees
+  * only the newest timestamp — a day-long mid-range hole (a stalled
+  * backfill, a dropped ingest shard) is invisible to it and to every
+  * value-level check; here it surfaces as zero-count buckets, and a
+  * starved-but-not-empty window as below-floor ones. Census = ONE hash
+  * aggregation on the truncated bucket (only the bucket timestamp rides
+  * the exchange, map-side combined), collected driver-side — bounded by
+  * span/bucket (an hourly census of a decade is 87,600 rows; pick the
+  * granularity accordingly). Buckets step fixed UTC durations, so
+  * 'month' (irregular) is deliberately not offered. Violations: one row
+  * per starved bucket observing "bucket-ts n=count"; the verdict is
+  * global (pass iff no starved bucket, violation_rate = starved share of
+  * the span). An empty column is "no signal" ([[MinRows]]'s finding).
+  * Global-scoped in resumable runs (a per-slice span is not the table's).
+  */
+final case class TimeBucketCoverage(column: String, bucket: String = "hour",
+    minRows: Long = 1L)
+  extends Constraint {
+  private val allowed = Set("minute", "hour", "day", "week")
+  require(allowed.contains(bucket),
+    s"time_coverage($column): bucket '$bucket' not in " +
+      s"${allowed.toSeq.sorted.mkString(",")} (fixed-duration UTC steps only)")
+  require(minRows >= 1L, s"time_coverage($column): minRows=$minRows < 1")
+  val name = s"time_coverage($column,$bucket)"
+}
+
 /** Categorical share bound — "the share of non-null `column` values
   * whose string form equals `value` must sit in [lo, hi]": the
   * role-mix / source-mix drift detector. [[EntropyBetween]] sees a mix

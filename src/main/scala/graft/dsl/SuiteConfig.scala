@@ -299,6 +299,16 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "time_bucket_coverage" =>
+        known(n, ctx, Set("type", "column", "bucket", "minRows"))
+        // the case class validates the bucket name itself; wrap for context
+        try TimeBucketCoverage(str(n, "column", ctx),
+          optStr(n, "bucket", "hour", ctx),
+          opt(n, "minRows", ctx)(_.canConvertToLong, "an integer")
+            .map(_.asLong()).getOrElse(1L))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "value_share_between" =>
         known(n, ctx, Set("type", "column", "value", "lo", "hi"))
         // the case class validates the bounds itself; wrap for context
@@ -522,6 +532,9 @@ object SuiteConfig {
       case ValueShareBetween(column, value, lo, hi) =>
         n.put("type", "value_share_between").put("column", column)
           .put("value", value).put("lo", lo).put("hi", hi)
+      case TimeBucketCoverage(column, bucket, minRows) =>
+        n.put("type", "time_bucket_coverage").put("column", column)
+          .put("bucket", bucket).put("minRows", minRows)
       case MaxStaleness(column, asOf, maxLagSeconds) =>
         n.put("type", "max_staleness").put("column", column)
           .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)

@@ -190,6 +190,28 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q103 turn-count census: one hash-agg pass; only the key rides the exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q103_turn_count_violations")(spark, sfTiny)
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val plans = df.queryExecution.executedPlan +: df.queryExecution
+        .executedPlan.collect { case s: InMemoryTableScanExec =>
+          s.relation.cachedPlan }
+      val exchanges = plans.flatMap(_.collect {
+        case s: ShuffleExchangeExec => s })
+      val shuffled = exchanges.flatMap(_.child.output.map(_.name)).toSet
+      assert(shuffled.nonEmpty, "expected the census aggregation exchange")
+      // the count census aggregates (key, count) only — the text payload
+      // and the measure column must never ride the exchange
+      assert(!shuffled.exists(n => n.contains("text") || n.contains("value")),
+        s"payload rides the census shuffle: $shuffled")
+      assert(plans.exists(_.toString.contains("HashAggregate")),
+        "expected a hash aggregation census")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q40 minhash: the reused signature subplan is persisted (scanned once)") {
     val df = SparkEntry.queries("q40_minhash_lsh")(spark, sfTiny)
     val s = finalPlan(df)

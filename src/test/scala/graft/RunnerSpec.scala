@@ -288,6 +288,28 @@ class RunnerSpec extends GraftSuite {
     assert(spark.read.parquet(s"$dir/out/verdicts").count() > 0)
   }
 
+  test("suggest --sample profiles exactly the deterministic sample") {
+    val dir = tmp()
+    val full = TranscriptGen.generate(spark, nConvs = 40, baseTurns = 12)
+    full.write.mode("overwrite").parquet(s"$dir/in")
+    Runner.main(Array("suggest", s"$dir/in", s"$dir/sampled.yaml",
+      "--sample", "0.5"))
+    val sampledCheck = graft.dsl.SuiteConfig.load(s"$dir/sampled.yaml")
+    assert(sampledCheck.constraints.nonEmpty)
+    // the verb's output equals suggest() over the recomputed sample —
+    // the sample is engine-deterministic, so this is exact equality
+    val expected = graft.compile.Suggestions.toCheck("suggested",
+      graft.compile.Suggestions.suggest(
+        graft.sample.Sampling.uniform(
+          spark.read.parquet(s"$dir/in"), "conv_id", 0.5)))
+    assert(sampledCheck.constraints == expected.constraints,
+      s"${sampledCheck.constraints} vs ${expected.constraints}")
+    // and the sampled suite still runs as-is
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out2",
+      "--suite", s"$dir/sampled.yaml"))
+    assert(spark.read.parquet(s"$dir/out2/verdicts").count() > 0)
+  }
+
   test("validate --metrics-dir appends run metrics and flags the cross-run violation jump") {
     val dir = tmp()
     val clean = TranscriptGen.generate(spark, nConvs = 20, baseTurns = 12)

@@ -193,6 +193,7 @@ class CheckpointSpec extends GraftSuite {
       MaxDuplicateRate("text", maxRate = 1.0),
       FunctionalDependency(Seq("role"), "tool"), // non-key determinant
       ValueShareBetween("role", "user", 0.0, 1.0), // global mix claim
+      TimeBucketCoverage("ts", "day", 1L),       // global span claim
       NotNull("text", maxNullRate = 0.5)))       // rate row check, sliced
     val dir = Files.createTempDirectory("graft_cp_global").toString
     val r = new ResumableValidation(spark, dir, partitions = 4)
@@ -202,6 +203,7 @@ class CheckpointSpec extends GraftSuite {
     // validator's answer (pass AND the mergeable counts)
     for (name <- Seq("entropy(role)", "uniqueness(text)",
         "max_dup_rate(text)", "share(role,user)",
+        "time_coverage(ts,day)",
         "not_null(text)[global]")) {
       val res = verdicts.where(col("constraint") === name)
         .select("pass", "rows", "violations").collect()
@@ -255,6 +257,17 @@ class CheckpointSpec extends GraftSuite {
     }
     assert(ex.getMessage.contains("distinct names") &&
       ex.getMessage.contains("compliance(sane)"))
+    // the newest rate-bound family rides the same guard: two VectorShape
+    // on one column share a name and would merge [global] verdicts
+    val dupVec = Check("dupv", Seq(
+      VectorShape("emb", dim = Some(2), maxFailRate = 0.0),
+      VectorShape("emb", normHi = Some(1.5), maxFailRate = 0.1)))
+    val dir2 = Files.createTempDirectory("graft_cp_dupv").toString
+    val r2 = new ResumableValidation(spark, dir2, partitions = 2)
+    val ex2 = intercept[IllegalArgumentException] {
+      r2.run(transcripts, dupVec, ctx)
+    }
+    assert(ex2.getMessage.contains("vector_shape(emb)"))
   }
 
   test("collectResults without the full input refuses when global-scoped verdicts would vanish") {

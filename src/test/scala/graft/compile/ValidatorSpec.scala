@@ -1288,6 +1288,44 @@ class ValidatorSpec extends GraftSuite {
     r3.unpersistAll()
   }
 
+  test("TimeBucketCoverage: mid-span holes and starved buckets flag; empty column is no signal") {
+    // instants (not wall-clock strings) so the fixture is TZ-independent:
+    // hours 0 (3 rows), 1 (1 row — starved), 2 (HOLE), 3 (3 rows)
+    val base = java.sql.Timestamp
+      .from(java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    def at(h: Int, m: Int) = new java.sql.Timestamp(
+      base.getTime + h * 3600000L + m * 60000L)
+    val df = Seq(
+        ("a", 0, at(0, 0)), ("a", 1, at(0, 10)), ("a", 2, at(0, 20)),
+        ("b", 0, at(1, 5)),
+        ("c", 0, at(3, 0)), ("c", 1, at(3, 30)), ("c", 2, at(3, 59)))
+      .toDF("conv_id", "turn_idx", "ts")
+    val r = Validator.validate(df, Check("cov", Seq(
+      TimeBucketCoverage("ts", "hour", minRows = 2L))))
+    val v = r.violations.where(col("constraint") === "time_coverage(ts,hour)")
+      .select("observed").as[String].collect().toSet
+    // the hole surfaces as n=0 — the bucket no groupBy row exists for
+    assert(v == Set("2024-03-01 01:00:00 n=1", "2024-03-01 02:00:00 n=0"), v)
+    val g = r.verdicts.where(col("constraint") === "time_coverage(ts,hour)")
+      .select("pass", "rows", "violations", "violation_rate").collect()(0)
+    assert(!g.getBoolean(0) && g.getLong(1) == 7L && g.getLong(2) == 2L &&
+      math.abs(g.getDouble(3) - 0.5) < 1e-12, g) // 2 of 4 span buckets
+    r.unpersistAll()
+    // all-null column: no span, no signal → passes
+    val r2 = Validator.validate(
+      Seq(("a", 0, null: java.sql.Timestamp))
+        .toDF("conv_id", "turn_idx", "ts"),
+      Check("cov", Seq(TimeBucketCoverage("ts", "hour", 5L))))
+    assert(r2.verdicts.where(col("constraint").startsWith("time_coverage"))
+      .select("pass").as[Boolean].collect().toSeq == Seq(true))
+    r2.unpersistAll()
+    // irregular bucket / zero floor refuse at BUILD
+    assert(intercept[IllegalArgumentException](
+      TimeBucketCoverage("ts", "month")).getMessage.contains("month"))
+    assert(intercept[IllegalArgumentException](
+      TimeBucketCoverage("ts", "hour", 0L)).getMessage.contains("0"))
+  }
+
   test("ValueShareBetween: mix bounds from the fused census, no-signal empty, bad bounds at build") {
     // 6 user / 2 tool / 2 null over 10 rows → user share 0.75, tool 0.25
     val df = ((0 until 6).map(i => ("a", i, Some("user"))) ++

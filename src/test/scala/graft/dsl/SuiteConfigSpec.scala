@@ -85,6 +85,8 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: vector_shape, column: emb, dim: 8}
         |  - {type: value_share_between, column: role, value: user, lo: 0.1}
         |  - {type: value_share_between, column: role, value: tool, hi: 0.3}
+        |  - {type: time_bucket_coverage, column: t, bucket: day, minRows: 10}
+        |  - {type: time_bucket_coverage, column: t}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -151,6 +153,18 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(51) == VectorShape("emb", Some(8))) // norm legs off, rate 0
     assert(cs(52) == ValueShareBetween("role", "user", lo = 0.1)) // hi 1.0
     assert(cs(53) == ValueShareBetween("role", "tool", hi = 0.3)) // lo 0.0
+    assert(cs(54) == TimeBucketCoverage("t", "day", 10L))
+    assert(cs(55) == TimeBucketCoverage("t")) // hour, minRows 1
+  }
+
+  test("time_bucket_coverage: an irregular bucket fails at parse with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: time_bucket_coverage, column: t, bucket: month}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("time_coverage") &&
+      ex.getMessage.contains("month"))
   }
 
   test("value_share_between: impossible bounds fail at parse with context") {
