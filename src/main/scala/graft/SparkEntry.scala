@@ -1510,6 +1510,19 @@ object SparkEntry {
       val r = Validator.validate(Tables.transcripts(s, dir),
         Check("cov", Seq(TimeBucketCoverage("ts", "hour", minRows = 8L))))
       r.violations.select(col("observed")).orderBy("observed")
+    }),
+
+    // LengthBounds: the Deequ hasMinLength/hasMaxLength shape over the
+    // documents table — lengths span 48..553 at sf0.01, so [60, 400]
+    // flags both tails; violations observe the LENGTH, never the text
+    "q107_length_violations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val r = Validator.validate(docs, Check("len", Seq(
+        LengthBounds("text", lo = Some(60L), hi = Some(400L))),
+        keyCol = "doc_id", orderCol = "doc_id"), Validator.Context())
+      r.violations.select(col("conv_id").cast("bigint").as("doc_id"),
+        col("observed").cast("bigint").as("text_length"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3381,6 +3394,14 @@ object SparkEntry {
          |  FROM allb a LEFT JOIN c ON a.h = c.h)
          |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') || ' n=' || n::VARCHAR
          |  AS observed
-         |FROM j WHERE n < 8 ORDER BY observed""".stripMargin
+         |FROM j WHERE n < 8 ORDER BY observed""".stripMargin,
+
+    // length-bounds twin: DuckDB's own character length, the same bounds,
+    // nulls excluded like the engine's NotNull-owns-nulls rule
+    "q107_length_violations" ->
+      """SELECT doc_id, length(text) AS text_length
+        |FROM documents
+        |WHERE text IS NOT NULL AND (length(text) < 60 OR length(text) > 400)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -219,7 +219,8 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
     val rateNames = check.constraints.collect {
       case c @ (_: graft.dsl.NotNull | _: graft.dsl.Compliance |
           _: graft.dsl.ParsableAs | _: graft.dsl.NoPii |
-          _: graft.dsl.MinTextQuality | _: graft.dsl.VectorShape) => c.name
+          _: graft.dsl.MinTextQuality | _: graft.dsl.VectorShape |
+          _: graft.dsl.LengthBounds) => c.name
     }
     val dups = rateNames.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n }
@@ -336,6 +337,7 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case c @ graft.dsl.NoPii(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.MinTextQuality(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.VectorShape(_, _, _, _, r) => s"${c.name}[global]" -> r
+      case c @ graft.dsl.LengthBounds(_, _, _, r) => s"${c.name}[global]" -> r
     }.toMap
     val rateKeys = rateBounds.keys.toSeq
     val verdicts = if (rateKeys.isEmpty) sliceVerdicts else {

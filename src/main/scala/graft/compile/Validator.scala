@@ -131,6 +131,17 @@ object Validator {
       StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNotNull && score < minScore,
         score.cast("string"), s"quality >= $minScore")
+    case c @ LengthBounds(columnName, lo, hi, maxRate) =>
+      // observed = the LENGTH, never the text (an over-long value is
+      // exactly what a violation sink shouldn't accumulate); nulls are
+      // NotNull's finding
+      val len = length(col(columnName))
+      val f = (lo.map(len < _) ++ hi.map(len > _)).reduceOption(_ || _)
+        .getOrElse(lit(false))
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
+        col(columnName).isNotNull && f, len.cast("string"),
+        s"length in [${lo.getOrElse(0L)}," +
+          s"${hi.map(_.toString).getOrElse("inf")}]")
     case c @ VectorShape(columnName, dim, normLo, normHi, maxRate) =>
       // observed = WHICH legs fired (dim=…/element/norm=…), never the
       // vector itself (a float array does not belong in a violation
@@ -303,6 +314,8 @@ object Validator {
       .collect { case (c: MinTextQuality, i) => (c, i) }
     val vecCs: Seq[(VectorShape, Int)] = check.constraints.zipWithIndex
       .collect { case (c: VectorShape, i) => (c, i) }
+    val lenCs: Seq[(LengthBounds, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: LengthBounds, i) => (c, i) }
     // value share: one matched count per constraint position (two bounds
     // may target the same (column, value)) + a shared non-null census
     // per distinct column
@@ -347,6 +360,10 @@ object Validator {
         // the ONE compile site's predicate, like ParsableAs
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__vec__$i") } ++
+      lenCs.map { case (c, i) =>
+        // the ONE compile site's predicate, like ParsableAs
+        count(when(compileStateless(Seq(c)).head.violated, 1))
+          .as(s"__len__$i") } ++
       // value share: matched count per constraint + shared non-null
       // census per column (LanguageShare's shape, string-form equality)
       shareCs.map { case (c, i) =>
@@ -495,7 +512,7 @@ object Validator {
       // construction — see compileStateless)
       case c @ (_: NotNull | _: InSet | _: MatchesRegex | _: ValueBounds |
           _: TextEquals | _: Compliance | _: ParsableAs | _: NoPii |
-          _: MinTextQuality | _: VectorShape) =>
+          _: MinTextQuality | _: VectorShape | _: LengthBounds) =>
         val sc = compileStateless(Seq(c)).head
         Some(RowCheck(c, sc.column, sc.violated, sc.observed, sc.bound))
       case c @ GlobalZ(columnName, t) =>
@@ -1413,6 +1430,7 @@ object Validator {
       case NoPii(_, _, maxRate) => maxRate
       case MinTextQuality(_, _, maxRate) => maxRate
       case VectorShape(_, _, _, _, maxRate) => maxRate
+      case LengthBounds(_, _, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -1529,6 +1547,13 @@ object Validator {
       // vector_shape global rate bound, like compliance's
       vecCs.map { case (c, i) =>
         val fails = stat(s"__vec__$i")
+        val rate = fails / math.max(1.0, totalRows.toDouble)
+        (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
+          fails.toLong, rate)
+      } ++
+      // length_bounds global rate bound, like compliance's
+      lenCs.map { case (c, i) =>
+        val fails = stat(s"__len__$i")
         val rate = fails / math.max(1.0, totalRows.toDouble)
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)

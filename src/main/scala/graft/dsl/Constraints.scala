@@ -469,6 +469,29 @@ final case class LanguageShare(column: String, lang: String,
   val name = s"lang_share($column,$lang)"
 }
 
+/** String length bounds — Deequ's hasMinLength/hasMaxLength shape: a
+  * non-null value of `column` whose CHARACTER length falls outside
+  * [lo, hi] is a violation, observing the length (never the text — an
+  * over-long value is exactly what a violation sink shouldn't
+  * accumulate). Catches truncated payloads (length collapse) and
+  * runaway concatenation upstream that quality scoring's blend can wash
+  * out. At least one bound must be declared; nulls are [[NotNull]]'s
+  * finding. `maxFailRate > 0` turns the verdict into a rate bound
+  * ([[NotNull]]'s shape). Scale: one codegen length() comparison fused
+  * into the one stateless row-flags projection — one scan, zero extra
+  * jobs, streaming-legal.
+  */
+final case class LengthBounds(column: String, lo: Option[Long] = None,
+    hi: Option[Long] = None, maxFailRate: Double = 0.0)
+  extends Constraint {
+  require(lo.nonEmpty || hi.nonEmpty,
+    s"length_bounds($column): declare at least one bound")
+  require(lo.forall(_ >= 0L), s"length_bounds($column): lo < 0")
+  for (l <- lo; h <- hi)
+    require(l <= h, s"length_bounds($column): lo=$l > hi=$h")
+  val name = s"length($column)"
+}
+
 /** Time-bucket coverage — the ingest-GAP detector: every `bucket`
   * (minute/hour/day/week) between the column's first and last non-null
   * timestamp must contain at least `minRows` rows. [[MaxStaleness]] sees

@@ -299,6 +299,18 @@ object SuiteConfig {
         catch { case e: IllegalArgumentException =>
           throw new IllegalArgumentException(s"suite config: $ctx: " +
             e.getMessage, e) }
+      case "length_bounds" =>
+        known(n, ctx, Set("type", "column", "lo", "hi", "maxFailRate"))
+        // the case class validates the bound pair itself; wrap for context
+        try LengthBounds(str(n, "column", ctx),
+          opt(n, "lo", ctx)(_.canConvertToLong, "an integer")
+            .map(_.asLong()),
+          opt(n, "hi", ctx)(_.canConvertToLong, "an integer")
+            .map(_.asLong()),
+          optD(n, "maxFailRate", 0.0, ctx))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"suite config: $ctx: " +
+            e.getMessage, e) }
       case "time_bucket_coverage" =>
         known(n, ctx, Set("type", "column", "bucket", "minRows"))
         // the case class validates the bucket name itself; wrap for context
@@ -535,6 +547,11 @@ object SuiteConfig {
       case TimeBucketCoverage(column, bucket, minRows) =>
         n.put("type", "time_bucket_coverage").put("column", column)
           .put("bucket", bucket).put("minRows", minRows)
+      case LengthBounds(column, lo, hi, maxFailRate) =>
+        n.put("type", "length_bounds").put("column", column)
+        lo.foreach(n.put("lo", _))
+        hi.foreach(n.put("hi", _))
+        n.put("maxFailRate", maxFailRate)
       case MaxStaleness(column, asOf, maxLagSeconds) =>
         n.put("type", "max_staleness").put("column", column)
           .put("asOf", asOf).put("maxLagSeconds", maxLagSeconds)

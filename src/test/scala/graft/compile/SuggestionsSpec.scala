@@ -188,6 +188,8 @@ class SuggestionsSpec extends GraftSuite {
       TurnCountBetween(2L, 5000L),
       ValueShareBetween("role", "user", 0.1, 0.9),
       TimeBucketCoverage("t", "day", 5L),
+      LengthBounds("a", Some(2L), Some(400L), 0.01),
+      LengthBounds("a", None, Some(400L)), // absent lo stays absent
       VectorShape("e", Some(64), Some(0.5), Some(1.5), 0.01),
       VectorShape("e", None, None, Some(2.0)), // absent legs stay absent
       TurnRateDrift("30 minutes", 12, "classical", 5, "iqr", 1.5, 0.1, 0.4)

@@ -1288,6 +1288,30 @@ class ValidatorSpec extends GraftSuite {
     r3.unpersistAll()
   }
 
+  test("LengthBounds: tails flag observing the length, nulls don't, rate bounds, build refusals") {
+    val df = Seq(
+        ("a", 0, Some("ok-length")),   // 9 chars: inside [5, 12]
+        ("a", 1, Some("abc")),         // 3 < 5
+        ("b", 0, Some("far too long a value")), // 20 > 12
+        ("b", 1, None))                // null: NotNull's finding
+      .toDF("conv_id", "turn_idx", "txt")
+    val r = Validator.validate(df, Check("len", Seq(
+      LengthBounds("txt", Some(5L), Some(12L), maxFailRate = 0.5))))
+    val viol = r.violations.where(col("constraint") === "length(txt)")
+      .select("conv_id", "turn_idx", "observed").collect()
+      .map(x => ((x.getString(0), x.getInt(1)), x.getString(2))).toMap
+    assert(viol == Map(("a", 1) -> "3", ("b", 0) -> "20"), viol)
+    // global rate 2/4 <= 0.5 → pass carrying the true count
+    val g = r.verdicts.where(col("constraint") === "length(txt)[global]")
+      .select("pass", "violations").collect()(0)
+    assert(g.getBoolean(0) && g.getLong(1) == 2L, g)
+    r.unpersistAll()
+    assert(intercept[IllegalArgumentException](LengthBounds("txt"))
+      .getMessage.contains("bound"))
+    assert(intercept[IllegalArgumentException](
+      LengthBounds("txt", Some(9L), Some(3L))).getMessage.contains("9"))
+  }
+
   test("TimeBucketCoverage: mid-span holes and starved buckets flag; empty column is no signal") {
     // instants (not wall-clock strings) so the fixture is TZ-independent:
     // hours 0 (3 rows), 1 (1 row — starved), 2 (HOLE), 3 (3 rows)

@@ -87,6 +87,9 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: value_share_between, column: role, value: tool, hi: 0.3}
         |  - {type: time_bucket_coverage, column: t, bucket: day, minRows: 10}
         |  - {type: time_bucket_coverage, column: t}
+        |  - {type: length_bounds, column: txt, lo: 5, hi: 5000,
+        |     maxFailRate: 0.01}
+        |  - {type: length_bounds, column: txt, hi: 100}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -155,6 +158,18 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(53) == ValueShareBetween("role", "tool", hi = 0.3)) // lo 0.0
     assert(cs(54) == TimeBucketCoverage("t", "day", 10L))
     assert(cs(55) == TimeBucketCoverage("t")) // hour, minRows 1
+    assert(cs(56) == LengthBounds("txt", Some(5L), Some(5000L), 0.01))
+    assert(cs(57) == LengthBounds("txt", hi = Some(100L))) // lo absent
+  }
+
+  test("length_bounds: no bounds declared fails at parse with context") {
+    val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
+      """name: x
+        |constraints:
+        |  - {type: length_bounds, column: txt}
+        |""".stripMargin))
+    assert(ex.getMessage.contains("length_bounds") &&
+      ex.getMessage.contains("bound"))
   }
 
   test("time_bucket_coverage: an irregular bucket fails at parse with context") {

@@ -57,7 +57,11 @@ class StreamingRowChecksSpec extends GraftSuite {
     MinTextQuality("text", minScore = 0.3, maxFailRate = 1.0),
     // the tenth: embedding well-formedness (dim + NaN element legs)
     VectorShape("emb", dim = Some(2), normLo = Some(0.5),
-      normHi = Some(1.5), maxFailRate = 1.0)))
+      normHi = Some(1.5), maxFailRate = 1.0),
+    // the eleventh: length bounds — "oops" (4) passes [3, 12], the long
+    // email text flags in-stream with the LENGTH observed
+    LengthBounds("text", lo = Some(3L), hi = Some(12L),
+      maxFailRate = 1.0)))
 
   private type VRow = (String, String, Int, String, String, String)
 
@@ -88,7 +92,7 @@ class StreamingRowChecksSpec extends GraftSuite {
       // the fixture must exercise every stateless family, null-compliance
       // fails-closed included
       assert(Set("not_null", "in_set", "matches", "bounds", "compliance",
-          "no_pii", "min_quality", "vector_shape")
+          "no_pii", "min_quality", "vector_shape", "length(")
         .forall(k => expected.exists(_._1.startsWith(k))),
         s"weak fixture: $expected")
       // both vector legs fired, and the NaN row observed ONLY the
