@@ -1705,10 +1705,15 @@ object SparkEntry {
           s"sum(CASE WHEN $c IS NOT NULL AND ${piiAnySql(c)} " +
             "THEN 1 ELSE 0 END) AS piihits"
         else "NULL::BIGINT AS piihits"
+      // length census: the string analog of min/max (engine's
+      // length_bounds suggestion rule)
+      val lmin = if (isStr) s"min(length($c))::BIGINT" else "NULL::BIGINT"
+      val lmax = if (isStr) s"max(length($c))::BIGINT" else "NULL::BIGINT"
       s"""SELECT '$c' AS c, count(*) AS n, count(*) - count($c) AS nulls,
          |       count(DISTINCT $c) AS dist, $mn AS mn, $mx AS mx,
          |       $isStr AS is_str, $isNum AS is_num, $vals AS vals,
-         |       $shapes, $pii
+         |       $shapes, $pii,
+         |       $lmin AS lmin, $lmax AS lmax
          |FROM transcripts""".stripMargin
     }
     s"stats AS (\n${branches.mkString("\nUNION ALL\n")}\n)"
@@ -3063,7 +3068,10 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT c, 'no_pii', NULL, NULL,
          |         '${graft.text.Pii.allKinds.mkString(",")}' FROM stats
-         |  WHERE n > 0 AND is_str AND n - nulls > 0 AND piihits = 0)
+         |  WHERE n > 0 AND is_str AND n - nulls > 0 AND piihits = 0
+         |  UNION ALL
+         |  SELECT c, 'length_bounds', lmin::DOUBLE, lmax::DOUBLE, NULL
+         |  FROM stats WHERE n > 0 AND is_str AND n - nulls > 0)
          |SELECT c AS "column", suggestion, round(lo, 6) AS lo,
          |       round(hi, 6) AS hi, details
          |FROM sugg ORDER BY "column", suggestion""".stripMargin,

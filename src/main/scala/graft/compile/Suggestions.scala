@@ -47,6 +47,8 @@ object Suggestions {
       isNumeric: Boolean,
       shapeBreaks: Seq[Long] = Nil,
       piiHits: Option[Long] = None,
+      lenMin: Option[Long] = None,
+      lenMax: Option[Long] = None,
       isVector: Boolean = false,
       dimMin: Option[Long] = None,
       dimMax: Option[Long] = None,
@@ -122,6 +124,14 @@ object Suggestions {
             1)).as(s"pii__${f.name}"))
         case _ => Nil
       }
+      // length census: the string analog of min/max — the observed
+      // character-length window becomes a `length_bounds` suggestion
+      val lengths = f.dataType match {
+        case StringType => Seq(
+          min(length(c)).as(s"lenmin__${f.name}"),
+          max(length(c)).as(s"lenmax__${f.name}"))
+        case _ => Nil
+      }
       // vector census: per float/double-array column, the dim range, the
       // count of null/NaN-poisoned vectors, and the L2-norm range over
       // well-formed ones — a constant-dim, observed-clean column becomes
@@ -144,7 +154,7 @@ object Suggestions {
       Seq(
         count(when(c.isNull, 1)).as(s"nulls__${f.name}"),
         count_distinct(distArg).as(s"dist__${f.name}")) ++
-        minMax ++ shapes ++ pii ++ vec
+        minMax ++ shapes ++ pii ++ lengths ++ vec
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -190,6 +200,10 @@ object Suggestions {
           if (f.dataType == StringType)
             Some(row.getAs[Long](s"pii__${f.name}"))
           else None,
+        lenMin =
+          if (f.dataType == StringType) optL(s"lenmin__${f.name}") else None,
+        lenMax =
+          if (f.dataType == StringType) optL(s"lenmax__${f.name}") else None,
         isVector = vector,
         dimMin = if (vector) optL(s"dimmin__${f.name}") else None,
         dimMax = if (vector) optL(s"dimmax__${f.name}") else None,
@@ -220,6 +234,9 @@ object Suggestions {
     *    [[graft.text.Pii]] battery — observed-clean becomes a locked-in
     *    bound, like value_bounds; columns WITH hits get no suggestion
     *    (whether their PII is legitimate is the owner's call).
+    *  - `length_bounds` [observed min length, observed max length] for
+    *    string columns with any non-null value — the value_bounds
+    *    lock-in applied to the one string property every corpus bounds.
     *  - `vector_shape` for float/double-array columns whose non-null
     *    vectors all share ONE dim and carry zero null/NaN elements: the
     *    observed dim plus [floor(min norm), ceil(max norm)] at 4 decimals
@@ -286,6 +303,16 @@ object Suggestions {
             Some(graft.text.Pii.allKinds.mkString(",")),
             NoPii(c.column)))
         else None
+      // length_bounds: the observed character-length window locked in
+      // exactly (the value_bounds pattern for strings)
+      val lengths =
+        if (c.isString && c.rows - c.nulls > 0)
+          c.lenMin.zip(c.lenMax).map { case (lMin, lMax) =>
+            Suggested(c.column, "length_bounds", Some(lMin.toDouble),
+              Some(lMax.toDouble), None,
+              LengthBounds(c.column, Some(lMin), Some(lMax)))
+          }
+        else None
       // vector_shape: constant-dim, observed-clean float/double arrays
       // lock in the dim and the padded norm window; poisoned or
       // ragged-dim columns get no suggestion (owner's call, like no_pii)
@@ -302,7 +329,8 @@ object Suggestions {
                 Some(lo), Some(hi)))
           }
         else None
-      Seq(notNull, inSet, shape, bounds, unique, noPii, vector).flatten
+      Seq(notNull, inSet, shape, bounds, unique, noPii, lengths,
+        vector).flatten
     }.sortBy(s => (s.column, s.suggestion))
   }
 

@@ -40,19 +40,27 @@ class SuggestionsSpec extends GraftSuite {
   test("rules: unique id, small-set category, bounded score, no not_null on mostly-null") {
     val by = suggested.groupBy(_.column).view.mapValues(_.map(_.suggestion).toSet).toMap
     // id_0042-style values fit the snake+counter battery shape; every
-    // string column here is PII-clean, so each also locks in no_pii
-    assert(by("id") == Set("not_null", "unique_key", "matches_regex", "no_pii"))
+    // string column here is PII-clean, so each also locks in no_pii and
+    // its observed character-length window
+    assert(by("id") == Set("not_null", "unique_key", "matches_regex",
+      "no_pii", "length_bounds"))
     assert(suggested.find(s => s.column == "id" &&
       s.suggestion == "matches_regex").get.details
       .contains("^[a-z]+_[0-9]+$"))
     // category is an enum (in_set), NOT a shape; text has spaces — no
     // battery pattern fires
-    assert(by("category") == Set("not_null", "in_set", "no_pii"))
+    assert(by("category") == Set("not_null", "in_set", "no_pii",
+      "length_bounds"))
     assert(!by("text").contains("matches_regex"))
     assert(by("score") == Set("not_null", "value_bounds"))
     // 90% null: no rate/shape rule fires, but the 20 clean non-null
-    // values still support the no_pii lock-in
-    assert(by("ghost") == Set("no_pii"))
+    // values still support the no_pii and length lock-ins
+    assert(by("ghost") == Set("no_pii", "length_bounds"))
+    // the locked window is the observed one: id_0000..id_0199 are all 7
+    val lenId = suggested.find(s => s.column == "id" &&
+      s.suggestion == "length_bounds").get
+    assert(lenId.lo.contains(7.0) && lenId.hi.contains(7.0), lenId)
+    assert(lenId.constraint == LengthBounds("id", Some(7L), Some(7L)))
     val inSet = suggested.find(s => s.column == "category" &&
       s.suggestion == "in_set").get
     assert(inSet.details.contains("alpha,beta,gamma"))
