@@ -151,8 +151,10 @@ class SuggestionsSpec extends GraftSuite {
     assert(SuiteConfig.parse(yaml) == check)
   }
 
-  test("render -> parse round-trips every constraint type") {
-    val all = Check("everything", Seq(
+  // shared with the completeness ratchet below: every ADT type must
+  // appear here (TextEquals rides its own test — Column equality isn't
+  // structural)
+  private lazy val allTypes = Check("everything", Seq(
       NotNull("a", 0.01),
       InSet("a", Seq("x", "y")),
       MatchesRegex("a", "^x"),
@@ -202,7 +204,25 @@ class SuggestionsSpec extends GraftSuite {
       VectorShape("e", None, None, Some(2.0)), // absent legs stay absent
       TurnRateDrift("30 minutes", 12, "classical", 5, "iqr", 1.5, 0.1, 0.4)
     ), keyCol = "k", orderCol = "o", tsCol = "t")
-    assert(SuiteConfig.parse(SuiteConfig.render(all)) == all)
+
+  test("render -> parse round-trips every constraint type") {
+    assert(SuiteConfig.parse(SuiteConfig.render(allTypes)) == allTypes)
+  }
+
+  test("the round-trip fixture covers EVERY type in the constraint ADT (completeness ratchet)") {
+    // a new constraint type added to the ADT without render/parse (or
+    // without joining this fixture) fails HERE, not hours into a config
+    // run — the source file is the authoritative type list
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/dsl/Constraints.scala", "UTF-8")
+    val declared = try "final case class (\\w+)".r
+      .findAllMatchIn(src.mkString).map(_.group(1)).toSet - "Check"
+    finally src.close()
+    assert(declared.size >= 40, s"suspicious ADT census: $declared")
+    val covered = allTypes.constraints.map(_.getClass.getSimpleName).toSet +
+      "TextEquals" // its own test below (Column equality isn't structural)
+    assert((declared -- covered).isEmpty,
+      s"ADT types missing from the round-trip fixture: ${declared -- covered}")
   }
 
   test("text_equals renders to SQL that parses back to the same expression") {

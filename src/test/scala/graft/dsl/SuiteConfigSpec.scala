@@ -162,6 +162,33 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(57) == LengthBounds("txt", hi = Some(100L))) // lo absent
   }
 
+  test("render -> parse round-trips hostile strings (quotes, newlines, YAML metachars, unicode)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the strings a config writer will eventually throw at the YAML
+    // layer: quoting, flow/comment/anchor metacharacters, scalars that
+    // look like other YAML types, regex metachars, non-ASCII
+    val nasty: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr.map(s => if (s.trim.isEmpty) "x" else s),
+      Gen.oneOf("a\"b", "a'b", "a: b", "a\nb", "a\\nb", "- x", "{x: y}",
+        "x # comment", "\ttab", "héllo wörld", "日本語テキスト",
+        "a|b>c&d*e", "0.5", "true", "null", "~", "[]", "^t_\\d+$",
+        "a{2,3}(b|c)\\\\", "*anchor", "&ref", "%tag", "@at", "`tick`"))
+    (1 to 30).foreach { s =>
+      def g(salt: Int): String =
+        nasty.pureApply(Gen.Parameters.default, Seed(s.toLong * 1000 + salt))
+      val check = Check("hostile", Seq(
+        MatchesRegex("c1", g(1)),
+        InSet("c2", List(g(2), g(3))),
+        Compliance(g(4), g(5), 0.1),
+        NotNull(g(6)), // hostile COLUMN name
+        ValueBounds(g(7), Some(-1e300), Some(1e300))),
+        keyCol = g(8), orderCol = "o", tsCol = "t")
+      val parsed = SuiteConfig.parse(SuiteConfig.render(check))
+      assert(parsed == check, s"seed=$s:\n${SuiteConfig.render(check)}")
+    }
+  }
+
   test("length_bounds: no bounds declared fails at parse with context") {
     val ex = intercept[IllegalArgumentException](SuiteConfig.parse(
       """name: x
