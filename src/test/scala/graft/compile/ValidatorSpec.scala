@@ -1288,6 +1288,108 @@ class ValidatorSpec extends GraftSuite {
     r3.unpersistAll()
   }
 
+  test("META: every constraint type produces a FAILING verdict on the everything-wrong fixture") {
+    // the generalization of the pass-by-omission audits: ONE suite with a
+    // deliberately failing instance of EVERY constraint type over one
+    // fixture where everything is wrong — a type whose failure does not
+    // surface as a pass=false verdict row under its own name fails HERE,
+    // not hours into a production run. (TurnRateDrift is the one
+    // sanctioned exclusion: its bucketed-series fixture needs ~2 seasonal
+    // periods of data and is exercised by q50/q52 + dedicated tests.)
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def mkts(h: Double) = java.sql.Timestamp.from(
+      t0.plusMillis((h * 3600000).toLong))
+    val emb = Seq(1.0f, 0.0f)
+    val rows = Seq(
+      // c1: stutter, PII, unparsable text, value spike, bad role, dup key
+      ("c1", 0, "user", "hello world one", null: String, mkts(0), 1.0, emb),
+      ("c1", 1, "assistant", "hello world one", null: String, mkts(2), 1.1, emb),
+      ("c1", 2, "user", "mail me at a@b.io", null: String, mkts(4), 0.9, emb),
+      ("c1", 3, "system", "42x", null: String, mkts(6), 1.05, emb),
+      ("c1", 4, "user", "hello world two", null: String, mkts(8), 1000000.0, emb),
+      ("c1", 5, "badrole", "short", null: String, mkts(10), 1.0, emb),
+      ("c1", 0, "user", "hello world one", null: String, mkts(0), 1.0, emb),
+      // c2: index hole (0, 2)
+      ("c2", 0, "user", "hello world three", null: String, mkts(1), 2.0, emb),
+      ("c2", 2, "tool", "hello world four", "tool_xx", mkts(3), 2.1, emb))
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "value", "emb")
+    val blessed = (0 until 10).map(i => 1000.0 + i).toDF("v")
+    val roles = Seq("user", "assistant", "system", "tool", "badrole")
+    val snaps = roles.flatMap(ro =>
+      Seq((ro, mkts(24 * 10)), (ro, mkts(24 * 12))))
+      .toDF("role", "valid_from") // all snapshots AFTER every turn
+    val metaCtx = Validator.Context(Map(
+      "role_dim" -> graft.sources.Tables.roleDim(spark),
+      "blessed" -> blessed, "snaps" -> snaps))
+    val suite = Seq(
+      NotNull("tool"),
+      InSet("role", Seq("user")),
+      MatchesRegex("text", "^zzz$"),
+      ValueBounds("value", None, Some(-1e18)),
+      TextEquals("text", lit("nope")),
+      ExpectedSchema(Seq("role" -> "int"), allowExtra = true),
+      UniqueKey(Seq("conv_id", "turn_idx")),
+      ReferentialIntegrity("role", "role_dim", "role"),
+      MinRows(10000000L),
+      MeanBetween("value", 1e17, 1e18),
+      StddevBetween("value", 1e17, 1e18),
+      QuantileBetween("value", 0.5, 1e17, 1e18),
+      DistinctCountBetween("role", 1000000L, 2000000L),
+      MaxKeyShare("conv_id", maxFrac = 0.01), // c1 holds 7/9 of the rows
+      GlobalZ("value", 1.5),
+      RobustZ("value", 3.5),
+      IqrOutliers("value", 2.0),
+      RollingZDrift("value", 4, 1.2), // |z| ceiling at w=4 is (w-1)/sqrt(w)=1.5
+      MaxSessionGap(1L),
+      AllowedTransitions("role", Seq("user" -> "user")),
+      Monotonic("value", strict = true),
+      NoConsecutiveRepeats("text"),
+      FunctionalDependency(Seq("role"), "text"),
+      ContiguousIndex(0),
+      TurnCountBetween(1000L, 2000L),
+      DistributionDrift("value", "blessed", "v", maxPsi = 1e-9),
+      MaxDuplicateRate("text", 0.0),
+      MaxNearDuplicateRate("text", 0.0, threshold = 0.3, shingleK = 2,
+        numHashes = 8, bands = 4, estJaccardMin = 0.1),
+      Compliance("nope", "1 = 0"),
+      CorrelationBetween("value", "turn_idx", 0.999, 1.0),
+      UniquenessBetween(Seq("text"), 1.0, 1.0),
+      DistinctnessBetween(Seq("role"), 0.99, 1.0),
+      EntropyBetween("role", 50.0, 60.0),
+      MutualInformationBetween("role", "text", 50.0, 60.0),
+      ParsableAs("text", "int"),
+      NoPii("text"),
+      MinTextQuality("text", 0.99),
+      LanguageShare("text", "de", lo = 0.9),
+      ValueShareBetween("role", "user", 0.999, 1.0),
+      MaxStaleness("ts", "2030-01-01T00:00:00", 1L),
+      TimeBucketCoverage("ts", "hour", 1000000L),
+      VectorShape("emb", dim = Some(3)),
+      LengthBounds("text", lo = Some(10000L)),
+      AsOfIntegrity("role", "snaps", "role", "valid_from", "hour"))
+    val r = Validator.validate(df, Check("wrong", suite), metaCtx)
+    val failing = r.verdicts.where(!col("pass"))
+      .select("constraint").as[String].collect().toSet
+    val missing = suite.map(_.name).filterNot(n =>
+      failing.exists(f => f == n || f.startsWith(n)))
+    assert(missing.isEmpty,
+      s"constraint types whose failure never surfaced as a failing " +
+        s"verdict: $missing (failing: ${failing.toSeq.sorted})")
+    r.unpersistAll()
+    // ...and the suite itself covers the WHOLE ADT minus the exclusion
+    // (a new constraint type must join the everything-wrong fixture)
+    val covered = suite.map(_.getClass.getSimpleName).toSet
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/dsl/Constraints.scala", "UTF-8")
+    val declared = try "final case class (\\w+)".r
+      .findAllMatchIn(src.mkString).map(_.group(1)).toSet -
+      "Check" - "TurnRateDrift"
+    finally src.close()
+    assert((declared -- covered).isEmpty,
+      s"ADT types not in the META suite: ${declared -- covered}")
+  }
+
   test("LengthBounds: tails flag observing the length, nulls don't, rate bounds, build refusals") {
     val df = Seq(
         ("a", 0, Some("ok-length")),   // 9 chars: inside [5, 12]
