@@ -1523,6 +1523,19 @@ object SparkEntry {
       r.violations.select(col("conv_id").cast("bigint").as("doc_id"),
         col("observed").cast("bigint").as("text_length"))
         .orderBy("doc_id")
+    }),
+
+    // Graded membership: InSet's rate-bound face — ~20% of the transcript
+    // view's roles are the injected invalid_role, so a 0.15 ceiling FAILS
+    // with the measured rate; the twin recomputes the same census
+    // (unconditional single-row verdict — parity at any SF)
+    "q108_graded_inset_verdict" -> ((s, dir) => {
+      val r = Validator.validate(Tables.transcripts(s, dir),
+        Check("g", Seq(InSet("role",
+          Seq("user", "assistant", "system", "tool"), maxFailRate = 0.15))))
+      r.verdicts.where(col("constraint") === "in_set(role)[global]")
+        .select(col("pass"), col("violations"),
+          round(col("violation_rate"), 6).as("rate"))
     })
   )
 
@@ -3410,6 +3423,18 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS text_length
         |FROM documents
         |WHERE text IS NOT NULL AND (length(text) < 60 OR length(text) > 400)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // graded-membership twin: the same census (non-null values outside
+    // the set), the same rate over ALL rows, the same 0.15 ceiling
+    "q108_graded_inset_verdict" ->
+      s"""WITH $T,
+         |c AS (SELECT count(*) AS n,
+         |  count(CASE WHEN role IS NOT NULL AND role NOT IN
+         |    ('user','assistant','system','tool') THEN 1 END) AS bad
+         |  FROM transcripts)
+         |SELECT bad::DOUBLE / n <= 0.15 AS pass, bad AS violations,
+         |  round(bad::DOUBLE / n, 6) AS rate
+         |FROM c""".stripMargin
   )
 }

@@ -221,6 +221,12 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
           _: graft.dsl.ParsableAs | _: graft.dsl.NoPii |
           _: graft.dsl.MinTextQuality | _: graft.dsl.VectorShape |
           _: graft.dsl.LengthBounds) => c.name
+      // graded classic row families join the guard (their [global] rows
+      // re-aggregate by name); rate-0 instances emit no [global] rows
+      // and keep their historical freedom to share a column
+      case c: graft.dsl.InSet if c.maxFailRate > 0 => c.name
+      case c: graft.dsl.MatchesRegex if c.maxFailRate > 0 => c.name
+      case c: graft.dsl.ValueBounds if c.maxFailRate > 0 => c.name
     }
     val dups = rateNames.groupBy(identity).collect {
       case (n, occ) if occ.size > 1 => n }
@@ -338,6 +344,12 @@ class ResumableValidation(spark: SparkSession, checkpointDir: String,
       case c @ graft.dsl.MinTextQuality(_, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.VectorShape(_, _, _, _, r) => s"${c.name}[global]" -> r
       case c @ graft.dsl.LengthBounds(_, _, _, r) => s"${c.name}[global]" -> r
+      // the classic row families only emit [global] rows when GRADED
+      case c @ graft.dsl.InSet(_, _, r) if r > 0 => s"${c.name}[global]" -> r
+      case c @ graft.dsl.MatchesRegex(_, _, r) if r > 0 =>
+        s"${c.name}[global]" -> r
+      case c @ graft.dsl.ValueBounds(_, _, _, r) if r > 0 =>
+        s"${c.name}[global]" -> r
     }.toMap
     val rateKeys = rateBounds.keys.toSeq
     val verdicts = if (rateKeys.isEmpty) sliceVerdicts else {

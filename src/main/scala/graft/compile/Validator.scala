@@ -84,19 +84,19 @@ object Validator {
     case c @ NotNull(columnName, maxRate) =>
       StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNull, lit(null).cast("string"), "not null")
-    case c @ InSet(columnName, allowed) =>
-      StatelessCheck(c.name, 0.0, c.severity, columnName,
+    case c @ InSet(columnName, allowed, maxRate) =>
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNotNull && !col(columnName).isin(allowed: _*),
         col(columnName), s"in {${allowed.mkString(",")}}")
-    case c @ MatchesRegex(columnName, re) =>
-      StatelessCheck(c.name, 0.0, c.severity, columnName,
+    case c @ MatchesRegex(columnName, re, maxRate) =>
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
         col(columnName).isNotNull && !col(columnName).rlike(re),
         col(columnName), s"matches $re")
-    case c @ ValueBounds(columnName, lo, hi) =>
+    case c @ ValueBounds(columnName, lo, hi, maxRate) =>
       val v = col(columnName)
       val f = (lo.map(v < _) ++ hi.map(v > _)).reduceOption(_ || _)
         .getOrElse(lit(false))
-      StatelessCheck(c.name, 0.0, c.severity, columnName,
+      StatelessCheck(c.name, maxRate, c.severity, columnName,
         v.isNotNull && f, v.cast("string"),
         s"[${lo.getOrElse(Double.NegativeInfinity)},${hi.getOrElse(Double.PositiveInfinity)}]")
     case c @ TextEquals(columnName, expected) =>
@@ -316,6 +316,16 @@ object Validator {
       .collect { case (c: VectorShape, i) => (c, i) }
     val lenCs: Seq[(LengthBounds, Int)] = check.constraints.zipWithIndex
       .collect { case (c: LengthBounds, i) => (c, i) }
+    // the graded (maxFailRate > 0) instances of the classic hard-fail row
+    // families get a [global] rate verdict like Compliance's; rate-0
+    // instances keep their original verdict surface untouched (per-conv
+    // hard fail — and the flagship twins/goldens stay byte-identical)
+    val insetCs: Seq[(InSet, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: InSet, i) if c.maxFailRate > 0 => (c, i) }
+    val regexCs: Seq[(MatchesRegex, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: MatchesRegex, i) if c.maxFailRate > 0 => (c, i) }
+    val vbCs: Seq[(ValueBounds, Int)] = check.constraints.zipWithIndex
+      .collect { case (c: ValueBounds, i) if c.maxFailRate > 0 => (c, i) }
     // value share: one matched count per constraint position (two bounds
     // may target the same (column, value)) + a shared non-null census
     // per distinct column
@@ -364,6 +374,13 @@ object Validator {
         // the ONE compile site's predicate, like ParsableAs
         count(when(compileStateless(Seq(c)).head.violated, 1))
           .as(s"__len__$i") } ++
+      (insetCs.map { case (c, i) => (c: Constraint, i, "__inset__") } ++
+        regexCs.map { case (c, i) => (c: Constraint, i, "__regex__") } ++
+        vbCs.map { case (c, i) => (c: Constraint, i, "__vb__") })
+        .map { case (c, i, prefix) =>
+          // the ONE compile site's predicate, like ParsableAs
+          count(when(compileStateless(Seq(c)).head.violated, 1))
+            .as(s"$prefix$i") } ++
       // value share: matched count per constraint + shared non-null
       // census per column (LanguageShare's shape, string-form equality)
       shareCs.map { case (c, i) =>
@@ -1431,6 +1448,9 @@ object Validator {
       case MinTextQuality(_, _, maxRate) => maxRate
       case VectorShape(_, _, _, _, maxRate) => maxRate
       case LengthBounds(_, _, _, maxRate) => maxRate
+      case InSet(_, _, maxRate) => maxRate
+      case MatchesRegex(_, _, maxRate) => maxRate
+      case ValueBounds(_, _, _, maxRate) => maxRate
       case _ => 0.0
     })) ++
       check.constraints.collect { case c: RollingZDrift => (c.name, 0.0) } ++
@@ -1558,6 +1578,17 @@ object Validator {
         (s"${c.name}[global]", rate <= c.maxFailRate, totalRows,
           fails.toLong, rate)
       } ++
+      // graded in_set / matches / bounds rate verdicts, like compliance's
+      (insetCs.map { case (c, i) =>
+          (c.name, c.maxFailRate, s"__inset__$i") } ++
+        regexCs.map { case (c, i) =>
+          (c.name, c.maxFailRate, s"__regex__$i") } ++
+        vbCs.map { case (c, i) => (c.name, c.maxFailRate, s"__vb__$i") })
+        .map { case (name, maxRate, alias) =>
+          val fails = stat(alias)
+          val rate = fails / math.max(1.0, totalRows.toDouble)
+          (s"$name[global]", rate <= maxRate, totalRows, fails.toLong, rate)
+        } ++
       // schema conformance: pass iff zero mismatches (already computed,
       // driver-side, in pass 0)
       schemaResults.map { case (c, ms) =>

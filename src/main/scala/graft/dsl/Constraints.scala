@@ -21,17 +21,27 @@ final case class NotNull(column: String, maxNullRate: Double = 0.0)
   extends Constraint { val name = s"not_null($column)" }
 
 /** Domain membership against a small literal set (row-level referential
-  * check when the dimension is a constant list).
+  * check when the dimension is a constant list). `maxFailRate > 0` turns
+  * the verdict into a rate bound while still emitting per-row violations
+  * ([[NotNull]]'s graded shape) — "at most 0.1% unknown tool codes" is
+  * how a membership check is actually deployed over a dirty corpus.
   */
-final case class InSet(column: String, allowed: Seq[String])
+final case class InSet(column: String, allowed: Seq[String],
+    maxFailRate: Double = 0.0)
   extends Constraint { val name = s"in_set($column)" }
 
-/** Regex shape check. */
-final case class MatchesRegex(column: String, regex: String)
+/** Regex shape check; `maxFailRate > 0` makes it a rate bound
+  * ([[NotNull]]'s graded shape).
+  */
+final case class MatchesRegex(column: String, regex: String,
+    maxFailRate: Double = 0.0)
   extends Constraint { val name = s"matches($column)" }
 
-/** Static numeric bounds. (P10-adjacent) */
-final case class ValueBounds(column: String, lo: Option[Double], hi: Option[Double])
+/** Static numeric bounds (P10-adjacent); `maxFailRate > 0` makes it a
+  * rate bound ([[NotNull]]'s graded shape).
+  */
+final case class ValueBounds(column: String, lo: Option[Double],
+    hi: Option[Double], maxFailRate: Double = 0.0)
   extends Constraint { val name = s"bounds($column)" }
 
 /** Per-turn text equality against a closed-form expression of

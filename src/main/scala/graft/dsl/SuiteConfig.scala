@@ -99,19 +99,22 @@ object SuiteConfig {
         known(n, ctx, Set("type", "column", "maxNullRate"))
         NotNull(str(n, "column", ctx), optD(n, "maxNullRate", 0.0, ctx))
       case "in_set" =>
-        known(n, ctx, Set("type", "column", "allowed"))
+        known(n, ctx, Set("type", "column", "allowed", "maxFailRate"))
         val a = req(n, "allowed", ctx)
         require(a.isArray, s"$ctx: 'allowed' must be a list")
         InSet(str(n, "column", ctx),
-          a.elements().asScala.map(_.asText()).toSeq)
+          a.elements().asScala.map(_.asText()).toSeq,
+          optD(n, "maxFailRate", 0.0, ctx))
       case "matches_regex" =>
-        known(n, ctx, Set("type", "column", "regex"))
-        MatchesRegex(str(n, "column", ctx), str(n, "regex", ctx))
+        known(n, ctx, Set("type", "column", "regex", "maxFailRate"))
+        MatchesRegex(str(n, "column", ctx), str(n, "regex", ctx),
+          optD(n, "maxFailRate", 0.0, ctx))
       case "value_bounds" =>
-        known(n, ctx, Set("type", "column", "lo", "hi"))
+        known(n, ctx, Set("type", "column", "lo", "hi", "maxFailRate"))
         val c = ValueBounds(str(n, "column", ctx),
           opt(n, "lo", ctx)(_.isNumber, "a number").map(_.asDouble()),
-          opt(n, "hi", ctx)(_.isNumber, "a number").map(_.asDouble()))
+          opt(n, "hi", ctx)(_.isNumber, "a number").map(_.asDouble()),
+          optD(n, "maxFailRate", 0.0, ctx))
         require(c.lo.nonEmpty || c.hi.nonEmpty, s"$ctx: need 'lo' and/or 'hi'")
         c
       case "text_equals" =>
@@ -447,14 +450,17 @@ object SuiteConfig {
       case NotNull(column, maxNullRate) =>
         n.put("type", "not_null").put("column", column)
           .put("maxNullRate", maxNullRate)
-      case InSet(column, allowed) =>
+      case InSet(column, allowed, maxFailRate) =>
         n.put("type", "in_set").put("column", column)
         strings("allowed", allowed)
-      case MatchesRegex(column, regex) =>
-        n.put("type", "matches_regex").put("column", column).put("regex", regex)
-      case ValueBounds(column, lo, hi) =>
+        n.put("maxFailRate", maxFailRate)
+      case MatchesRegex(column, regex, maxFailRate) =>
+        n.put("type", "matches_regex").put("column", column)
+          .put("regex", regex).put("maxFailRate", maxFailRate)
+      case ValueBounds(column, lo, hi, maxFailRate) =>
         n.put("type", "value_bounds").put("column", column)
         lo.foreach(n.put("lo", _)); hi.foreach(n.put("hi", _))
+        n.put("maxFailRate", maxFailRate)
       case TextEquals(column, expected) =>
         n.put("type", "text_equals").put("column", column)
           .put("expectedSql",

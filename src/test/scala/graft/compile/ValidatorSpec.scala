@@ -1390,6 +1390,35 @@ class ValidatorSpec extends GraftSuite {
       s"ADT types not in the META suite: ${declared -- covered}")
   }
 
+  test("graded InSet/MatchesRegex/ValueBounds: [global] rate verdicts; rate-0 surface unchanged") {
+    val df = (0 until 8).map(i => ("a", i,
+        if (i < 2) "bad" else "ok", i.toDouble))
+      .toDF("conv_id", "turn_idx", "s", "v")
+    val r = Validator.validate(df, Check("g", Seq(
+      InSet("s", Seq("ok"), maxFailRate = 0.5),      // 2/8 = 0.25 → pass
+      MatchesRegex("s", "^ok$", maxFailRate = 0.1),  // 2/8 = 0.25 → fail
+      ValueBounds("v", Some(3.0), None, maxFailRate = 0.9)))) // 3/8 pass
+    val g = r.verdicts.where(col("constraint").endsWith("[global]"))
+      .select("constraint", "pass", "violations").collect()
+      .map(x => x.getString(0) -> ((x.getBoolean(1), x.getLong(2)))).toMap
+    assert(g("in_set(s)[global]") == ((true, 2L)), g)
+    assert(g("matches(s)[global]") == ((false, 2L)), g)
+    assert(g("bounds(v)[global]") == ((true, 3L)), g)
+    // the per-conversation verdicts honor the declared rate too
+    val conv = r.verdicts.where(col("constraint") === "in_set(s)")
+      .select("pass").as[Boolean].collect().toSeq
+    assert(conv == Seq(true), conv) // 0.25 <= 0.5 within the conversation
+    r.unpersistAll()
+    // a rate-0 instance emits NO [global] row — the historical verdict
+    // surface (flagship twins, committed goldens) is byte-identical
+    val r2 = Validator.validate(df, Check("g0", Seq(InSet("s", Seq("ok")))))
+    assert(r2.verdicts
+      .where(col("constraint") === "in_set(s)[global]").count() == 0)
+    assert(r2.verdicts.where(col("constraint") === "in_set(s)")
+      .select("pass").as[Boolean].collect().toSeq == Seq(false))
+    r2.unpersistAll()
+  }
+
   test("LengthBounds: tails flag observing the length, nulls don't, rate bounds, build refusals") {
     val df = Seq(
         ("a", 0, Some("ok-length")),   // 9 chars: inside [5, 12]

@@ -90,6 +90,11 @@ class SuiteConfigSpec extends GraftSuite {
         |  - {type: length_bounds, column: txt, lo: 5, hi: 5000,
         |     maxFailRate: 0.01}
         |  - {type: length_bounds, column: txt, hi: 100}
+        |  - {type: in_set, column: b, allowed: [x], maxFailRate: 0.05}
+        |  - {type: matches_regex, column: c, regex: "^x$",
+        |     maxFailRate: 0.02}
+        |  - {type: value_bounds, column: d, lo: 0, hi: 9,
+        |     maxFailRate: 0.03}
         |""".stripMargin)
     assert(check.name == "full" && check.keyCol == "k" &&
       check.orderCol == "o" && check.tsCol == "t")
@@ -160,6 +165,9 @@ class SuiteConfigSpec extends GraftSuite {
     assert(cs(55) == TimeBucketCoverage("t")) // hour, minRows 1
     assert(cs(56) == LengthBounds("txt", Some(5L), Some(5000L), 0.01))
     assert(cs(57) == LengthBounds("txt", hi = Some(100L))) // lo absent
+    assert(cs(58) == InSet("b", Seq("x"), 0.05)) // graded membership
+    assert(cs(59) == MatchesRegex("c", "^x$", 0.02))
+    assert(cs(60) == ValueBounds("d", Some(0.0), Some(9.0), 0.03))
   }
 
   test("render -> parse round-trips hostile strings (quotes, newlines, YAML metachars, unicode)") {
