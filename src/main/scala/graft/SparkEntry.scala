@@ -488,7 +488,7 @@ object SparkEntry {
       val sigs = Dedup.minhashSignatures(docs, "doc_id",
         "text", shingleK = 3, numHashes = 64)
       val cands = Dedup.minhashLshCandidates(sigs, "doc_id", bands = 32,
-        estJaccardMin = 0.4)
+        estJaccardMin = 0.4, sigLen = 64)
       Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleK = 3,
         threshold = 0.7)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))

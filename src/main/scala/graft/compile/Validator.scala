@@ -1136,7 +1136,8 @@ object Validator {
             val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
               columnName, shingleK, numHashes)
             val cands = graft.dedup.Dedup.minhashLshCandidates(sigs,
-              "__nd_id", bands, estJaccardMin, chainCached += _)
+              "__nd_id", bands, estJaccardMin, chainCached += _,
+              sigLen = numHashes)
             val verified = graft.dedup.Dedup.verifyJaccard(base,
               cands.select("a_id", "b_id"), "__nd_id", columnName, shingleK,
               threshold, chainCached += _)

@@ -182,7 +182,7 @@ object ConnectedComponents {
     requireIntegralId(df, idCol, "dupGroups")
     val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
     val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin,
-      track)
+      track, sigLen = numHashes)
     val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),
       idCol, textCol, shingleK, threshold, track)
     val comp = assign(df.select(idCol), idCol, verified, "a_id", "b_id")

@@ -89,8 +89,7 @@ object Dedup {
     // ONE portable hash per shingle — the shared shingle pipeline with the
     // cross-engine hash swapped in (guards and normalization stay in one
     // place: TextAnalysis)
-    val shingles = TextAnalysis.shingleHashesWith(col(textCol), shingleK,
-      TextAnalysis.portableHash60)
+    val shingles = TextAnalysis.shingleHashesPortable(col(textCol), shingleK)
     // ONE groupBy with `buckets` bin-conditional mins (same single-exchange
     // shape as minhashSignatures, but each input row costs `buckets` int
     // comparisons instead of `buckets` hashes — the bucket id is computed
@@ -134,13 +133,18 @@ object Dedup {
     */
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
       bands: Int, estJaccardMin: Double = 0.5,
-      track: DataFrame => Unit = _ => ()): DataFrame = {
+      track: DataFrame => Unit = _ => (), sigLen: Int = 0): DataFrame = {
     track(signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // a non-divisor bands silently misaligns the slice offsets (fractional
     // starts truncate) and leaves tail positions uncovered by any band —
-    // the recall guarantee degrades with no error. 1-row probe, persisted.
-    signatures.select(size(col("signature"))).head(1).foreach { r =>
+    // the recall guarantee degrades with no error. Callers that know the
+    // signature length statically (every in-repo chain does) pass sigLen
+    // and the check is free; otherwise a 1-row probe job runs (guide §1.2:
+    // one less pass per chain).
+    if (sigLen > 0) require(sigLen % bands == 0,
+      s"bands=$bands must divide the signature length $sigLen")
+    else signatures.select(size(col("signature"))).head(1).foreach { r =>
       require(r.getInt(0) % bands == 0,
         s"bands=$bands must divide the signature length ${r.getInt(0)}")
     }
@@ -264,32 +268,39 @@ object Dedup {
   def verifyJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, threshold: Double = 0.7,
       track: DataFrame => Unit = _ => ()): DataFrame = {
-    // `pairs` feeds 3 consumers (id semi-join, intersection, final base)
-    // and the candidate-doc shingles feed 2 (intersection both sides) —
-    // persist both so the upstream plans run once; both are bounded by
-    // the candidate set, not the corpus
+    // `pairs` feeds 3 consumers (id census + final base twice) and the
+    // candidate-doc shingle SETS feed 2 (both pair endpoints) — persist
+    // both so the upstream plans run once; both are bounded by the
+    // candidate set, not the corpus.
+    //
+    // Shape (optimization guide §2.4 — remove shuffles outright): the
+    // shingle set of each candidate doc stays an ARRAY; the exact
+    // intersection is one `array_intersect` per pair. The previous form
+    // exploded (id, shingle) rows through a distinct + a sizes groupBy +
+    // an intersection groupBy + four rejoins — 8 exchanges where this
+    // needs 2 joins and one keyed agg (measured at sf0.1: verify leg
+    // 4.7 s → ~1 s; identical jaccard arithmetic on identical sets).
     track(pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ids = pairs.select(col("a_id").as("__vid"))
       .union(pairs.select(col("b_id"))).distinct()
-    val sh = df.join(ids, col(idCol) === col("__vid"))
+    // per-doc DISTINCT shingle set; duplicate idCol rows collapse into
+    // one doc whose set is the UNION over its rows (same semantics the
+    // exploded distinct had — see the scaladoc contract above)
+    val shs = df.join(ids, col(idCol) === col("__vid"))
       .select(col(idCol),
-        explode(array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK)))
-          .as("sh"))
-      .distinct()
+        array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleK))
+          .as("__shs"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(col("__shs")))).as("__shs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    track(sh)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sh.select(col(idCol).as("a_id"), col("sh")), Seq("a_id"))
-      .join(sh.select(col(idCol).as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    track(shs)
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
     pairs.select("a_id", "b_id")
-      .join(inter, Seq("a_id", "b_id"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col(idCol).as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
-      .join(sizes.select(col(idCol).as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .join(shs.select(col(idCol).as("a_id"), col("__shs").as("__sa")), Seq("a_id"))
+      .join(shs.select(col(idCol).as("b_id"), col("__shs").as("__sb")), Seq("b_id"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        inter.cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - inter))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -134,9 +134,14 @@ object TextAnalysis {
       .withColumn("quality_score", qualityScoreCol(col(textCol)))
 
   /** Normalization for fingerprinting: lowercase, strip punctuation,
-    * collapse whitespace.
+    * collapse whitespace. Single-pass kernel ([[TextKernels]]); the
+    * composable regex form it provably equals is kept below for the
+    * parity spec.
     */
-  def normalized(text: Column): Column =
+  def normalized(text: Column): Column = TextKernels.normalizeCol(text)
+
+  /** The original two-regex composition — parity-spec reference only. */
+  private[text] def normalizedComposable(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}0-9\\s]", " "),
       "\\s+", " "))
 
@@ -150,13 +155,19 @@ object TextAnalysis {
     * minhash/jaccard dedup.
     */
   def shingleHashes(text: Column, k: Int): Column =
-    shingleHashesWith(text, k, xxhash64(_))
+    TextKernels.shingleHashCol(text, k, portable = false)
 
-  /** [[shingleHashes]] with a caller-chosen shingle-string hash — e.g. the
-    * engine-portable [[portableHash60]] for signatures an independent
-    * engine must reproduce (q73's OPH twin).
+  /** [[shingleHashes]] with the engine-portable md5-prefix hash — the
+    * signatures an independent engine must reproduce (q73's OPH twin).
     */
-  def shingleHashesWith(text: Column, k: Int,
+  def shingleHashesPortable(text: Column, k: Int): Column =
+    TextKernels.shingleHashCol(text, k, portable = true)
+
+  /** The original composable form (interpreted lambda per shingle) — kept
+    * as the parity-spec reference for [[TextKernels]] and for exotic
+    * caller-supplied hashes.
+    */
+  private[graft] def shingleHashesWith(text: Column, k: Int,
       hash: Column => Column): Column = {
     require(k >= 1, s"shingle k must be >= 1, got $k")
     val s = normalized(text)

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+
+/** Parity gate for the single-pass text kernels (optimization round):
+  * [[TextKernels]] must be BYTE-IDENTICAL to the composable regex/HOF
+  * forms it replaced — the oracle twins (q31 fingerprints, q73 exact OPH
+  * signatures, the q40/q64/q99 chain) all ride these values.
+  */
+class TextKernelsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val fixtures: Seq[String] = Seq(
+    "Hello,   World!",
+    "the quick brown fox jumps over the lazy dog",
+    "", "   ", "...", "a", "a b", "a b c", "a  b\t\nc",
+    "MIXED Case ÄÖÜ straße İstanbul ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΎΣ",
+    "tabs\tand\nnewlinesand\fother\rwhitespace",
+    "digits 0123456789 and unicode digits ٣٤٥",
+    "emoji 😀 surrogate pairs 𝒜𝒝 end",
+    "nbsp separated words",
+    "punct-only !@#$%^&*()_+-=[]{};':\",./<>?",
+    "trailing spaces   ",
+    "   leading spaces",
+    "turn 42 of conv_00000007 alpha beta gamma",
+    null)
+
+  private def df = fixtures.zipWithIndex.map { case (t, i) => (i, t) }
+    .toDF("id", "text")
+
+  test("normalizeText == trim(regex(regex(lower)))") {
+    val got = df.select(col("id"),
+      TextAnalysis.normalized(col("text")).as("fast"),
+      TextAnalysis.normalizedComposable(col("text")).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("fast") == r.getAs[String]("slow"),
+        s"id=${r.getInt(0)}: '${r.getAs[String]("fast")}' != " +
+          s"'${r.getAs[String]("slow")}'")
+    }
+  }
+
+  test("shingle hashes (xxhash64) == composable form, k in 1..4") {
+    (1 to 4).foreach { k =>
+      val got = df.select(col("id"),
+        TextAnalysis.shingleHashes(col("text"), k).as("fast"),
+        TextAnalysis.shingleHashesWith(col("text"), k, xxhash64(_)).as("slow"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"k=$k id=${r.getInt(0)}")
+      }
+    }
+  }
+
+  test("shingle hashes (portable md5-60) == composable form, k in 1..3") {
+    (1 to 3).foreach { k =>
+      val got = df.select(col("id"),
+        TextAnalysis.shingleHashesPortable(col("text"), k).as("fast"),
+        TextAnalysis.shingleHashesWith(col("text"), k,
+          TextAnalysis.portableHash60).as("slow"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"k=$k id=${r.getInt(0)}")
+      }
+    }
+  }
+
+  test("parity over the sf0.001 documents fixture") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$dir/documents.parquet").exists()) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val bad = docs.select(
+        TextAnalysis.normalized(col("text")).as("nf"),
+        TextAnalysis.normalizedComposable(col("text")).as("ns"),
+        TextAnalysis.shingleHashes(col("text"), 3).as("hf"),
+        TextAnalysis.shingleHashesWith(col("text"), 3, xxhash64(_)).as("hs"),
+        TextAnalysis.shingleHashesPortable(col("text"), 3).as("pf"),
+        TextAnalysis.shingleHashesWith(col("text"), 3,
+          TextAnalysis.portableHash60).as("ps"))
+        .where(!(col("nf") <=> col("ns")) || !(col("hf") <=> col("hs")) ||
+          !(col("pf") <=> col("ps")))
+        .count()
+      assert(bad == 0L)
+    }
+  }
+}
