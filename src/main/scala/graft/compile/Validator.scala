@@ -506,10 +506,35 @@ object Validator {
       // broadcastDim=false (and likewise keyCensus=true) declares the dim
       // too large to ship — don't pay a full distinct shuffle probing for
       // <=1024 values it cannot have
-      val probe = if (uses.forall { case (_, _, bcast, census) => !bcast || census }) null
-        else dim.select(col(dimCol)).distinct().limit(1025).collect()
+      val wantProbe = uses.exists { case (_, _, bcast, census) => bcast && !census }
+      // a dim whose optimized plan is already a LocalRelation (registered
+      // from a literal Seq — role/tool dims) needs NO Spark job to probe:
+      // its rows live on the driver, so the distinct is a driver-side set
+      // (guide §1.2: one less job per validate; the bench suite pays this
+      // probe twice per suite pass)
+      val localRows: Option[Seq[Any]] = dim.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val idx = lr.output.indexWhere(_.name == dimCol)
+          if (idx < 0) None
+          else {
+            val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter(lr.output(idx).dataType)
+            Some(lr.data.iterator.map(r => conv(r.get(idx, lr.output(idx).dataType)))
+              .toSeq.distinct)
+          }
+        case _ => None
+      }
+      val probe =
+        if (!wantProbe) null
+        else localRows match {
+          case Some(vs) if vs.length <= 1024 => vs.toArray
+          case Some(_) => Array.fill[Any](1025)(null) // too big: anti-join tier
+          case None =>
+            dim.select(col(dimCol)).distinct().limit(1025).collect()
+              .map(_.get(0))
+        }
       (dimName, dimCol) ->
-        (if (probe != null && probe.length <= 1024) probe.toSeq.map(_.get(0)) else null)
+        (if (probe != null && probe.length <= 1024) probe.toSeq else null)
     }
 
     val rowChecks: Seq[RowCheck] = check.constraints.flatMap {
@@ -1135,11 +1160,18 @@ object Validator {
           val flagged: Long = if (n == 0L) 0L else {
             val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
               columnName, shingleK, numHashes)
-            val cands = graft.dedup.Dedup.minhashLshCandidates(sigs,
-              "__nd_id", bands, estJaccardMin, chainCached += _,
-              sigLen = numHashes)
+            // est prefilter dominated by exact verification when its
+            // bound sits at or below the verify threshold (the dupGroups
+            // tiering rule) — banding-only candidates, two fewer joins
+            val cands =
+              if (estJaccardMin <= threshold)
+                graft.dedup.Dedup.minhashBandPairs(sigs, "__nd_id", bands,
+                  sigLen = numHashes)
+              else graft.dedup.Dedup.minhashLshCandidates(sigs,
+                "__nd_id", bands, estJaccardMin, chainCached += _,
+                sigLen = numHashes).select("a_id", "b_id")
             val verified = graft.dedup.Dedup.verifyJaccard(base,
-              cands.select("a_id", "b_id"), "__nd_id", columnName, shingleK,
+              cands, "__nd_id", columnName, shingleK,
               threshold, chainCached += _)
             // endpoints of verified pairs = docs with >=1 near-duplicate
             verified.select(col("a_id").as("__vid"))

@@ -101,6 +101,17 @@ object ConnectedComponents {
     }
     var (e, eRdd) = checkpointTracked(canonical(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))))
+    // Small-graph tier (optimization guide §1.2: the distributed loop's
+    // per-round fixed cost — checkpoint job + fingerprint job + ~6
+    // exchanges — dominates any graph whose edge list fits the driver):
+    // at or below the cap the exact same (id, component=min id) mapping
+    // comes from one collect + union-find. The cap bounds driver memory
+    // (16 B/edge; 1M edges ≈ 16 MB) and is config-tunable; above it the
+    // O(log² n) star rounds run unchanged — a 10^12-row corpus' verified
+    // near-dup graph takes that path.
+    val maxDriverEdges = edges.sparkSession.conf
+      .getOption("spark.graft.cc.maxDriverEdges").map(_.toLong)
+      .getOrElse(1000000L)
     // convergence check = ONE cheap agg job per round: the (count,
     // xor-of-edge-hash) fingerprint of a round is compared to the
     // previous round's (already known — no extra scan of `e`). Equal
@@ -116,6 +127,30 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var eFp = fingerprint(e)
+    if (eFp._1 > 0 && eFp._1 <= maxDriverEdges) {
+      val collected = e.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min-id root so the representative IS the component id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach(id => out += ((id, find(id))))
+      eRdd.foreach(_.unpersist(false))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     var converged = eFp._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
@@ -181,9 +216,17 @@ object ConnectedComponents {
       track: DataFrame => Unit = _ => ()): DataFrame = {
     requireIntegralId(df, idCol, "dupGroups")
     val sigs = Dedup.minhashSignatures(df, idCol, textCol, shingleK, numHashes)
-    val cands = Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin,
-      track, sigLen = numHashes)
-    val verified = Dedup.verifyJaccard(df, cands.select("a_id", "b_id"),
+    // estJaccardMin <= threshold: the est prefilter is strictly dominated
+    // by the exact verification — banding-only candidates give the same
+    // verified pairs with two fewer joins and no signature persist. An
+    // estJaccardMin ABOVE the verify threshold is a genuine extra
+    // condition and keeps the est path.
+    val cands =
+      if (estJaccardMin <= threshold)
+        Dedup.minhashBandPairs(sigs, idCol, bands, sigLen = numHashes)
+      else Dedup.minhashLshCandidates(sigs, idCol, bands, estJaccardMin,
+        track, sigLen = numHashes).select("a_id", "b_id")
+    val verified = Dedup.verifyJaccard(df, cands,
       idCol, textCol, shingleK, threshold, track)
     val comp = assign(df.select(idCol), idCol, verified, "a_id", "b_id")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_size"))

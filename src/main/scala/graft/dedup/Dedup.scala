@@ -131,6 +131,33 @@ object Dedup {
     * persisted for the same reason (3 consumers downstream). `track`
     * observes every DataFrame this call persists — see [[verifyJaccard]].
     */
+  /** Banding-only candidate pairs: the distinct (a_id, b_id) set the band
+    * join produces, WITHOUT the est_jaccard signature rejoins. For chains
+    * that exact-verify every candidate anyway (verifyJaccard at threshold
+    * >= the est bound), the est prefilter is strictly dominated: the
+    * verified output is identical on the superset (and identical to the
+    * exact-pair oracle), while the chain drops two joins and the
+    * signatures' post-banding persist (signatures feed ONE consumer
+    * here, so nothing is persisted at all).
+    */
+  def minhashBandPairs(signatures: DataFrame, idCol: String,
+      bands: Int, sigLen: Int): DataFrame = {
+    require(sigLen > 0 && sigLen % bands == 0,
+      s"bands=$bands must divide the signature length $sigLen")
+    val banded = signatures.select(col(idCol).as("a_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("signature"), b * (sigLen / bands) + 1,
+            lit(sigLen / bands)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val r = banded.select(col("a_id").as("b_id"), col("band"), col("band_hash"))
+    banded.join(r, Seq("band", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   def minhashLshCandidates(signatures: DataFrame, idCol: String,
       bands: Int, estJaccardMin: Double = 0.5,
       track: DataFrame => Unit = _ => (), sigLen: Int = 0): DataFrame = {
@@ -179,7 +206,7 @@ object Dedup {
     * signature is assembled from the sums in a final projection.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashWith(df, idCol, textCol, xxhash64(_), bits = 64)
+    simhashWith(df, idCol, textCol, portable = false, bits = 64)
 
   /** Cross-engine-reproducible SimHash: token hash = first 15 hex chars of
     * md5 (a 60-bit value both Spark and DuckDB compute identically), so an
@@ -189,17 +216,26 @@ object Dedup {
     * narrowing is the price of md5-anchored reproducibility.
     */
   def simhashReproducible(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashWith(df, idCol, textCol, TextAnalysis.portableHash60, bits = 60)
+    simhashWith(df, idCol, textCol, portable = true, bits = 60)
 
+  /** Per-bit vote sums run MAP-SIDE in the [[graft.text.TextKernels]]
+    * simhash kernel (one pass per row: normalize → tokenize → hash →
+    * vote), so the exchange carries one `bits`-int vote row per doc row
+    * instead of one row per TOKEN — the explode and its per-token
+    * interpreted hash column disappear (guide §2.3 "aggregate before you
+    * shuffle"). The groupBy still sums votes elementwise so duplicate
+    * idCol rows keep the exploded form's union semantics; null-text rows
+    * are filtered exactly like explode-of-null dropped them.
+    */
   private def simhashWith(df: DataFrame, idCol: String, textCol: String,
-      tokenHash: Column => Column, bits: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
+      portable: Boolean, bits: Int): DataFrame = {
+    val votes = graft.text.TextKernels.simhashVotesCol(col(textCol),
+      bits, portable)
     val sums = (0 until bits).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"b_$b"))
-    val agged = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      sum(element_at(col("__votes"), b + 1)).as(s"b_$b"))
+    val agged = df.select(col(idCol), votes.as("__votes"))
+      .where(col("__votes").isNotNull)
+      .groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val packed = (0 until bits).map(b =>
       when(col(s"b_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
     agged.select(col(idCol), packed.as("simhash"))

@@ -26,19 +26,47 @@ object Drift {
     * edges array (codegen'd, no UDF). Distributions are epsilon-clamped
     * (1e-4) like standard PSI practice so empty bins don't blow up.
     */
+  /** Shared per-(key, value) side census: baseline/current counts per
+    * DISTINCT value. Both [[psi]] and [[ks]] derive from this ONE
+    * map-side-combined aggregation, so when a caller evaluates both over
+    * the same input (turn-rate drift, DistributionDrift) the identical
+    * census Exchange subtree is deduplicated by ReuseExchange and the raw
+    * rows are scanned once (guide §2.3 "aggregate before you shuffle" —
+    * everything downstream runs on the distinct-value census, not rows).
+    */
+  private def sideCensus(df: DataFrame, valueCol: String, sideCol: String,
+      keyCols: Seq[String]): DataFrame =
+    df.groupBy((keyCols.map(col) :+ col(valueCol).as("__ksv")): _*)
+      .agg(sum((col(sideCol) === "baseline").cast("long")).as("__cb"),
+        sum((col(sideCol) === "current").cast("long")).as("__cc"))
+
   def psi(df: DataFrame, valueCol: String, sideCol: String,
       keyCols: Seq[String], bins: Int = 10, eps: Double = 1e-4): DataFrame = {
     val key = keyCols.map(col)
     val qs = (1 until bins).map(i => i.toDouble / bins)
+    val census = sideCensus(df, valueCol, sideCol, keyCols)
+    // exact WEIGHTED percentile over the census ≡ percentile over the raw
+    // baseline rows (the Percentile aggregate accumulates a value→count
+    // map internally either way; integer frequencies keep it exact).
     // Column API, not SQL text: a non-identifier column name must stay a
     // column reference rather than re-parse as an expression
-    val edges = df.where(col(sideCol) === "baseline").groupBy(key: _*).agg(
-      percentile(col(valueCol), array(qs.map(lit): _*)).as("edges"))
-    val binned = df.join(edges, keyCols)
-      .withColumn("bin", size(filter(col("edges"), e => col(valueCol) > e)))
-    val counts = binned.groupBy((key :+ col("bin")): _*).agg(
-      sum(when(col(sideCol) === "baseline", 1).otherwise(0)).as("n_base"),
-      sum(when(col(sideCol) === "current", 1).otherwise(0)).as("n_cur"))
+    val edges = census.where(col("__cb") > 0).groupBy(key: _*).agg(
+      percentile(col("__ksv"), array(qs.map(lit): _*), col("__cb")).as("edges"))
+    // bin = #edges strictly below the value. The `size(filter(edges, e =>
+    // v > e))` form is a HigherOrderFunction — interpreted per row per
+    // edge; `bins` is statically known here, so the identical count is a
+    // codegen'd when-chain over element_at (null parity: null edges →
+    // null bin, as size(filter(null)) was; null value → every term 0 →
+    // bin 0, as the all-dropped filter was).
+    val binOf = when(col("edges").isNotNull,
+      (1 until bins).map(i =>
+        when(col("__ksv") > element_at(col("edges"), i), 1).otherwise(0))
+        .reduce(_ + _))
+    val counts = census.join(edges, keyCols)
+      .withColumn("bin", binOf)
+      .groupBy((key :+ col("bin")): _*).agg(
+        sum(col("__cb")).as("n_base"),
+        sum(col("__cc")).as("n_cur"))
     // empty sides (e.g. a single-bucket conversation) yield null PSI, not
     // a divide-by-zero under ANSI mode — callers treat null as "no signal"
     val wKey = Window.partitionBy(key: _*)
@@ -69,17 +97,24 @@ object Drift {
   def ks(df: DataFrame, valueCol: String, sideCol: String,
       keyCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)
+    // The CDF gap only changes at DISTINCT values, so the side counts are
+    // reduced per (key, value) FIRST (map-side-combined hash agg) and the
+    // window sort runs over the distinct-value census, not the raw rows —
+    // for the global (keyless) tier this shrinks the single-partition
+    // window from n rows to the distinct-value count (guide §2.3
+    // "aggregate before you shuffle"; the previous form sorted every raw
+    // row in one partition). The RANGE-frame tie handling is now implicit:
+    // rows are unique per (key, value), so the cumulative sums ARE the
+    // tie-correct CDFs evaluated at each distinct value — identical D.
+    val counts = sideCensus(df, valueCol, sideCol, keyCols)
     val wKey = Window.partitionBy(key: _*)
-    val wOrd = Window.partitionBy(key: _*)
-      .orderBy(col(valueCol))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val isBase = (col(sideCol) === "baseline").cast("long")
-    val isCur = (col(sideCol) === "current").cast("long")
-    val nBase = sum(isBase).over(wKey)
-    val nCur = sum(isCur).over(wKey)
-    df.select((key :+ col(valueCol) :+ col(sideCol)): _*)
-      .withColumn("cdf_base", when(nBase > 0, sum(isBase).over(wOrd) / nBase))
-      .withColumn("cdf_cur", when(nCur > 0, sum(isCur).over(wOrd) / nCur))
+    val wOrd = Window.partitionBy(key: _*).orderBy(col("__ksv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nBase = sum(col("__cb")).over(wKey)
+    val nCur = sum(col("__cc")).over(wKey)
+    counts
+      .withColumn("cdf_base", when(nBase > 0, sum(col("__cb")).over(wOrd) / nBase))
+      .withColumn("cdf_cur", when(nCur > 0, sum(col("__cc")).over(wOrd) / nCur))
       .withColumn("d", abs(col("cdf_base") - col("cdf_cur")))
       .groupBy(key: _*)
       .agg(max(col("d")).as("ks"))

@@ -66,9 +66,12 @@ object Pii {
     case "card" =>
       // EVERY candidate is Luhn-checked, not just the first: a text whose
       // first digit run is an order id and whose second is a real card
-      // number must still flag
-      exists(regexp_extract_all(c, lit("(" + patternMap("card") + ")"),
-        lit(1)), luhnValid)
+      // number must still flag. The fold runs in the LuhnAny kernel (one
+      // primitive loop; the composable exists+aggregate form below it is
+      // the parity-spec reference) — candidates still come from the real
+      // regex engine, so the oracle's RE2 replay is untouched.
+      TextKernels.luhnAnyCol(
+        regexp_extract_all(c, lit("(" + patternMap("card") + ")"), lit(1)))
     case k => c.rlike(patternMap.getOrElse(k,
       throw new IllegalArgumentException(
         s"unknown pii kind '$k' (supported: ${allKinds.mkString(",")})")))

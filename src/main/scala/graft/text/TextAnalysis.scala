@@ -52,7 +52,10 @@ object TextAnalysis {
     * four counts, and the argmax runs over that array bound to a lambda
     * variable (evaluated once) via a 1-element transform.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = TextKernels.langIdCol(text)
+
+  /** The original fold — parity-spec reference for [[TextKernels.langId]]. */
+  private[text] def langIdComposable(text: Column): Column = {
     val langs = Seq("en", "de", "es", "fr")
     val counts = aggregate(tokens(text),
       array(langs.map(_ => lit(0)): _*),
@@ -97,7 +100,12 @@ object TextAnalysis {
     * with natural word lengths, some stopwords, low punctuation/digit
     * noise.
     */
-  def qualityScoreCol(t: Column): Column = {
+  def qualityScoreCol(t: Column): Column = TextKernels.qualityScoreCol(t)
+
+  /** The original expression tree — parity-spec reference for
+    * [[TextKernels.qualityScore]].
+    */
+  private[text] def qualityScoreColComposable(t: Column): Column = {
     val nChars = length(t)
     val nTok = tokenCount(t)
     val meanTokenLen =

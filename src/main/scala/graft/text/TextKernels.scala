@@ -121,9 +121,205 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val wsPattern = UTF8String.fromString("\\s+")
+
+  /** `split(trim(lower(t)), "\\s+")` via the exact same UTF8String code
+    * paths the builtin chain uses — the token array feeding tokenCount /
+    * quality / langId (edge semantics incl. the leading-empty-token quirk
+    * of Java split are therefore identical by construction).
+    */
+  private def tokensOf(s: UTF8String): Array[UTF8String] =
+    s.toLowerCase.trim.split(wsPattern, -1)
+
+  /** Is the code point an ASCII whitespace char (Java regex `\s`)? */
+  @inline private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' ||
+      cp == '\r'
+
+  /** [[graft.text.TextAnalysis.qualityScoreCol]] as one per-row pass: the
+    * IDENTICAL double arithmetic over the identical counts (char census
+    * replaces three regexp_replace+length passes; the stopword count
+    * replaces the interpreted filter lambda). Null text scores exactly
+    * like the composable form's null-propagation (0.2).
+    */
+  def qualityScore(s: UTF8String): Double = {
+    var nChars = 0
+    var nonWs = 0      // length(regexp_replace(t, "\\s", ""))
+    var punct = 0      // length(regexp_replace(t, "[\\p{L}0-9\\s]", ""))
+    var digits = 0     // length(regexp_replace(t, "[^0-9]", ""))
+    var nTok = 0
+    var stopHits = 0
+    var tokNull = s == null
+    if (s != null) {
+      val str = s.toString
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        nChars += 1
+        val ws = isAsciiWs(cp)
+        if (!ws) nonWs += 1
+        if (cp >= '0' && cp <= '9') digits += 1
+        else if (!ws && !Character.isLetter(cp)) punct += 1
+        i += Character.charCount(cp)
+      }
+      // tokenCount: when(length(trim(t)) === 0, 0) else size(tokens)
+      if (s.trim.numChars() == 0) nTok = 0
+      else {
+        val toks = tokensOf(s)
+        nTok = toks.length
+        var j = 0
+        while (j < toks.length) {
+          if (enStopwordSet.contains(toks(j).toString)) stopHits += 1
+          j += 1
+        }
+      }
+    }
+    // from here: the EXACT expression-tree arithmetic, null branches
+    // folded to the values they produce
+    val lenScore = math.min(nTok.toDouble / 64.0, 1.0) // coalesce(nTok,0)
+    val wordScore =
+      if (nTok > 0 && !tokNull) {
+        val meanTokenLen = nonWs.toDouble / nTok.toDouble
+        1.0 - math.min(math.abs(meanTokenLen - 5.0) / 5.0, 1.0)
+      } else 0.0 // least() skips the null meanTokenLen → 1 - 1.0 = 0.0
+    val punctRatio = if (nChars > 0 && s != null)
+      punct.toDouble / nChars.toDouble else 0.0
+    val digitRatio = if (nChars > 0 && s != null)
+      digits.toDouble / nChars.toDouble else 0.0
+    val stopwordRatio = if (nTok > 0 && !tokNull)
+      stopHits.toDouble / nTok.toDouble else 0.0
+    val stopScore = math.min(stopwordRatio * 5.0, 1.0)
+    val noise = math.min(punctRatio * 3.0 + digitRatio * 2.0, 1.0)
+    val raw = math.max(0.0, math.min(1.0,
+      lenScore * 0.3 + wordScore * 0.3 + stopScore * 0.2 +
+        (1.0 - noise) * 0.2))
+    math.floor(raw * 1e6 + 0.5) / 1e6
+  }
+
+  private val langIdLangs = Seq("en", "de", "es", "fr")
+  private lazy val enStopwordSet: Set[String] =
+    TextAnalysis.stopwords("en").toSet
+  private lazy val langIdSets: Array[Set[String]] =
+    langIdLangs.map(l => TextAnalysis.stopwords(l).toSet).toArray
+  private val langIdResults: Array[UTF8String] =
+    (langIdLangs :+ "und").map(UTF8String.fromString).toArray
+
+  /** [[graft.text.TextAnalysis.langId]] as one per-row pass: count marker
+    * hits per language over the shared token array, argmax with ties
+    * broken in the fixed (en, de, es, fr) order, 'und' when nothing
+    * matches — byte-identical to the aggregate/transform fold.
+    */
+  def langId(s: UTF8String): UTF8String = {
+    val counts = new Array[Int](langIdLangs.size)
+    // null text: tokens(null) → null fold → null counts → the argmax
+    // when-chain falls through every (null > 0) condition to 'und'
+    if (s != null) {
+      val toks = tokensOf(s)
+      var j = 0
+      while (j < toks.length) {
+        val t = toks(j).toString
+        var l = 0
+        while (l < counts.length) {
+          if (langIdSets(l).contains(t)) counts(l) += 1
+          l += 1
+        }
+        j += 1
+      }
+    }
+    var best = 0
+    var i = 0
+    while (i < counts.length) { if (counts(i) > best) best = counts(i); i += 1 }
+    if (best == 0) return langIdResults(counts.length)
+    i = 0
+    while (counts(i) != best) i += 1
+    langIdResults(i)
+  }
+
+  /** Any Luhn-valid candidate in the array? Replicates
+    * `exists(cands, luhnValid)` where luhnValid is the right-to-left
+    * double-every-second-digit fold with the length >= 13 guard — one
+    * primitive loop instead of an interpreted aggregate-over-sequence per
+    * candidate. Null array → null (exists on null), null element → the
+    * lambda's null (skipped by exists' tri-state unless no true exists).
+    */
+  def luhnAny(arr: ArrayData): Any = {
+    if (arr == null) return null
+    var sawNull = false
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) sawNull = true
+      else {
+        val s = arr.getUTF8String(i).toString
+        if (s.length >= 13) {
+          var sum = 0
+          var j = 0 // j-th char from the right, 1-based position in fold
+          while (j < s.length) {
+            val d = s.charAt(s.length - 1 - j) - '0'
+            sum += (if (j % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+              else d)
+            j += 1
+          }
+          if (sum % 10 == 0) return true
+        }
+      }
+      i += 1
+    }
+    if (sawNull) null else false
+  }
+
+  /** Per-row simhash bit votes: for each bit b of the token hash, +1 if
+    * set else −1, summed over THIS row's tokens (duplicate-id rows are
+    * vote-summed by the caller's groupBy, preserving the exploded form's
+    * semantics). Tokens are `split(normalized(text), " ")` — note the
+    * empty normalized string contributes ONE empty token, exactly like
+    * the composable split. Null text → null (caller filters, matching
+    * explode-of-null dropping the row).
+    */
+  def simhashVotes(s: UTF8String, bits: Int, portable: Boolean): ArrayData = {
+    if (s == null) return null
+    val norm = normalizeString(s)
+    val toks = norm.split(spacePattern, -1)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      val bytes = toks(i).getBytes
+      val h =
+        if (portable) md5Prefix60(bytes, 0, bytes.length)
+        else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(votes)
+  }
+
+  private val spacePattern = UTF8String.fromString(" ")
+
   /** Column face of [[normalizeString]] — drop-in for the regex form. */
   def normalizeCol(c: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(c)))
+
+  /** Column face of [[luhnAny]]. */
+  def luhnAnyCol(c: Column): Column =
+    GraftBridge.column(LuhnAny(GraftBridge.expression(c)))
+
+  /** Column face of [[simhashVotes]]. */
+  def simhashVotesCol(c: Column, bits: Int, portable: Boolean): Column =
+    GraftBridge.column(
+      SimHashVotes(GraftBridge.expression(c), bits, portable))
+
+  /** Column face of [[qualityScore]]. */
+  def qualityScoreCol(c: Column): Column =
+    GraftBridge.column(QualityScoreExpr(GraftBridge.expression(c)))
+
+  /** Column face of [[langId]]. */
+  def langIdCol(c: Column): Column =
+    GraftBridge.column(LangIdExpr(GraftBridge.expression(c)))
 
   /** Column face of [[shingleHashLongs]]. */
   def shingleHashCol(c: Column, k: Int, portable: Boolean): Column =
@@ -140,6 +336,57 @@ case class NormalizeText(child: Expression)
   override def prettyName: String = "normalize_text"
   override def nullSafeEval(input: Any): Any =
     TextKernels.normalizeString(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[TextKernels.qualityScore]] as an expression. Declared nullable for
+  * schema parity with the composable form (which never actually produces
+  * null either — null text folds to the 0.2 floor score).
+  */
+case class QualityScoreExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quality_score"
+  override def eval(input: InternalRow): Any =
+    TextKernels.qualityScore(child.eval(input).asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[TextKernels.langId]] as an expression. Null text yields 'und' (the
+  * composable argmax chain falls through its null conditions), so the
+  * result is never null; declared nullable for schema parity.
+  */
+case class LangIdExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_id"
+  override def eval(input: InternalRow): Any =
+    TextKernels.langId(child.eval(input).asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[TextKernels.luhnAny]] as an expression over array<string>. */
+case class LuhnAny(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "luhn_any"
+  override def eval(input: InternalRow): Any =
+    TextKernels.luhnAny(child.eval(input).asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[TextKernels.simhashVotes]] as an expression (array<int> votes). */
+case class SimHashVotes(child: Expression, bits: Int, portable: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_votes"
+  override def eval(input: InternalRow): Any =
+    TextKernels.simhashVotes(child.eval(input).asInstanceOf[UTF8String],
+      bits, portable)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

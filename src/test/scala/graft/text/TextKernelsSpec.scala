@@ -68,6 +68,46 @@ class TextKernelsSpec extends GraftSuite {
     }
   }
 
+  test("qualityScore kernel == composable expression tree (bitwise)") {
+    val extra = Seq("the of and to in a is that it for", "12345",
+      "word " * 64, "x" * 200, "a\tb", "\t", " \t ",
+      "the quick brown fox! 42 @@@")
+    val d = (fixtures ++ extra).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+    val got = d.select(col("id"),
+      TextAnalysis.qualityScoreCol(col("text")).as("fast"),
+      TextAnalysis.qualityScoreColComposable(col("text")).as("slow"))
+      .collect()
+    got.foreach { r =>
+      val (f, s) = (r.getAs[Any](1), r.getAs[Any](2))
+      assert(java.util.Objects.equals(f, s) ||
+        java.lang.Double.doubleToLongBits(f.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToLongBits(s.asInstanceOf[Double]),
+        s"id=${r.getInt(0)}: $f != $s")
+    }
+  }
+
+  test("langId kernel == composable fold") {
+    val extra = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht auf der wiese und das ist gut",
+      "le chat est dans la maison et il est pour une vie",
+      "el perro es un animal y la casa es una cosa",
+      "la la la", // es/fr tie → first in (en, de, es, fr) order wins
+      "zzz qqq xxx")
+    val d = (fixtures ++ extra).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+    val got = d.select(col("id"),
+      TextAnalysis.langId(col("text")).as("fast"),
+      TextAnalysis.langIdComposable(col("text")).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("fast") == r.getAs[String]("slow"),
+        s"id=${r.getInt(0)}: ${r.getAs[String]("fast")} != " +
+          s"${r.getAs[String]("slow")}")
+    }
+  }
+
   test("parity over the sf0.001 documents fixture") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/documents.parquet").exists()) {
@@ -75,13 +115,18 @@ class TextKernelsSpec extends GraftSuite {
       val bad = docs.select(
         TextAnalysis.normalized(col("text")).as("nf"),
         TextAnalysis.normalizedComposable(col("text")).as("ns"),
+        TextAnalysis.qualityScoreCol(col("text")).as("qf"),
+        TextAnalysis.qualityScoreColComposable(col("text")).as("qs"),
+        TextAnalysis.langId(col("text")).as("lf"),
+        TextAnalysis.langIdComposable(col("text")).as("ls"),
         TextAnalysis.shingleHashes(col("text"), 3).as("hf"),
         TextAnalysis.shingleHashesWith(col("text"), 3, xxhash64(_)).as("hs"),
         TextAnalysis.shingleHashesPortable(col("text"), 3).as("pf"),
         TextAnalysis.shingleHashesWith(col("text"), 3,
           TextAnalysis.portableHash60).as("ps"))
         .where(!(col("nf") <=> col("ns")) || !(col("hf") <=> col("hs")) ||
-          !(col("pf") <=> col("ps")))
+          !(col("pf") <=> col("ps")) || !(col("qf") <=> col("qs")) ||
+          !(col("lf") <=> col("ls")))
         .count()
       assert(bad == 0L)
     }
