@@ -965,26 +965,36 @@ object Validator {
               .where(col("__v").isNotNull && !isnan(col("__v")))
               .withColumn("__side", lit("current")))
             .withColumn("__k", lit(1))
+          // ONE distinct-value side census feeds both the PSI and the KS
+          // collect; persisted across the two actions when KS is on, so
+          // the raw sides are scanned once per suite instead of once per
+          // statistic. The census is bounded by the DISTINCT value count
+          // (not rows) — far smaller than the r5-rejected idea of caching
+          // the raw `sided` union; at the 10^12-row continuous-value
+          // extreme (census ~ rows) the documented scale path remains
+          // Drift.ksSketch, as before.
+          val census = graft.series.Drift
+            .sideCensus(sided, "__v", "__side", Seq("__k"))
+          if (maxKs.isDefined)
+            census.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val psiRows = graft.series.Drift
-            .psi(sided, "__v", "__side", Seq("__k"), bins)
+            .psiFromCensus(census, Seq("__k"), bins)
             .select(col("psi"), col("n_cur")).collect()
           // null / absent PSI = one side empty after null-scrub: "no
           // signal", passes — emptiness is MinRows' finding
           val psiVal: Option[Double] =
             if (psiRows.isEmpty || psiRows(0).isNullAt(0)) None
             else Some(psiRows(0).getDouble(0))
-          // KS half (opt-in): exact tie-correct two-sample D over the same
-          // sided frame — a second scan of both sides (sort-based window).
-          // Deliberately NOT persisted: caching the sided union means
-          // materializing the whole fact table to executor storage, which
-          // at 10^12 rows costs more than re-reading pruned parquet; at
-          // that extreme use the mergeable t-digest Drift.ksSketch instead
+          // KS half (opt-in): exact tie-correct two-sample D over the
+          // same persisted census
           val ksVal: Option[Double] = maxKs.flatMap { _ =>
-            val rows = graft.series.Drift.ks(sided, "__v", "__side", Seq("__k"))
+            val rows = graft.series.Drift
+              .ksFromCensus(census, Seq("__k"))
               .select(col("ks")).collect()
             if (rows.isEmpty || rows(0).isNullAt(0)) None
             else Some(rows(0).getDouble(0))
           }
+          if (maxKs.isDefined) census.unpersist()
           val psiFailed = psiVal.exists(_ > maxPsi)
           val ksFailed = (maxKs, ksVal) match {
             case (Some(mk), Some(k)) => k > mk

@@ -34,17 +34,25 @@ object Drift {
     * rows are scanned once (guide §2.3 "aggregate before you shuffle" —
     * everything downstream runs on the distinct-value census, not rows).
     */
-  private def sideCensus(df: DataFrame, valueCol: String, sideCol: String,
+  def sideCensus(df: DataFrame, valueCol: String, sideCol: String,
       keyCols: Seq[String]): DataFrame =
     df.groupBy((keyCols.map(col) :+ col(valueCol).as("__ksv")): _*)
       .agg(sum((col(sideCol) === "baseline").cast("long")).as("__cb"),
         sum((col(sideCol) === "current").cast("long")).as("__cc"))
 
   def psi(df: DataFrame, valueCol: String, sideCol: String,
-      keyCols: Seq[String], bins: Int = 10, eps: Double = 1e-4): DataFrame = {
+      keyCols: Seq[String], bins: Int = 10, eps: Double = 1e-4): DataFrame =
+    psiFromCensus(sideCensus(df, valueCol, sideCol, keyCols), keyCols,
+      bins, eps)
+
+  /** PSI over a pre-built [[sideCensus]] — callers that evaluate PSI and
+    * KS as SEPARATE actions (DistributionDrift's two collects) persist
+    * the census once instead of rescanning both sides per action.
+    */
+  def psiFromCensus(census: DataFrame, keyCols: Seq[String],
+      bins: Int = 10, eps: Double = 1e-4): DataFrame = {
     val key = keyCols.map(col)
     val qs = (1 until bins).map(i => i.toDouble / bins)
-    val census = sideCensus(df, valueCol, sideCol, keyCols)
     // exact WEIGHTED percentile over the census ≡ percentile over the raw
     // baseline rows (the Percentile aggregate accumulates a value→count
     // map internally either way; integer frequencies keep it exact).
@@ -95,7 +103,11 @@ object Drift {
     * are the common case, not the corner.
     */
   def ks(df: DataFrame, valueCol: String, sideCol: String,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String]): DataFrame =
+    ksFromCensus(sideCensus(df, valueCol, sideCol, keyCols), keyCols)
+
+  /** KS over a pre-built [[sideCensus]] (see [[psiFromCensus]]). */
+  def ksFromCensus(census: DataFrame, keyCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)
     // The CDF gap only changes at DISTINCT values, so the side counts are
     // reduced per (key, value) FIRST (map-side-combined hash agg) and the
@@ -106,7 +118,7 @@ object Drift {
     // row in one partition). The RANGE-frame tie handling is now implicit:
     // rows are unique per (key, value), so the cumulative sums ARE the
     // tie-correct CDFs evaluated at each distinct value — identical D.
-    val counts = sideCensus(df, valueCol, sideCol, keyCols)
+    val counts = census
     val wKey = Window.partitionBy(key: _*)
     val wOrd = Window.partitionBy(key: _*).orderBy(col("__ksv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
