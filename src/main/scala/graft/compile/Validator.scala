@@ -1160,14 +1160,20 @@ object Validator {
           // exact verifier both take the shingle-set UNION over a node's
           // rows), so the denominator must collapse them too or the
           // rate deflates under exact-dup keys
-          val n = base.select("__nd_id").distinct().count()
+          // the node census and the dedup chain are independent jobs over
+          // the persisted base — run the census from a driver thread so
+          // the two overlap (guide §2.6) instead of serializing
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val nFuture = Future(base.select("__nd_id").distinct().count())(
+            ExecutionContext.global)
           // the dedup helpers persist their internal frames (signatures,
           // banded pairs, candidate shingles) for the chain's duration;
           // collect them so THIS pass can honor the Result.cached
           // contract — every count below is materialized eagerly, so all
           // of them release right here rather than riding Result.cached
           val chainCached = scala.collection.mutable.Buffer.empty[DataFrame]
-          val flagged: Long = if (n == 0L) 0L else {
+          val flagged: Long = {
             val sigs = graft.dedup.Dedup.minhashSignatures(base, "__nd_id",
               columnName, shingleK, numHashes)
             // est prefilter dominated by exact verification when its
@@ -1187,6 +1193,7 @@ object Validator {
             verified.select(col("a_id").as("__vid"))
               .union(verified.select(col("b_id"))).distinct().count()
           }
+          val n = Await.result(nFuture, Duration.Inf)
           chainCached.foreach(_.unpersist())
           base.unpersist()
           val rate = if (n == 0L) 0.0 else flagged.toDouble / n.toDouble

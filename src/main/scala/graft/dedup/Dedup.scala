@@ -50,11 +50,20 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
-    val shingles = df.select(col(idCol),
-      explode(TextAnalysis.shingleHashes(col(textCol), shingleK)).as("sh"))
+    // per-ROW partial mins in one kernel pass (guide §2.3: the exchange
+    // carries one numHashes-long array per doc row, not one row per
+    // shingle, and the inner shingle hash is computed once instead of
+    // once per seed); the groupBy's elementwise mins keep duplicate-id
+    // union semantics, and null partials (no shingles) are filtered
+    // exactly like the explode emitting no rows. Values are bit-identical
+    // to min(xxhash64(sh, lit(s))) — spec-gated in TextKernelsSpec.
+    val partial = graft.text.TextKernels.minhashPartialCol(
+      TextAnalysis.shingleHashes(col(textCol), shingleK), numHashes)
     val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("sh"), lit(s))).as(s"mh_$s"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(element_at(col("__mhp"), s + 1)).as(s"mh_$s"))
+    df.select(col(idCol), partial.as("__mhp"))
+      .where(col("__mhp").isNotNull)
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(s => col(s"mh_$s")): _*)
         .as("signature"))
   }

@@ -84,7 +84,12 @@ object Pii {
     * filter drops it) — a null has no content; NotNull owns it.
     */
   def matchedKinds(c: Column, kinds: Seq[String]): Column =
-    filter(
-      array(kinds.map(k => when(kindMatches(c, k), lit(k))): _*),
-      x => x.isNotNull)
+    // array_compact ≡ filter(x => x.isNotNull) but is a native collection
+    // expression, not a lambda — lambda subtrees are excluded from
+    // Catalyst's common-subexpression elimination, so the filter form
+    // forced the whole regex battery to re-evaluate at every reference
+    // (the validator references matchedKinds twice per row plus once in
+    // the stats aggregate)
+    array_compact(
+      array(kinds.map(k => when(kindMatches(c, k), lit(k))): _*))
 }

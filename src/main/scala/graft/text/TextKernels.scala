@@ -300,6 +300,41 @@ object TextKernels {
 
   private val spacePattern = UTF8String.fromString(" ")
 
+  /** Per-row MinHash partial signature: for each seed s in 0..n-1, the
+    * min over this row's shingles of `xxhash64(shingle, lit(s))` — exactly
+    * `XXH64.hashInt(s, XXH64.hashLong(shingle, 42))`, the value the
+    * two-child xxhash64 expression folds (the seed literal is an INT
+    * child, so the second fold step is hashInt). The inner hash is computed
+    * ONCE per shingle (the expression recomputed it per seed), and the
+    * exchange then carries one n-long array per doc ROW instead of one
+    * row per shingle (guide §2.3); the caller's groupBy takes
+    * elementwise mins so duplicate-id union semantics are preserved.
+    * Empty/null shingle sets → null (caller filters, matching the
+    * explode emitting no rows).
+    */
+  def minhashPartial(shingles: ArrayData, numHashes: Int): ArrayData = {
+    if (shingles == null || shingles.numElements() == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val inner = XXH64.hashLong(shingles.getLong(i), 42L)
+      var s = 0
+      while (s < numHashes) {
+        val h = XXH64.hashInt(s, inner)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column face of [[minhashPartial]]. */
+  def minhashPartialCol(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(
+      MinHashPartial(GraftBridge.expression(shingles), numHashes))
+
   /** Column face of [[normalizeString]] — drop-in for the regex form. */
   def normalizeCol(c: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(c)))
@@ -364,6 +399,19 @@ case class LangIdExpr(child: Expression)
   override def prettyName: String = "lang_id"
   override def eval(input: InternalRow): Any =
     TextKernels.langId(child.eval(input).asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** [[TextKernels.minhashPartial]] as an expression (array<bigint>). */
+case class MinHashPartial(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_partial"
+  override def eval(input: InternalRow): Any =
+    TextKernels.minhashPartial(child.eval(input).asInstanceOf[ArrayData],
+      numHashes)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

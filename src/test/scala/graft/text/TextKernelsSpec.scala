@@ -108,6 +108,22 @@ class TextKernelsSpec extends GraftSuite {
     }
   }
 
+  test("minhashPartial == min(xxhash64(sh, lit(s))) per row") {
+    val d = fixtures.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+    val sh = TextAnalysis.shingleHashes(col("text"), 3)
+    val fast = d.select(col("id"),
+      TextKernels.minhashPartialCol(sh, 16).as("p"))
+    val slow = d.select(col("id"), explode(sh).as("s"))
+      .groupBy("id")
+      .agg(array((0 until 16).map(i => min(xxhash64(col("s"), lit(i)))): _*)
+        .as("p"))
+    val f = fast.where(col("p").isNotNull).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val s = slow.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(f == s)
+  }
+
   test("parity over the sf0.001 documents fixture") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/documents.parquet").exists()) {
