@@ -1089,16 +1089,48 @@ object Validator {
             case "day" => 86400L
             case "week" => 604800L
           }
+          // DST guard (r5 ADVICE): date_trunc uses the SESSION zone while
+          // the axis below steps fixed epoch seconds — under a
+          // DST-observing zone, day/week truncation shifts by an hour
+          // twice a year and healthy buckets would report starved. Refuse
+          // loudly at bucket >= day unless the session zone is
+          // fixed-offset (mains pin UTC; this makes the library enforce
+          // what the mains assumed).
+          if (stepSec >= 86400L) {
+            val zone = spark.conf.get("spark.sql.session.timeZone")
+            val rules = java.time.ZoneId.of(zone).getRules
+            require(rules.isFixedOffset,
+              s"time_bucket_coverage($bucket) needs a fixed-offset session " +
+                s"timeZone (got '$zone'): DST shifts would misalign the " +
+                "fixed-step bucket axis and report false starvation")
+          }
           // cast("timestamp") first: date_trunc/unix_timestamp on an NTZ
           // column (the MaxStaleness discipline; identity under the UTC
           // session zone)
-          val census = df.where(col(columnName).isNotNull)
+          val censusRows = df.where(col(columnName).isNotNull)
             .groupBy(date_trunc(bucket,
               col(columnName).cast("timestamp")).as("__b"))
             .agg(count(lit(1)).as("__n"))
             .select(unix_timestamp(col("__b")).as("__e"), col("__n"))
             .collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val census = censusRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // span cap (r5 ADVICE/VERDICT item 5): ONE corrupt timestamp
+          // (epoch 0) makes span/bucket enormous — a minute census over
+          // decades would materialize tens of millions of driver tuples
+          // and a comparably huge violation frame. Refuse loudly past the
+          // cap instead of silently thrashing the driver; the bound is
+          // config-tunable for genuinely long healthy spans.
+          val maxSpanBuckets = spark.conf
+            .getOption("spark.graft.coverage.maxSpanBuckets")
+            .map(_.toLong).getOrElse(1000000L)
+          if (census.nonEmpty) {
+            val span = (census.keys.max - census.keys.min) / stepSec + 1L
+            require(span <= maxSpanBuckets,
+              s"time_bucket_coverage($bucket) span is $span buckets > cap " +
+                s"$maxSpanBuckets (spark.graft.coverage.maxSpanBuckets) — " +
+                "likely a corrupt timestamp; bound the column's range " +
+                "(value_bounds / freshness) or coarsen the bucket first")
+          }
           val starved: Seq[(Long, Long)] =
             if (census.isEmpty) Nil
             else {

@@ -398,21 +398,31 @@ object SuiteConfig {
           optD(n, "psiThreshold", 0.25, ctx), optD(n, "ksThreshold", 0.5, ctx))
       case other => throw new IllegalArgumentException(
         s"suite config: unknown constraint type '$other' (supported: " +
-          "not_null, in_set, matches_regex, value_bounds, text_equals, " +
-          "expected_schema, " +
-          "unique_key, referential, asof_integrity, min_rows, mean_between, " +
-          "stddev_between, quantile_between, distinct_count_between, " +
-          "max_key_share, robust_z, iqr_outliers, global_z, " +
-          "rolling_z_drift, max_session_gap, contiguous_index, " +
-          "distribution_drift, max_duplicate_rate, compliance, parsable_as, " +
-          "no_pii, max_staleness, max_near_duplicate_rate, " +
-          "min_text_quality, language_share, " +
-          "correlation_between, entropy_between, uniqueness_between, " +
-          "distinctness_between, mutual_information_between, " +
-          "allowed_transitions, monotonic, no_consecutive_repeats, " +
-          "functional_dependency, turn_rate_drift)")
+          supportedTypes.mkString(", ") + ")")
     }
   }
+
+  /** Every constraint type the parser accepts — the 'supported:' help in
+    * the unknown-type error. SuiteConfigSpec ratchets this list against
+    * the parser: each name here must reach a real match arm (a typo near
+    * a NEWLY added type previously got a help message omitting it — r5
+    * ADVICE).
+    */
+  val supportedTypes: Seq[String] = Seq(
+    "not_null", "in_set", "matches_regex", "value_bounds", "length_bounds",
+    "text_equals", "expected_schema",
+    "unique_key", "referential", "asof_integrity", "min_rows",
+    "mean_between", "stddev_between", "quantile_between",
+    "distinct_count_between", "max_key_share", "robust_z", "iqr_outliers",
+    "global_z", "rolling_z_drift", "max_session_gap", "contiguous_index",
+    "distribution_drift", "max_duplicate_rate", "compliance", "parsable_as",
+    "no_pii", "max_staleness", "max_near_duplicate_rate",
+    "min_text_quality", "language_share", "turn_count_between",
+    "value_share_between", "vector_shape", "time_bucket_coverage",
+    "correlation_between", "entropy_between", "uniqueness_between",
+    "distinctness_between", "mutual_information_between",
+    "allowed_transitions", "monotonic", "no_consecutive_repeats",
+    "functional_dependency", "turn_rate_drift")
 
   // ---- rendering (the write side of the config seam) -------------------------
 

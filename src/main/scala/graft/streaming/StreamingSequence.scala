@@ -93,8 +93,13 @@ object StreamingSequence {
             // redelivery guard: a turn at or below the state's turn_idx
             // watermark was already processed in an earlier batch — an
             // at-least-once duplicate must not be compared against itself
-            // (false no_repeats / strict-monotonic violations)
+            // (false no_repeats / strict-monotonic violations). distinctBy
+            // extends the same guard WITHIN a batch: two copies of one
+            // turn_idx delivered together must not compare against each
+            // other either (r5 ADVICE) — the first in sorted order wins,
+            // exactly as if the copies had arrived in separate batches.
             events.toSeq.sortBy(_.turn_idx)
+              .distinctBy(_.turn_idx)
               .filter(e => prev.forall(_.turnIdx < e.turn_idx))
               .foreach { e =>
               val tsUs = e.ts.map(t => java.util.concurrent.TimeUnit

@@ -1479,6 +1479,28 @@ class ValidatorSpec extends GraftSuite {
       TimeBucketCoverage("ts", "month")).getMessage.contains("month"))
     assert(intercept[IllegalArgumentException](
       TimeBucketCoverage("ts", "hour", 0L)).getMessage.contains("0"))
+    // span cap: one corrupt epoch-0 timestamp would otherwise walk ~475k
+    // driver buckets at hour granularity — past the cap the constraint
+    // refuses loudly instead of thrashing the driver (r5 ADVICE/VERDICT)
+    spark.conf.set("spark.graft.coverage.maxSpanBuckets", "1000")
+    try {
+      val corrupt = Seq(("a", 0, at(0, 0)), ("a", 1,
+          new java.sql.Timestamp(0L)))
+        .toDF("conv_id", "turn_idx", "ts")
+      val ex = intercept[IllegalArgumentException](Validator.validate(
+        corrupt, Check("cov", Seq(TimeBucketCoverage("ts", "hour", 1L)))))
+      assert(ex.getMessage.contains("maxSpanBuckets"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.coverage.maxSpanBuckets")
+    // DST guard: day/week buckets refuse under a DST-observing session
+    // zone (fixed-step epoch axis would misalign with session-zone
+    // truncation); the pinned-UTC mains are unaffected
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException](Validator.validate(
+        df, Check("cov", Seq(TimeBucketCoverage("ts", "day", 1L)))))
+      assert(ex.getMessage.contains("fixed-offset"), ex.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
   }
 
   test("ValueShareBetween: mix bounds from the fused census, no-signal empty, bad bounds at build") {

@@ -393,6 +393,26 @@ class SuiteConfigSpec extends GraftSuite {
     assert(ex.getMessage.contains("not_null"))
   }
 
+  test("every name in supportedTypes reaches a real parser arm") {
+    // the 'supported:' help list must never advertise a type the parser
+    // rejects as unknown, nor (via the error message itself) omit one it
+    // accepts — a typo near an omitted name got a help message claiming
+    // the type doesn't exist (r5 ADVICE). A listed type may still fail on
+    // MISSING FIELDS; only the unknown-type error is a list bug.
+    SuiteConfig.supportedTypes.foreach { t =>
+      scala.util.Try(SuiteConfig.parse(
+        s"""name: s
+           |constraints:
+           |  - {type: $t}
+           |""".stripMargin)) match {
+        case scala.util.Failure(e) =>
+          assert(!e.getMessage.contains("unknown constraint type"),
+            s"supportedTypes lists '$t' but the parser calls it unknown")
+        case scala.util.Success(_) => // all-optional-field type: fine
+      }
+    }
+  }
+
   test("unknown field (typo) fails fast with the offending name") {
     val ex = intercept[IllegalArgumentException] {
       SuiteConfig.parse(

@@ -113,6 +113,33 @@ class StreamingSequenceSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("same-batch duplicate turn_idx copies never compare against each other") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqTurn]
+    val out = StreamingSequence.sequenceViolations(input.toDS(),
+      SeqChecks(
+        maxGapSeconds = None,
+        transitions = Some((allowed, firstIn)),
+        monotonicStrict = Some(true),
+        noRepeats = true),
+      idleTimeoutMs = 0L)
+    val q = out.writeStream.format("memory").queryName("seq_dup_out")
+      .outputMode("append").start()
+    try {
+      // an at-least-once redelivery lands BOTH copies of turn 1 in ONE
+      // micro-batch: the copies must dedupe (first in sorted order wins),
+      // not stutter/strict-monotonic-violate against each other
+      val t0 = SeqTurn("d1", 0, Some("user"),
+        Some(ts("2024-01-01 00:00:00")), Some("hi"), Some(1.0))
+      val t1 = SeqTurn("d1", 1, Some("assistant"),
+        Some(ts("2024-01-01 00:01:00")), Some("yo"), Some(2.0))
+      input.addData(t0, t1, t1); q.processAllAvailable()
+      val got = spark.table("seq_dup_out").collect()
+      assert(got.isEmpty,
+        s"duplicate copies in one batch produced violations: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("violation rows are empty when every check is off") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[SeqTurn]
