@@ -155,8 +155,25 @@ object Runner {
         // a RESUMED run must reuse the manifest its first attempt pinned:
         // re-pinning would hand the already-done slices one snapshot and
         // the global-scoped/schema passes another — a hybrid verdict over
-        // two file sets, the exact thing the pin exists to prevent
+        // two file sets, the exact thing the pin exists to prevent.
+        // "Resumed" is gated on CHECKPOINT evidence (staged slices or a
+        // started staging dir), not on the manifest file alone: a FRESH
+        // resumable run pointed at an out dir holding a manifest from some
+        // earlier run must re-pin the CURRENT input, not silently validate
+        // the stale snapshot (r5 ADVICE)
+        // evidence = completed staging (slices only run after staging
+        // commits, so no _DONE work can exist without it); an attempt
+        // that died before staging committed consumed nothing from its
+        // pin and re-pinning is consistent — staging is redone from the
+        // fresh pin either way
+        val ckptStarted = rest match {
+          case "--resumable" :: ckpt :: _ =>
+            java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$ckpt/staging/_SUCCESS"))
+          case _ => false
+        }
         val resuming = rest.headOption.contains("--resumable") &&
+          ckptStarted &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(manifest))
         if (!resuming) provider.pin(spark, in, manifest)
         val pinnedAll = provider.readPinned(spark, manifest)

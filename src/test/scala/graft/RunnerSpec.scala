@@ -223,6 +223,18 @@ class RunnerSpec extends GraftSuite {
     Runner.main(Array("validate", s"$dir/in", s"$dir/out"))
     val fresh = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
     assert(fresh != pinned, "a fresh run must re-pin the current file set")
+    // a resumable run against an out dir holding SOME earlier manifest
+    // but a checkpoint with no committed staging is a FRESH run, not a
+    // resume: it must re-pin the CURRENT input instead of silently
+    // validating the stale snapshot (r5 ADVICE — reuse gates on
+    // checkpoint evidence, not manifest existence)
+    TranscriptGen.generate(spark, nConvs = 3, baseTurns = 3)
+      .write.mode("append").parquet(s"$dir/in")
+    Runner.main(Array("validate", s"$dir/in", s"$dir/out",
+      "--resumable", s"$dir/ckpt_new", "2"))
+    val repinned = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+    assert(repinned != fresh,
+      "a fresh resumable run with an empty checkpoint must re-pin")
   }
 
   test("pack verb shards STRING ids by hash (col % n would null-shard them all)") {
