@@ -59,13 +59,10 @@ object Dedup {
     // to min(xxhash64(sh, lit(s))) — spec-gated in TextKernelsSpec.
     val partial = graft.text.TextKernels.minhashPartialCol(
       TextAnalysis.shingleHashes(col(textCol), shingleK), numHashes)
-    val aggs = (0 until numHashes).map(s =>
-      min(element_at(col("__mhp"), s + 1)).as(s"mh_$s"))
     df.select(col(idCol), partial.as("__mhp"))
       .where(col("__mhp").isNotNull)
-      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(s => col(s"mh_$s")): _*)
-        .as("signature"))
+      .groupBy(col(idCol))
+      .agg(graft.agg.ElementMinAgg(col("__mhp"), numHashes).as("signature"))
   }
 
   /** One-permutation MinHash signatures (Shrivastava & Li 2014, "densified

@@ -124,6 +124,21 @@ class TextKernelsSpec extends GraftSuite {
     assert(f == s)
   }
 
+  test("minhashSignatures (partial kernel + ElementMinAgg) == explode/64-min form") {
+    val d = (fixtures ++ fixtures).zipWithIndex // duplicated texts under
+      .map { case (t, i) => (i % fixtures.size, t) } // REPEATED ids: the
+      .toDF("id", "text") // groupBy union-semantics leg must hold too
+    val fast = graft.dedup.Dedup.minhashSignatures(d, "id", "text", 3, 16)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val sh = TextAnalysis.shingleHashes(col("text"), 3)
+    val slow = d.select(col("id"), explode(sh).as("s"))
+      .groupBy("id")
+      .agg(array((0 until 16).map(i => min(xxhash64(col("s"), lit(i)))): _*)
+        .as("signature"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == slow)
+  }
+
   test("parity over the sf0.001 documents fixture") {
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/documents.parquet").exists()) {
